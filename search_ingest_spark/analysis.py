@@ -1,0 +1,203 @@
+"""Text extraction + analyzer (tokenizer) — the per-row invariant surface.
+
+The reference configures (does not implement) its analyzer in
+`/root/reference/src/search-ingest/schemas.cr:62-77`:
+
+    tokenizer: "standard"            # Lucene StandardTokenizer (UAX#29)
+    filters:   lowercase, asciifolding(preserve_original: true)
+
+so "Café" is indexed as BOTH ``cafe`` and ``café`` at the same position.
+This module reproduces that pipeline natively:
+
+- :func:`standard_tokens` — pure-Python UAX#29-approximating word
+  segmentation (word runs of ``\\w``; apostrophes join letters, ``.``/``,``
+  join digit runs — matching Lucene's StandardTokenizer on the common
+  cases; golden-tested in tests/test_analysis.py).
+- :func:`fold_ascii` — Latin-1/Latin-Extended → ASCII folding
+  approximating Lucene ASCIIFoldingFilter (NFKD strip + explicit map for
+  ß→ss, æ→ae, ø→o, đ→d, þ→th, œ→oe, ł→l …).
+- :func:`analyze` — full pipeline returning (terms incl. preserved
+  originals, n_positions).  Stacked (preserve_original) tokens share a
+  position, and Lucene's BM25 length norm discounts overlaps
+  (discountOverlaps=true default), so document length = n_positions,
+  NOT len(terms).
+
+Spark-facing wrappers are vectorized Arrow UDFs (input_hint: "no per-row
+Python" — i.e. no row-at-a-time ``udf()``; these are pandas_udf batches).
+
+There is additionally a *simple* analyzer (:func:`simple_tokens_col`)
+expressed entirely in JVM-side Catalyst expressions
+(``regexp_extract_all(lower(text), '[a-z0-9]+')``) — byte-equivalent to
+the full analyzer on pure-ASCII space-separated corpora (like the driver
+testdata) and exactly reproducible in the DuckDB oracle SQL, so the
+driver's correctness gate compares identical token streams.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, IntegerType, StringType
+
+# ---------------------------------------------------------------------------
+# Tokenization (UAX#29 approximation of Lucene "standard")
+# ---------------------------------------------------------------------------
+
+# Order matters: number-with-separators first so "3.14" wins over "3".
+# \w covers Unicode letters, digits, underscore (UAX#29 ExtendNumLet).
+_TOKEN_RE = re.compile(
+    r"\d+(?:[.,]\d+)+"          # numeric runs joined by MidNum . or ,
+    r"|\w+(?:['’]\w+)*",   # word runs joined by MidNumLet apostrophes
+    re.UNICODE,
+)
+
+# Lucene ASCIIFoldingFilter cases NFKD cannot produce.
+_FOLD_MAP = str.maketrans(
+    {
+        "ß": "ss", "ẞ": "SS",
+        "æ": "ae", "Æ": "AE",
+        "œ": "oe", "Œ": "OE",
+        "ø": "o", "Ø": "O",
+        "đ": "d", "Đ": "D",
+        "ð": "d", "Ð": "D",
+        "þ": "th", "Þ": "TH",
+        "ł": "l", "Ł": "L",
+        "ħ": "h", "Ħ": "H",
+        "ı": "i",
+        "ŋ": "n", "Ŋ": "N",
+    }
+)
+
+
+def standard_tokens(text: str) -> list[str]:
+    """UAX#29-style word segmentation (pre-filter token stream)."""
+    if not text:
+        return []
+    return _TOKEN_RE.findall(text)
+
+
+def fold_ascii(token: str) -> str:
+    """Fold accented/Latin-extended chars to ASCII (Lucene ASCIIFolding)."""
+    token = token.translate(_FOLD_MAP)
+    if token.isascii():
+        return token
+    # NFKD then drop combining marks; keep any residual non-ASCII as-is
+    # (ASCIIFoldingFilter passes through chars it has no mapping for).
+    nfkd = unicodedata.normalize("NFKD", token)
+    return "".join(c for c in nfkd if not unicodedata.combining(c))
+
+
+def analyze(text: str) -> tuple[list[str], int]:
+    """Full analyzer: standard tokenize → lowercase → asciifolding with
+    preserve_original.  Returns (terms, n_positions).
+
+    When folding changes a token, BOTH the folded and the original form
+    are emitted (same position, like Lucene's preserveOriginal=true), so
+    tf counts include the stack but the length norm (n_positions) does
+    not (Lucene discountOverlaps=true).
+    """
+    base = standard_tokens(text)
+    out: list[str] = []
+    for tok in base:
+        low = tok.lower()
+        folded = fold_ascii(low)
+        out.append(folded)
+        if folded != low:
+            out.append(low)
+    return out, len(base)
+
+
+# ---------------------------------------------------------------------------
+# Text extraction (reference analog: the doc's `text` IS the row content,
+# elastic.cr:230 serializes the row verbatim; input_hint demands a
+# deterministic html → text with byte-identical output per url).
+# ---------------------------------------------------------------------------
+
+_TAG_RE = re.compile(rb"<script\b.*?</script>|<style\b.*?</style>", re.S | re.I)
+_MARKUP_RE = re.compile(rb"<[^>]*>")
+_WS_RE = re.compile(r"[ \t\r\f\v]*\n[ \t\r\f\v]*|\s{2,}")
+
+
+def extract_text(html: bytes | None) -> str:
+    """Deterministic html→text: drop script/style blocks, strip tags,
+    decode utf-8 (replace), collapse whitespace.  Pure function —
+    byte-identical output for identical input, per BASELINE input_hint."""
+    if html is None:
+        return ""
+    stripped = _MARKUP_RE.sub(b" ", _TAG_RE.sub(b" ", html))
+    text = stripped.decode("utf-8", errors="replace")
+    return _WS_RE.sub(" ", text).strip()
+
+
+# ---------------------------------------------------------------------------
+# Vectorized Spark wrappers (Arrow batches — the only Python in the row path)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(ArrayType(StringType()))
+def analyze_terms_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: analyze(t)[0] if t is not None else [])
+
+
+@pandas_udf(IntegerType())
+def analyze_positions_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: len(standard_tokens(t)) if t is not None else 0)
+
+
+@pandas_udf(StringType())
+def extract_text_udf(htmls: pd.Series) -> pd.Series:
+    return htmls.map(extract_text)
+
+
+def simple_tokens_col(text_col: str | Column) -> Column:
+    """Oracle-compatible analyzer as a pure Catalyst expression (JVM-side,
+    whole-stage-codegen; zero Python).  Equivalent DuckDB SQL:
+    ``regexp_extract_all(lower(text), '[a-z0-9]+')``."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_extract_all(F.lower(col), F.lit("[a-z0-9]+"), 0)
+
+
+def doc_terms_pandas(
+    it: Iterator[pd.DataFrame],
+    *,
+    id_col: str,
+    text_col: str,
+    mode: str = "standard",
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: rows(id, text, …) → rows(doc_id, term, tf, dl).
+
+    tf and dl are doc-local, so this stage needs NO shuffle: term
+    frequencies are fully aggregated before anything hits the exchange.
+    `mode`: "standard" (full analyzer) | "simple" (ASCII regex analyzer).
+    """
+    simple_re = re.compile(r"[a-z0-9]+")
+    for batch in it:
+        ids: list = []
+        terms: list[str] = []
+        tfs: list[int] = []
+        dls: list[int] = []
+        for doc_id, text in zip(batch[id_col].values, batch[text_col].values):
+            if text is None:
+                continue
+            if mode == "simple":
+                toks = simple_re.findall(text.lower())
+                dl = len(toks)
+            else:
+                toks, dl = analyze(text)
+            counts: dict[str, int] = {}
+            for t in toks:
+                counts[t] = counts.get(t, 0) + 1
+            ids.extend([doc_id] * len(counts))
+            terms.extend(counts.keys())
+            tfs.extend(counts.values())
+            dls.extend([dl] * len(counts))
+        yield pd.DataFrame(
+            {"doc_id": pd.array(ids, dtype="int64"), "term": terms,
+             "tf": pd.array(tfs, dtype="int32"), "dl": pd.array(dls, dtype="int32")}
+        )

@@ -1,0 +1,187 @@
+"""BM25 scoring — brute-force DataFrame path (the permanent oracle).
+
+The reference delegates BM25 to Elasticsearch 7.x (default similarity;
+it never overrides `similarity` in its generated mappings,
+`/root/reference/src/search-ingest/schemas.cr:61-82`), i.e. Lucene BM25
+with k1=1.2, b=0.75:
+
+    idf(t)  = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tfn(t,d)= tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+    score   = Σ_t idf(t) * tfn(t,d)
+
+This module expresses the whole computation as Catalyst-optimized
+DataFrame ops: tokenize (Arrow batch, doc-local tf/dl → NO shuffle) →
+filter to query terms (pushed ahead of every aggregation) → df counts →
+score expression → global top-k.  The only shuffles are the per-term df
+count (tiny: |query terms| groups, map-side combined) and the final
+top-k (TakeOrderedAndProject — no full sort).
+
+It is deliberately index-free: it IS the correctness oracle the
+compressed WAND fast path (query/wand.py) must match rank-identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from search_ingest_spark.analysis import analyze, doc_terms_pandas
+
+K1 = 1.2
+B = 0.75
+
+TOKENS_SCHEMA = "doc_id long, term string, tf int, dl int"
+
+
+def doc_terms(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "standard",
+) -> DataFrame:
+    """(doc_id, term, tf, dl) — fully aggregated per doc with zero shuffle
+    (tf and dl are doc-local; see analysis.doc_terms_pandas)."""
+    sub = docs.select(id_col, text_col)
+    return sub.mapInPandas(
+        lambda it: doc_terms_pandas(it, id_col=id_col, text_col=text_col, mode=mode),
+        schema=TOKENS_SCHEMA,
+    )
+
+
+def idf_expr(df_col: Column, n_docs: Column | int) -> Column:
+    n = F.lit(n_docs) if isinstance(n_docs, int) else n_docs
+    return F.log(1.0 + (n - df_col + 0.5) / (df_col + 0.5))
+
+
+def tf_norm_expr(tf_col: Column, dl_col: Column, avgdl: Column, k1: float = K1, b: float = B) -> Column:
+    return tf_col * (k1 + 1.0) / (tf_col + k1 * (1.0 - b + b * dl_col / avgdl))
+
+
+def analyze_query(query_text: str, mode: str = "standard") -> list[str]:
+    """Query-time analysis — SAME analyzer as index time (the reference
+    applies one analyzer to both sides, schemas.cr:62-77)."""
+    if mode == "simple":
+        import re
+
+        return re.findall(r"[a-z0-9]+", query_text.lower())
+    return analyze(query_text)[0]
+
+
+def bm25_brute_force(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "standard",
+    tokens: DataFrame | None = None,
+    round_to: int | None = None,
+    deterministic_sum: bool = False,
+) -> DataFrame:
+    """Exact BM25 top-k over raw docs, no index. Returns
+    (doc_id, score double, rank int) ordered by (score desc, doc_id asc).
+
+    `deterministic_sum=True` fixes the float accumulation order (sorted
+    by term) so results are bitwise reproducible — used for
+    rank-identity assertions against the WAND fast path (Spark's default
+    agg order is nondeterministic; SURVEY §4 item 4).
+    `round_to` rounds scores for cross-engine (DuckDB) hash comparison.
+    """
+    toks = tokens if tokens is not None else doc_terms(docs, id_col=id_col, text_col=text_col, mode=mode)
+    terms = analyze_query(query_text, mode=mode)
+    if not terms:
+        raise ValueError("empty query after analysis")
+    uniq_terms = sorted(set(terms))
+
+    # Corpus stats: N docs + avgdl over docs with ≥1 token.  One cheap agg.
+    dl = toks.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    qterms = toks.where(F.col("term").isin(uniq_terms))
+    dfreq = qterms.groupBy("term").agg(F.count("*").alias("df"))
+
+    scored = (
+        qterms.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "partial",
+            idf_expr(F.col("df"), F.col("n_docs"))
+            * tf_norm_expr(F.col("tf"), F.col("dl"), F.col("avgdl")),
+        )
+    )
+    if deterministic_sum:
+        # accumulate in sorted-term order: bitwise-deterministic float sum
+        per_doc = scored.groupBy("doc_id").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("term", "partial"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["partial"],
+            ).alias("score")
+        )
+    else:
+        per_doc = scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
+
+    if round_to is not None:
+        per_doc = per_doc.withColumn("score", F.round("score", round_to))
+    topk = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    # rank over the already-rounded score → deterministic across engines
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.withColumn("rank", F.row_number().over(w)).select(
+        "doc_id", "score", "rank"
+    )
+
+
+def bm25_oracle_sql(
+    query_text: str,
+    k: int = 10,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> str:
+    """DuckDB SQL computing the identical BM25 top-k with the simple
+    analyzer (`regexp_extract_all(lower(text),'[a-z0-9]+')` ==
+    analysis.simple_tokens_col) — the driver-facing oracle."""
+    terms = analyze_query(query_text, mode="simple")
+    term_list = ", ".join("('" + t.replace("'", "''") + "')" for t in sorted(set(terms)))
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS term
+  FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::INT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(term) AS (VALUES {term_list}),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score_raw
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, round(score_raw, {round_to})::DOUBLE AS score
+  FROM scores
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {k}
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM topk
+""".strip()

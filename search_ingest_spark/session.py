@@ -1,0 +1,46 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode settings mirror what we would set on a real cluster: AQE on
+(runtime skew-join splitting + partition coalescing), Arrow enabled for
+the vectorized Python path, shuffle partitions sized to cores instead of
+the 200 default.  On a 1000-executor cluster the same builder is used
+with `master` unset and `spark.sql.shuffle.partitions` sized to
+~2-3x total cores by the submitter.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "search_ingest_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # local[N] → N; local[*]/cluster → leave a sane default
+        try:
+            shuffle_partitions = int(master.split("[")[1].rstrip("]*")) or cpus
+        except (IndexError, ValueError):
+            shuffle_partitions = cpus
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

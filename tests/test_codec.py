@@ -1,0 +1,64 @@
+"""Property-based roundtrip tests for the posting block codec — an
+upgrade over the reference's test strategy (it has no property tests;
+SURVEY §5)."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from search_ingest_spark.index.codec import (
+    BLOCK_SIZE,
+    decode_block,
+    encode_block,
+)
+
+
+@st.composite
+def posting_block(draw):
+    n = draw(st.integers(min_value=1, max_value=BLOCK_SIZE))
+    start = draw(st.integers(min_value=0, max_value=2**40))
+    gaps = draw(
+        st.lists(st.integers(min_value=1, max_value=2**20), min_size=n, max_size=n)
+    )
+    doc_ids = np.cumsum(np.array(gaps, dtype=np.int64)) + start
+    tfs = np.array(
+        draw(st.lists(st.integers(min_value=1, max_value=2**16), min_size=n, max_size=n)),
+        dtype=np.int64,
+    )
+    return doc_ids, tfs
+
+
+@settings(max_examples=200, deadline=None)
+@given(posting_block())
+def test_roundtrip_identity(block):
+    doc_ids, tfs = block
+    first = int(doc_ids[0])
+    blob = encode_block(doc_ids, tfs, first)
+    d2, t2 = decode_block(blob, first, len(doc_ids))
+    assert np.array_equal(d2, doc_ids)
+    assert np.array_equal(t2, tfs.astype(np.int32))
+
+
+def test_single_posting():
+    blob = encode_block(np.array([7]), np.array([3]), 7)
+    d, t = decode_block(blob, 7, 1)
+    assert list(d) == [7] and list(t) == [3]
+
+
+def test_compression_beats_raw():
+    # dense small deltas should compress far below 12 bytes/posting
+    doc_ids = np.arange(1000, 1000 + BLOCK_SIZE, dtype=np.int64)
+    tfs = np.ones(BLOCK_SIZE, dtype=np.int64)
+    blob = encode_block(doc_ids, tfs, int(doc_ids[0]))
+    assert len(blob) < BLOCK_SIZE * 3  # ~2 bytes/posting here vs 12 raw
+
+
+def test_block_decodes_independently():
+    # first_doc_id baseline makes each block self-contained (block skipping)
+    doc_ids = np.array([500, 600, 700], dtype=np.int64)
+    tfs = np.array([1, 2, 3], dtype=np.int64)
+    blob = encode_block(doc_ids, tfs, 500)
+    d, t = decode_block(blob, 500, 3)
+    assert list(d) == [500, 600, 700]
