@@ -95,6 +95,14 @@ class Catalog:
             if os.path.exists(self._meta_path(d))
         )
 
+    def promote(self, src: str, dst: str) -> None:
+        """Rename table `src` to `dst` (zero-copy publish of a staged
+        table — Iceberg RENAME TABLE analog)."""
+        if not self.exists(src):
+            raise FileNotFoundError(src)
+        self.drop(dst)
+        os.rename(self._dir(src), self._dir(dst))
+
     def truncate(self, name: str) -> None:
         """delete-by-query match_all analog (elastic.cr:569-587)."""
         schema = self.get_mapping(name)
@@ -132,6 +140,36 @@ class Catalog:
         os.replace(tmp, self._meta_path(name))
         if prev is not None and prev["current"] != gen:
             shutil.rmtree(os.path.join(tdir, prev["current"]), ignore_errors=True)
+
+    def replace_partitions(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_col: str,
+        dirty_values: list,
+        drop_values: list | None = None,
+    ) -> None:
+        """Replace ONLY the named partition directories of a
+        `partition_by`-written table with `df`'s data (which must contain
+        only dirty partitions) — the Parquet stand-in for Iceberg's
+        dynamic partition overwrite.  Clean partitions are untouched on
+        disk, so an incremental batch costs IO proportional to the dirty
+        set, not the table.  Swap is per-partition-dir rename: atomic per
+        partition; the caller's build-state marks batch completion.
+        """
+        cur = self.data_path(name)
+        stage = os.path.join(self._dir(name), f"stage-{uuid.uuid4().hex[:12]}")
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
+        for v in dirty_values:
+            sub = f"{partition_col}={v}"
+            src, dst = os.path.join(stage, sub), os.path.join(cur, sub)
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            if os.path.exists(src):
+                os.rename(src, dst)
+        for v in drop_values or []:
+            shutil.rmtree(os.path.join(cur, f"{partition_col}={v}"), ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
 
     def read(self, name: str) -> DataFrame:
         schema = self.get_mapping(name)

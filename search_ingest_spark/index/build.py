@@ -1,0 +1,433 @@
+"""Inverted-index build — the half the reference delegates to Elasticsearch.
+
+Reference analog: `Table#backfill` scans every row and bulk-ships it to
+ES, which builds the actual index internally
+(`/root/reference/src/search-ingest/table.cr:80-127`).  Here the build
+is a native Spark pipeline (north rule):
+
+  docs ──mapInPandas──► tokens(doc_id, term, tf, dl, shard)     [stage tokens]
+        (doc-local tf/dl: ZERO shuffle; the one heavy scan,
+         checkpointed to the catalog = resumable build input)
+  tokens ──two-stage salted agg──► term_dict(term→dense id,df,cf) [stage term_dict]
+  tokens ──agg──► doc_lens, stats(N, avgdl)                      [stage doc_lens]
+  tokens ⋈ term_dict ──repartition(shard).sortWithin(term,doc)──►
+         mapInPandas block encoder ──► postings                  [stage postings]
+  postings ──per-shard agg──► build_manifest (lineage + metrics) [stage manifest]
+
+Scale design notes
+- **Sharding = doc-id ranges** (`shard = doc_id // docs_per_shard`), the
+  Spark analog of ES's routing shards (`elastic.cr:396-405`): every
+  term's posting run within a shard is bounded by the shard's doc
+  count, so the hot-term (stopword) skew that would straggle a naive
+  `groupBy(term)` is structurally split across all shards — the doc
+  range IS the salt, and per-salt runs concatenate in doc_id order by
+  construction (SURVEY §4.1).
+- The postings stage is `repartition(N, shard) +
+  sortWithinPartitions(shard, term_id, doc_id)` — DataFrame-API
+  repartitionAndSortWithinPartitions — followed by a streaming NumPy
+  block encoder.  Partition sizes are uniform because dense doc ids
+  make shards uniform.
+- The term-df aggregation (Zipf-skewed key) is two-stage: partial
+  counts per (term, salt) then re-agg per term — map-side combine plus
+  an explicit salt so no single reducer sees a stopword's full df.
+- **Resumable**: each stage records an input fingerprint in
+  build_state.json (catalog-atomic); a restarted build skips completed
+  stages, and the postings stage additionally checkpoints per shard
+  batch — the incremental analog of the reference's blunt
+  re-backfill-everything recovery (`table.cr:48-51`).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from search_ingest_spark.analysis import doc_terms_pandas
+from search_ingest_spark.catalog import Catalog
+from search_ingest_spark.index.codec import BLOCK_SIZE, encode_block
+from search_ingest_spark.query.bm25 import B, K1
+
+TOKENS_TABLE = "tokens"
+TERM_DICT_TABLE = "term_dict"
+DOC_LENS_TABLE = "doc_lens"
+STATS_TABLE = "stats"
+POSTINGS_TABLE = "postings"
+MANIFEST_TABLE = "build_manifest"
+
+_STATE_FILE = "build_state.json"
+
+
+@dataclass
+class BuildInfo:
+    n_docs: int
+    avgdl: float
+    n_shards: int
+    n_terms: int
+    stages_run: list[str]
+    stages_skipped: list[str]
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+
+def dense_ids(df: DataFrame, key_col: str, out_col: str, n_buckets: int = 256) -> DataFrame:
+    """Assign dense 0..N-1 ids ordered by `key_col`, scalably.
+
+    No global single-partition window: keys are range-bucketed by a
+    broadcastable quantile-free scheme — per-bucket ranks via a window
+    partitioned by bucket (bounded size), plus driver-side cumulative
+    offsets over the (tiny) bucket-count table.  Deterministic: bucket
+    = hash-free prefix ordering is preserved because offsets follow
+    bucket order and ranks follow key order **within** bucket; global
+    order is (bucket, key) — callers that need pure key order use
+    n_buckets=1 semantics via range bucketing below.
+
+    Here buckets are RANGE buckets (min-prefix of the key hash space is
+    not ordered), so ids are dense AND globally key-ordered.
+    """
+    # range-bucket by key quantiles: approx quantiles via sampled percentiles
+    # of the key's xxhash is NOT order-preserving; instead use ntile over a
+    # per-partition pre-rank?  Simplest scalable order-preserving bucketing:
+    # repartitionByRange gives range partitions; spark_partition_id is then
+    # the bucket id (deterministic for a materialized input).
+    ranged = df.repartitionByRange(n_buckets, F.col(key_col)).sortWithinPartitions(key_col)
+    with_bucket = ranged.withColumn("_bucket", F.spark_partition_id())
+    counts = with_bucket.groupBy("_bucket").agg(F.count("*").alias("_cnt"))
+    w = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(w), F.lit(0)))
+    rank_w = Window.partitionBy("_bucket").orderBy(key_col)
+    return (
+        with_bucket.withColumn("_rk", F.row_number().over(rank_w) - 1)
+        .join(F.broadcast(offsets.select("_bucket", "_off")), "_bucket")
+        .withColumn(out_col, (F.col("_off") + F.col("_rk")).cast("long"))
+        .drop("_bucket", "_rk", "_off")
+    )
+
+
+def _input_fingerprint(docs: DataFrame, id_col: str, text_col: str) -> str:
+    """Cheap deterministic input fingerprint: count + sums of id/text-length
+    hashes (single columnar scan; lineage for resume idempotence)."""
+    row = docs.select(
+        F.count("*").alias("n"),
+        F.expr(f"bit_xor(xxhash64({id_col}))").alias("h1"),
+        F.expr(f"bit_xor(xxhash64(length({text_col})))").alias("h2"),
+    ).first()
+    return f"{row['n']}:{row['h1']}:{row['h2']}"
+
+
+class _BuildState:
+    """Stage checkpoint registry (build_state.json in the catalog root)."""
+
+    def __init__(self, cat: Catalog, input_fp: str) -> None:
+        self.path = os.path.join(cat.root, _STATE_FILE)
+        self.input_fp = input_fp
+        try:
+            with open(self.path) as fh:
+                data = json.load(fh)
+            if data.get("input_fp") != input_fp:
+                data = {"input_fp": input_fp, "stages": {}}
+        except (FileNotFoundError, json.JSONDecodeError):
+            data = {"input_fp": input_fp, "stages": {}}
+        self.data = data
+
+    def done(self, stage: str) -> bool:
+        return stage in self.data["stages"]
+
+    def mark(self, stage: str, **meta) -> None:
+        self.data["stages"][stage] = {"ts": time.time(), **meta}
+        tmp = self.path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self.data, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self.path)
+
+
+# ---------------------------------------------------------------------------
+# the block encoder (mapInPandas kernel over shard-sorted token runs)
+# ---------------------------------------------------------------------------
+
+POSTINGS_OUT_SCHEMA = (
+    "term_id long, shard int, block_id int, first_doc_id long, last_doc_id long,"
+    " n_docs int, max_tf int, max_wand float, data binary"
+)
+
+
+def _empty_postings_pdf() -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "term_id": pd.array([], dtype="int64"),
+            "shard": pd.array([], dtype="int32"),
+            "block_id": pd.array([], dtype="int32"),
+            "first_doc_id": pd.array([], dtype="int64"),
+            "last_doc_id": pd.array([], dtype="int64"),
+            "n_docs": pd.array([], dtype="int32"),
+            "max_tf": pd.array([], dtype="int32"),
+            "max_wand": pd.array([], dtype="float32"),
+            "data": pd.Series([], dtype=object),
+        }
+    )
+
+
+def _encode_partition(
+    it: Iterator[pd.DataFrame], *, k1: float, b: float, avgdl: float
+) -> Iterator[pd.DataFrame]:
+    """Consume (shard, term_id, doc_id, tf, dl) rows sorted by
+    (shard, term_id, doc_id); emit one postings row per block.
+
+    Streaming with carry-over between Arrow batches so a term's run can
+    span batch boundaries without buffering the whole partition.
+    max_wand is the block's true upper bound of the doc-dependent BM25
+    factor tf/(tf + k1*(1-b+b*dl/avgdl)), nudged UP one float32 ulp so
+    float rounding can never make WAND skip a real top-k doc.
+    """
+    carry: pd.DataFrame | None = None
+
+    def encode_group(g: pd.DataFrame) -> dict:
+        doc_ids = g["doc_id"].to_numpy(np.int64)
+        tfs = g["tf"].to_numpy(np.int64)
+        dls = g["dl"].to_numpy(np.int64)
+        out = {k: [] for k in (
+            "term_id", "shard", "block_id", "first_doc_id", "last_doc_id",
+            "n_docs", "max_tf", "max_wand", "data",
+        )}
+        term_id = int(g["term_id"].iloc[0])
+        shard = int(g["shard"].iloc[0])
+        tfn = tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
+        for bi in range(0, len(doc_ids), BLOCK_SIZE):
+            sl = slice(bi, bi + BLOCK_SIZE)
+            d, t, l = doc_ids[sl], tfs[sl], dls[sl]
+            out["term_id"].append(term_id)
+            out["shard"].append(shard)
+            out["block_id"].append(bi // BLOCK_SIZE)
+            out["first_doc_id"].append(int(d[0]))
+            out["last_doc_id"].append(int(d[-1]))
+            out["n_docs"].append(len(d))
+            out["max_tf"].append(int(t.max()))
+            mw = np.float32(tfn[sl].max())
+            out["max_wand"].append(float(np.nextafter(mw, np.float32(np.inf))))
+            out["data"].append(encode_block(d, t, l, int(d[0])))
+        return out
+
+    def flush(done: pd.DataFrame) -> pd.DataFrame:
+        frames = []
+        for _, g in done.groupby(["shard", "term_id"], sort=False):
+            frames.append(pd.DataFrame(encode_group(g)))
+        if not frames:
+            return _empty_postings_pdf()
+        return pd.concat(frames, ignore_index=True)
+
+    for batch in it:
+        if carry is not None:
+            batch = pd.concat([carry, batch], ignore_index=True)
+        if len(batch) == 0:
+            carry = None
+            continue
+        last_shard = batch["shard"].iloc[-1]
+        last_term = batch["term_id"].iloc[-1]
+        tail_mask = (batch["shard"] == last_shard) & (batch["term_id"] == last_term)
+        # hold back the (possibly incomplete) final run
+        carry = batch[tail_mask]
+        done = batch[~tail_mask]
+        if len(done):
+            yield flush(done)
+    if carry is not None and len(carry):
+        yield flush(carry)
+
+
+# ---------------------------------------------------------------------------
+# build orchestration (stage-checkpointed, resumable)
+# ---------------------------------------------------------------------------
+
+
+def build_index(
+    spark: SparkSession,
+    docs: DataFrame,
+    cat: Catalog,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "standard",
+    docs_per_shard: int | None = None,
+    shard_batches: int = 1,
+    resume: bool = True,
+) -> BuildInfo:
+    """Build the full index table set into `cat`.
+
+    `docs` must carry dense doc ids in `id_col` (use
+    incremental.prepare_pages / dense_ids for url-keyed corpora).
+    `shard_batches` > 1 splits the postings stage into independently
+    checkpointed shard batches (per-partition resume, north rule).
+    """
+    run: list[str] = []
+    skipped: list[str] = []
+    fp = _input_fingerprint(docs, id_col, text_col)
+    state = _BuildState(cat, fp) if resume else _BuildState(cat, f"nores-{time.time()}")
+
+    def stage(name: str, tables: list[str] | None = None, alt_tables: list[str] | None = None):
+        """Run-or-skip a checkpointed stage: skip iff marked done AND its
+        output tables (or the `alt_tables` that supersede them) exist."""
+
+        def deco(fn):
+            t0 = time.time()
+            outputs_ok = all(cat.exists(t) for t in (tables or [])) or (
+                alt_tables is not None and all(cat.exists(t) for t in alt_tables)
+            )
+            if state.done(name) and outputs_ok:
+                skipped.append(name)
+                return False
+            fn()
+            state.mark(name, wall_ms=int((time.time() - t0) * 1000))
+            run.append(name)
+            return True
+
+        return deco
+
+    # -- stage: tokens (the heavy scan; checkpointed) -----------------------
+    n_total = docs.count()
+    if docs_per_shard is None:
+        # target ~8 shards per core locally; on a cluster pick ~1-4M
+        # docs/shard so shard-local structures stay in executor memory
+        par = spark.sparkContext.defaultParallelism
+        docs_per_shard = max(1, math.ceil(n_total / max(par * 2, 1)))
+    n_shards = max(1, math.ceil(n_total / docs_per_shard))
+
+    @stage("tokens", tables=[TOKENS_TABLE])
+    def _tokens():
+        toks = docs.select(id_col, text_col).mapInPandas(
+            lambda it: doc_terms_pandas(it, id_col=id_col, text_col=text_col, mode=mode),
+            schema="doc_id long, term string, tf int, dl int",
+        )
+        toks = toks.withColumn(
+            "shard", (F.col("doc_id") / F.lit(docs_per_shard)).cast("int")
+        )
+        cat.write(TOKENS_TABLE, toks)
+
+    tokens = cat.read(TOKENS_TABLE)
+
+    # -- stage: doc_lens + stats -------------------------------------------
+    @stage("doc_lens", tables=[DOC_LENS_TABLE, STATS_TABLE])
+    def _doc_lens():
+        dl = tokens.groupBy("doc_id").agg(
+            F.first("dl").alias("dl"), F.first("shard").alias("shard")
+        )
+        cat.write(DOC_LENS_TABLE, dl.select("doc_id", "shard", "dl"))
+        st = cat.read(DOC_LENS_TABLE).agg(
+            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+        ).withColumn("n_shards", F.lit(n_shards)).withColumn("analyzer", F.lit(mode))
+        cat.write(STATS_TABLE, st)
+
+    # -- stage: term_dict (skew-proof two-stage agg + dense ids) ------------
+    @stage("term_dict", tables=[TERM_DICT_TABLE])
+    def _term_dict():
+        # stage 1: partial (term, salt) counts — no reducer sees a full
+        # stopword; stage 2: tiny re-agg per term
+        partial = (
+            tokens.groupBy("term", F.pmod(F.xxhash64("doc_id"), F.lit(64)).alias("_salt"))
+            .agg(F.count("*").alias("pdf"), F.sum("tf").alias("pcf"))
+        )
+        td = partial.groupBy("term").agg(
+            F.sum("pdf").alias("df"), F.sum("pcf").alias("cf")
+        )
+        td = dense_ids(td, "term", "term_id", n_buckets=64)
+        cat.write(TERM_DICT_TABLE, td.select("term", "term_id", "df", "cf"))
+
+    # -- stage: postings (salted repartitionAndSort + block encode) ---------
+    stats_row = cat.read(STATS_TABLE).first()
+    avgdl = float(stats_row["avgdl"])
+
+    term_dict = cat.read(TERM_DICT_TABLE)
+
+    def _build_postings_batch(batch_id: int, shard_lo: int, shard_hi: int) -> None:
+        toks = tokens.where((F.col("shard") >= shard_lo) & (F.col("shard") < shard_hi))
+        keyed = toks.join(term_dict.select("term", "term_id"), "term").select(
+            "shard", "term_id", "doc_id", "tf", "dl"
+        )
+        n_part = max(1, min(shard_hi - shard_lo, spark.sparkContext.defaultParallelism * 2))
+        sorted_runs = keyed.repartition(n_part, "shard").sortWithinPartitions(
+            "shard", "term_id", "doc_id"
+        )
+        enc = sorted_runs.mapInPandas(
+            lambda it: _encode_partition(it, k1=K1, b=B, avgdl=avgdl),
+            schema=POSTINGS_OUT_SCHEMA,
+        )
+        cat.write(
+            _batch_table(batch_id), enc,
+            sort_within_partitions=["shard", "term_id", "block_id"],
+        )
+
+    n_batches = max(1, min(shard_batches, n_shards))
+    bounds = [
+        (i, i * n_shards // n_batches, (i + 1) * n_shards // n_batches)
+        for i in range(n_batches)
+    ]
+
+    for bid, lo, hi in bounds:
+        sname = f"postings_batch_{bid}"
+
+        @stage(sname, tables=[_batch_table(bid)], alt_tables=[POSTINGS_TABLE])
+        def _batch(bid=bid, lo=lo, hi=hi):
+            _build_postings_batch(bid, lo, hi)
+
+    @stage("postings", tables=[POSTINGS_TABLE])
+    def _publish():
+        parts = [cat.read(_batch_table(b)) for b, _, _ in bounds]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        if len(parts) == 1:
+            # single batch: promote without rewrite
+            cat.promote(_batch_table(0), POSTINGS_TABLE)
+        else:
+            cat.write(POSTINGS_TABLE, out,
+                      sort_within_partitions=["shard", "term_id", "block_id"])
+            for b, _, _ in bounds:
+                cat.drop(_batch_table(b))
+
+    # -- stage: manifest (per-shard lineage + metrics, north rule) ----------
+    @stage("manifest", tables=[MANIFEST_TABLE])
+    def _manifest():
+        post = cat.read(POSTINGS_TABLE)
+        m = (
+            post.groupBy("shard")
+            .agg(
+                F.sum("n_docs").alias("rows"),
+                F.sum(F.length("data")).alias("bytes"),
+                F.expr("bit_xor(xxhash64(term_id, first_doc_id, data))").alias("fph"),
+            )
+            .select(
+                F.col("shard").alias("partition_id"),
+                F.concat(F.lit(fp), F.lit("/"), F.col("fph")).alias("input_fingerprint"),
+                "rows", "bytes",
+                F.lit(-1).cast("long").alias("wall_ms"),
+                F.lit("complete").alias("status"),
+            )
+        )
+        cat.write(MANIFEST_TABLE, m)
+
+    n_terms = cat.read(TERM_DICT_TABLE).count()
+    return BuildInfo(
+        n_docs=int(stats_row["n_docs"]),
+        avgdl=avgdl,
+        n_shards=n_shards,
+        n_terms=n_terms,
+        stages_run=run,
+        stages_skipped=skipped,
+    )
+
+
+def _batch_table(batch_id: int) -> str:
+    return f"postings__b{batch_id}"
+
+

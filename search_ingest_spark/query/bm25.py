@@ -79,6 +79,7 @@ def bm25_brute_force(
     tokens: DataFrame | None = None,
     round_to: int | None = None,
     deterministic_sum: bool = False,
+    driver_idf: bool = False,
 ) -> DataFrame:
     """Exact BM25 top-k over raw docs, no index. Returns
     (doc_id, score double, rank int) ordered by (score desc, doc_id asc).
@@ -104,14 +105,28 @@ def bm25_brute_force(
     qterms = toks.where(F.col("term").isin(uniq_terms))
     dfreq = qterms.groupBy("term").agg(F.count("*").alias("df"))
 
-    scored = (
-        qterms.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .withColumn(
-            "partial",
-            idf_expr(F.col("df"), F.col("n_docs"))
-            * tf_norm_expr(F.col("tf"), F.col("dl"), F.col("avgdl")),
-        )
+    joined = qterms.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats))
+    if driver_idf:
+        # idf evaluated on the driver with np.log — bitwise-identical to
+        # the WAND scorer's (JVM Math.log can differ from libm by 1 ulp,
+        # which would break exact rank-identity assertions on ties)
+        import numpy as np
+
+        n = dl.count()
+        df_rows = dfreq.collect()
+        idf_map = {
+            r["term"]: float(np.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5)))
+            for r in df_rows
+        }
+        pairs = []
+        for t, v in idf_map.items():
+            pairs.extend([F.lit(t), F.lit(v)])
+        idf_col = F.element_at(F.create_map(*pairs), F.col("term"))
+    else:
+        idf_col = idf_expr(F.col("df"), F.col("n_docs"))
+    scored = joined.withColumn(
+        "partial",
+        idf_col * tf_norm_expr(F.col("tf"), F.col("dl"), F.col("avgdl")),
     )
     if deterministic_sum:
         # accumulate in sorted-term order: bitwise-deterministic float sum

@@ -1,0 +1,242 @@
+"""Top-k query engine: document-at-a-time scoring with block-max pruning.
+
+The fast path the reference gets from Elasticsearch/Lucene (WAND /
+block-max WAND over its inverted index) re-expressed for Spark's
+execution model:
+
+1. Query planning on the driver (like ES's coordinating node): analyze
+   the query with the SAME analyzer as index time, look up term ids +
+   document frequencies in `term_dict` (a pruned scan of a tiny table),
+   read global stats — idf per term is computed once here.
+2. A single distributed scan of `postings` filtered to the query's
+   term_ids.  The postings table is written sorted by (shard, term_id,
+   block_id), so parquet row-group min/max stats on `term_id` let the
+   scan skip almost all data (`PushedFilters` visible in `.explain`).
+3. `groupBy(shard).applyInPandas(scorer)` — each shard scores
+   independently (the doc-sharded layout co-locates every term's
+   postings for a doc range) and emits its local top-k.  Only shards
+   that contain query terms produce groups, so fan-out is bounded by
+   the data, not the shard count.
+4. Global `orderBy(score desc, doc_id asc).limit(k)` — Spark compiles
+   this to TakeOrderedAndProject (no full sort).
+
+The scorer kernel is exact block-max pruning, NumPy-vectorized:
+segments of doc-id space are processed in DESCENDING upper-bound order,
+so the top-k threshold θ rises as fast as possible and every remaining
+segment with UB < θ is skipped without decoding.  Exactness: a segment
+is only skipped when the sum of its blocks' upper bounds (stored
+rounded UP, see build) is strictly below the kth true score.
+
+Determinism (rank-identity vs the brute-force oracle, SURVEY §4.4):
+per-doc scores accumulate per-term partial products in ascending
+term_id order == ascending term order == the oracle's
+`deterministic_sum` order, so scores are bitwise identical.
+"""
+
+from __future__ import annotations
+
+import heapq
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_ingest_spark.catalog import Catalog
+from search_ingest_spark.index import build as ib
+from search_ingest_spark.index.codec import decode_block
+from search_ingest_spark.query.bm25 import B, K1, analyze_query
+
+
+class Searcher:
+    """Per-index query handle; caches the tiny planning tables."""
+
+    def __init__(self, spark: SparkSession, cat: Catalog) -> None:
+        self.spark = spark
+        self.cat = cat
+        st = cat.read(ib.STATS_TABLE).first()
+        self.n_docs = int(st["n_docs"])
+        self.avgdl = float(st["avgdl"])
+        self.mode = st["analyzer"]
+        self.postings = cat.read(ib.POSTINGS_TABLE)
+        self.term_dict = cat.read(ib.TERM_DICT_TABLE)
+
+    # -- planning -----------------------------------------------------------
+    def plan(self, query_text: str) -> dict[int, float]:
+        """term_id → idf for the query's terms present in the dictionary."""
+        terms = sorted(set(analyze_query(query_text, mode=self.mode)))
+        if not terms:
+            return {}
+        rows = self.term_dict.where(F.col("term").isin(terms)).select(
+            "term_id", "df"
+        ).collect()
+        n = self.n_docs
+        return {
+            int(r["term_id"]): float(np.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5)))
+            for r in rows
+        }
+
+    # -- execution ----------------------------------------------------------
+    def topk(self, query_text: str, k: int = 10, *, round_to: int | None = None) -> DataFrame:
+        """(doc_id, score, rank) — rank-identical to the brute-force oracle."""
+        idf = self.plan(query_text)
+        out_schema = "doc_id long, score double"
+        if not idf:
+            return self.spark.createDataFrame([], out_schema + ", rank int")
+        term_ids = sorted(idf)
+        pruned = self.postings.where(F.col("term_id").isin([int(t) for t in term_ids]))
+        scorer = _make_shard_scorer(idf, k, self.avgdl)
+        per_shard = pruned.groupBy("shard").applyInPandas(scorer, schema=out_schema)
+        topk = per_shard
+        if round_to is not None:
+            topk = topk.withColumn("score", F.round("score", round_to))
+        topk = topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        from pyspark.sql import Window
+
+        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+        return topk.withColumn("rank", F.row_number().over(w))
+
+
+def _make_shard_scorer(idf: dict[int, float], k: int, avgdl: float):
+    """Build the per-shard applyInPandas kernel (closure ships idf/k)."""
+
+    def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+        return shard_topk(pdf, idf=idf, k=k, avgdl=avgdl)
+
+    return scorer
+
+
+def shard_topk(
+    pdf: pd.DataFrame, *, idf: dict[int, float], k: int, avgdl: float,
+    k1: float = K1, b: float = B,
+) -> pd.DataFrame:
+    """Exact top-k for one shard's query-term postings (block-max pruning).
+
+    Pure function over the postings rows of ONE shard — unit-testable
+    without Spark."""
+    if len(pdf) == 0:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "score": pd.array([], dtype="float64")})
+    term_ids = sorted(idf)
+    term_order = {t: i for i, t in enumerate(term_ids)}
+
+    # Per-block upper bound: idf * (k1+1) * max_wand (max_wand stored
+    # rounded up one ulp at build → true UB despite float32 storage).
+    tid = pdf["term_id"].to_numpy(np.int64)
+    ub = (
+        np.array([idf[t] for t in tid])
+        * (k1 + 1.0)
+        * pdf["max_wand"].to_numpy(np.float64)
+    )
+    first = pdf["first_doc_id"].to_numpy(np.int64)
+    last = pdf["last_doc_id"].to_numpy(np.int64)
+
+    # --- segment the shard's doc-id space by block boundaries ------------
+    # events: +ub at first, -ub after last
+    starts = np.concatenate([first, last + 1])
+    deltas = np.concatenate([ub, -ub])
+    order = np.argsort(starts, kind="stable")
+    bounds = starts[order]
+    seg_ub = np.cumsum(deltas[order])
+    # merge duplicate boundaries (keep last cumsum at each boundary)
+    uniq_mask = np.concatenate([bounds[1:] != bounds[:-1], [True]])
+    seg_lo = bounds[uniq_mask]                      # segment start doc ids
+    seg_ub = seg_ub[uniq_mask]                      # UB within [lo, next_lo)
+    seg_hi = np.concatenate([seg_lo[1:] - 1, [int(last.max())]])
+    live = seg_ub > 1e-12
+    seg_lo, seg_hi, seg_ub = seg_lo[live], seg_hi[live], seg_ub[live]
+
+    # --- process segments in descending-UB order with rising threshold ---
+    heap: list[tuple[float, int]] = []  # (score, -doc_id) min-heap of top-k
+    results_docs: list[np.ndarray] = []
+    results_scores: list[np.ndarray] = []
+    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}  # row → (docs, contrib)
+
+    # group postings rows per term for interval lookup
+    rows_by_term: dict[int, np.ndarray] = {}
+    for t in term_ids:
+        rows = np.flatnonzero(tid == t)
+        rows_by_term[t] = rows[np.argsort(first[rows], kind="stable")]
+
+    datas = pdf["data"].to_numpy(object)
+    ndocs = pdf["n_docs"].to_numpy(np.int64)
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) >= k else -np.inf
+
+    def decode_row(r: int) -> tuple[np.ndarray, np.ndarray]:
+        got = decoded.get(r)
+        if got is None:
+            d, tf, dl = decode_block(datas[r], int(first[r]), int(ndocs[r]))
+            # parenthesization mirrors bm25.idf_expr * bm25.tf_norm_expr
+            # exactly so per-term partial products are bitwise identical
+            # to the brute-force oracle's
+            contrib = idf[int(tid[r])] * (
+                (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            )
+            got = decoded[r] = (d, contrib)
+        return got
+
+    for si in np.argsort(-seg_ub, kind="stable"):
+        if seg_ub[si] < theta():
+            break  # descending order → all remaining segments prune
+        lo, hi = int(seg_lo[si]), int(seg_hi[si])
+        # gather contributions from every term's blocks overlapping [lo, hi],
+        # in term order (deterministic float accumulation)
+        seg_docs: list[np.ndarray] = []
+        seg_contrib: list[np.ndarray] = []
+        for t in term_ids:
+            rows = rows_by_term[t]
+            # blocks with first <= hi and last >= lo
+            i0 = np.searchsorted(first[rows], lo, side="left")
+            # step back while previous block's run may cover lo
+            while i0 > 0 and last[rows[i0 - 1]] >= lo:
+                i0 -= 1
+            j = i0
+            while j < len(rows) and first[rows[j]] <= hi:
+                d, c = decode_row(int(rows[j]))
+                m = (d >= lo) & (d <= hi)
+                if m.any():
+                    seg_docs.append(d[m])
+                    seg_contrib.append(c[m])
+                j += 1
+        if not seg_docs:
+            continue
+        # left-fold accumulation in term order: seg_docs/seg_contrib were
+        # appended term-by-term (ascending term_id), and each doc occurs
+        # at most once per term, so `scores_u[idx] += c` applies each
+        # doc's contributions sequentially in term order — bitwise equal
+        # to the oracle's sorted F.aggregate fold.  (np.add.reduceat is
+        # NOT usable here: it sums pairwise, not left-to-right.)
+        docs_u = np.unique(np.concatenate(seg_docs))
+        scores_u = np.zeros(len(docs_u), dtype=np.float64)
+        for d_arr, c_arr in zip(seg_docs, seg_contrib):
+            scores_u[np.searchsorted(docs_u, d_arr)] += c_arr
+        results_docs.append(docs_u)
+        results_scores.append(scores_u)
+        # update threshold heap (score asc, doc_id desc so kth = weakest)
+        if k > 0:
+            cand = np.argsort(-scores_u, kind="stable")[: k]
+            for ci in cand:
+                item = (float(scores_u[ci]), -int(docs_u[ci]))
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+
+    if not results_docs:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "score": pd.array([], dtype="float64")})
+    docs_all = np.concatenate(results_docs)
+    scores_all = np.concatenate(results_scores)
+    # a doc appears in exactly one segment (segments partition doc space)
+    top = np.lexsort((docs_all, -scores_all))[:k]
+    return pd.DataFrame({
+        "doc_id": docs_all[top].astype(np.int64),
+        "score": scores_all[top].astype(np.float64),
+    })
+
+
+def iter_empty(_: Iterator) -> Iterator[pd.DataFrame]:  # pragma: no cover
+    yield from ()

@@ -23,42 +23,44 @@ def posting_block(draw):
         st.lists(st.integers(min_value=1, max_value=2**20), min_size=n, max_size=n)
     )
     doc_ids = np.cumsum(np.array(gaps, dtype=np.int64)) + start
-    tfs = np.array(
-        draw(st.lists(st.integers(min_value=1, max_value=2**16), min_size=n, max_size=n)),
-        dtype=np.int64,
-    )
-    return doc_ids, tfs
+    ints = st.lists(st.integers(min_value=1, max_value=2**16), min_size=n, max_size=n)
+    tfs = np.array(draw(ints), dtype=np.int64)
+    dls = np.array(draw(ints), dtype=np.int64)
+    return doc_ids, tfs, dls
 
 
 @settings(max_examples=200, deadline=None)
 @given(posting_block())
 def test_roundtrip_identity(block):
-    doc_ids, tfs = block
+    doc_ids, tfs, dls = block
     first = int(doc_ids[0])
-    blob = encode_block(doc_ids, tfs, first)
-    d2, t2 = decode_block(blob, first, len(doc_ids))
+    blob = encode_block(doc_ids, tfs, dls, first)
+    d2, t2, l2 = decode_block(blob, first, len(doc_ids))
     assert np.array_equal(d2, doc_ids)
     assert np.array_equal(t2, tfs.astype(np.int32))
+    assert np.array_equal(l2, dls.astype(np.int32))
 
 
 def test_single_posting():
-    blob = encode_block(np.array([7]), np.array([3]), 7)
-    d, t = decode_block(blob, 7, 1)
-    assert list(d) == [7] and list(t) == [3]
+    blob = encode_block(np.array([7]), np.array([3]), np.array([11]), 7)
+    d, t, l = decode_block(blob, 7, 1)
+    assert list(d) == [7] and list(t) == [3] and list(l) == [11]
 
 
 def test_compression_beats_raw():
-    # dense small deltas should compress far below 12 bytes/posting
+    # dense small deltas should compress far below 16 bytes/posting raw
     doc_ids = np.arange(1000, 1000 + BLOCK_SIZE, dtype=np.int64)
     tfs = np.ones(BLOCK_SIZE, dtype=np.int64)
-    blob = encode_block(doc_ids, tfs, int(doc_ids[0]))
-    assert len(blob) < BLOCK_SIZE * 3  # ~2 bytes/posting here vs 12 raw
+    dls = np.full(BLOCK_SIZE, 40, dtype=np.int64)
+    blob = encode_block(doc_ids, tfs, dls, int(doc_ids[0]))
+    assert len(blob) < BLOCK_SIZE * 4  # ~3 bytes/posting here vs 16 raw
 
 
 def test_block_decodes_independently():
     # first_doc_id baseline makes each block self-contained (block skipping)
     doc_ids = np.array([500, 600, 700], dtype=np.int64)
     tfs = np.array([1, 2, 3], dtype=np.int64)
-    blob = encode_block(doc_ids, tfs, 500)
-    d, t = decode_block(blob, 500, 3)
-    assert list(d) == [500, 600, 700]
+    dls = np.array([10, 20, 30], dtype=np.int64)
+    blob = encode_block(doc_ids, tfs, dls, 500)
+    d, t, l = decode_block(blob, 500, 3)
+    assert list(d) == [500, 600, 700] and list(l) == [10, 20, 30]
