@@ -1,30 +1,33 @@
 """Driver-facing query registry: every implemented operator from
 SURVEY.md §2 exposed as (spark, sf_dir) → DataFrame, each with a DuckDB
-oracle SQL string (identical column names/types) where SQL-expressible.
+oracle SQL string (identical column names/types) where SQL-expressible;
+approximate operators (LSH/SimHash/IVF) are registered without oracle →
+the driver records a rows-only check.
 
 Conventions that keep the driver's value-hash comparison exact:
 - every computed column is aliased identically on both sides;
-- floating-point aggregates are rounded (round_to=4) on both sides;
-- ties are broken on a unique key AFTER rounding so ranks/limits agree.
+- floating-point aggregates are rounded (4dp) on both sides;
+- ties are broken on a unique key AFTER rounding so ranks/limits agree;
+- no array/struct columns in driver-facing outputs (flattened).
 """
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from search_ingest_spark.ops import dedup, similarity, textstats
 from search_ingest_spark.query import bm25
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
-
-
-def register(name: str, sql: str | None):
+def register(name: str, sql: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
         if sql is not None:
@@ -34,12 +37,21 @@ def register(name: str, sql: str | None):
     return deco
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return QUERIES["bm25_topk_multi"](spark, sf_dir)
+    return QUERIES["bm25_wand_topk_multi"](spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------
-# B7/B8 — BM25 top-k (brute-force DataFrame path; oracle = same math in SQL)
+# B7/B8 — BM25 top-k: brute-force DataFrame path AND the compressed-index
+# block-max WAND path, both against the same SQL oracle.
 # ---------------------------------------------------------------------------
 
 _BM25_QUERIES = {
@@ -60,3 +72,339 @@ for _name, _qtext in _BM25_QUERIES.items():
 
     QUERIES[_name] = _mk(_qtext)
     ORACLE_SQL[_name] = bm25.bm25_oracle_sql(_qtext, k=10)
+
+_INDEX_CACHE: dict[str, object] = {}
+
+
+def _searcher(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir per process) the compressed index for the
+    documents table and return a Searcher."""
+    from search_ingest_spark.catalog import Catalog
+    from search_ingest_spark.index.build import build_index
+    from search_ingest_spark.query.wand import Searcher
+
+    key = os.path.abspath(sf_dir)
+    got = _INDEX_CACHE.get(key)
+    if got is None:
+        root = tempfile.mkdtemp(prefix="sis_idx_")
+        cat = Catalog(spark, root)
+        build_index(spark, _docs(spark, sf_dir), cat, mode="simple")
+        got = _INDEX_CACHE[key] = Searcher(spark, cat)
+    return got
+
+
+_WAND_QUERIES = {
+    "bm25_wand_topk_single": "data",
+    "bm25_wand_topk_multi": "spark query data",
+    "bm25_wand_topk_rare": "customer window batch",
+}
+
+for _name, _qtext in _WAND_QUERIES.items():
+
+    def _mkw(qtext: str):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return _searcher(spark, sf_dir).topk(qtext, 10, round_to=4)
+
+        return run
+
+    QUERIES[_name] = _mkw(_qtext)
+    ORACLE_SQL[_name] = bm25.bm25_oracle_sql(_qtext, k=10)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (training-data pipeline ops)
+# ---------------------------------------------------------------------------
+
+
+@register("text_token_count", textstats.token_count_sql())
+def _q_token_count(spark, sf_dir):
+    return textstats.token_count(_docs(spark, sf_dir))
+
+
+@register("text_quality_score", textstats.quality_score_sql())
+def _q_quality(spark, sf_dir):
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+@register("text_lang_id", textstats.lang_id_sql())
+def _q_langid(spark, sf_dir):
+    return textstats.lang_id(_docs(spark, sf_dir))
+
+
+@register("text_fingerprint", textstats.fingerprint_sql())
+def _q_fingerprint(spark, sf_dir):
+    return textstats.fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp_md5")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication — the documents table has no true dups, so the exact-dup
+# entries run on documents ∪ (documents ⊕ id+100000): a deterministic
+# corpus WITH duplicates, expressed identically in the oracle SQL.
+# ---------------------------------------------------------------------------
+
+_DUP_UNION_SQL = (
+    "SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50"
+)
+
+
+def _dup_docs(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return d.unionByName(
+        d.where(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+
+
+@register(
+    "dedup_exact",
+    f"""
+WITH corpus AS ({_DUP_UNION_SQL}),
+f AS (
+  SELECT doc_id,
+         md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp
+  FROM corpus
+)
+SELECT min(doc_id)::BIGINT AS keep_doc_id, count(*)::BIGINT AS group_size
+FROM f GROUP BY fp HAVING count(*) >= 2
+""".strip(),
+)
+def _q_dedup_exact(spark, sf_dir):
+    return dedup.exact_duplicates(_dup_docs(spark, sf_dir)).select(
+        "keep_doc_id", "group_size"
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    dedup.ngram_jaccard_sql(
+        table=f"({_DUP_UNION_SQL})", n=3, threshold=0.8,
+    ),
+)
+def _q_dedup_jaccard(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(
+        _dup_docs(spark, sf_dir), n=3, threshold=0.8
+    )
+
+
+@register("dedup_minhash_lsh")  # approximate candidates → rows-only check
+def _q_dedup_minhash(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_dup_docs(spark, sf_dir), threshold=0.8)
+
+
+@register("dedup_simhash")  # approximate → rows-only check
+def _q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_pairs(_dup_docs(spark, sf_dir), max_hamming=3)
+
+
+_EMB_NEAR_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+             4)::DOUBLE AS cosine
+FROM e x JOIN e y ON x.vec_id < y.vec_id
+WHERE round(list_dot_product(x.v, y.v)
+            / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+            4) >= 0.4
+""".strip()
+
+
+@register("dedup_embedding_cosine", _EMB_NEAR_SQL)
+def _q_emb_near(spark, sf_dir):
+    return dedup.embedding_near_dups(_emb(spark, sf_dir), threshold=0.4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (ANN)
+# ---------------------------------------------------------------------------
+
+_QVEC = [1.0] + [0.0] * 63  # deterministic probe vector (dim 64)
+
+
+@register("ann_brute_force_topk", similarity.brute_force_topk_sql(_QVEC, k=10))
+def _q_ann_brute(spark, sf_dir):
+    return similarity.brute_force_topk(_emb(spark, sf_dir), _QVEC, k=10)
+
+
+@register("ann_ivf_topk")  # approximate (bucket pruning) → rows-only check
+def _q_ann_ivf(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    cents = similarity.train_centroids(emb, nlist=8)
+    bucketed = similarity.assign_buckets(emb, cents)
+    return similarity.ivf_topk(bucketed, cents, _QVEC, k=10, nprobe=3)
+
+
+# ---------------------------------------------------------------------------
+# Ingest-dataflow analogs over the relational tables (SURVEY §2A)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ingest_projection_mapping",  # A4/A6: schema-mapped projection + doc type
+    """
+SELECT c_custkey::BIGINT AS id, c_name AS name,
+       c_acctbal::DOUBLE AS acctbal,
+       'customer' AS _document_type
+FROM customer
+""".strip(),
+)
+def _q_projection(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return df.select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.lit("customer").alias("_document_type"),
+    )
+
+
+@register(
+    "ingest_fanout_routing",  # A10/A11: child → parent index replication
+    """
+SELECT o_orderkey::BIGINT AS id,
+       o_custkey::VARCHAR AS _routing,
+       'orders' AS join_name,
+       o_custkey::VARCHAR AS join_parent
+FROM orders WHERE o_custkey IS NOT NULL
+""".strip(),
+)
+def _q_fanout(spark, sf_dir):
+    from search_ingest_spark.schema import ParentRelation, fan_out_to_parent
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rel = ParentRelation("customer", "customer", "o_custkey")
+    out = fan_out_to_parent(orders, rel, "orders")
+    return out.select(
+        F.col("o_orderkey").cast("long").alias("id"),
+        F.col("_routing"),
+        F.col("_join_field.name").alias("join_name"),
+        F.col("_join_field.parent").alias("join_parent"),
+    )
+
+
+@register(
+    "ingest_upsert_latest",  # A13/A14: last-writer-wins upsert per key
+    """
+SELECT user_id::BIGINT AS user_id, event_type, value::DOUBLE AS value
+FROM (
+  SELECT user_id, event_type, value,
+         row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+) WHERE rn = 1
+""".strip(),
+)
+def _q_upsert(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "event_type",
+            F.col("value").cast("double").alias("value"),
+        )
+    )
+
+
+@register(
+    "ingest_delete_tombstones",  # A15: tombstoned keys removed from the store
+    """
+WITH latest AS (
+  SELECT user_id, event_type,
+         row_number() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+)
+SELECT user_id::BIGINT AS user_id FROM latest
+WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+""".strip(),
+)
+def _q_tombstone(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(F.col("user_id").cast("long").alias("user_id"))
+    )
+
+
+@register(
+    "ingest_backfill_counts",  # A17/A18: per-partition written-doc counts
+    """
+SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars
+FROM documents GROUP BY source
+""".strip(),
+)
+def _q_counts(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register(
+    "relational_pricing_summary",  # classic agg glue (TPC-H Q1 shape)
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)::DOUBLE AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE AS revenue,
+       count(*)::BIGINT AS n_rows
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""".strip(),
+)
+def _q_pricing(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "relational_top_revenue_orders",  # join + agg + deterministic top-k
+    """
+WITH rev AS (
+  SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2)::DOUBLE AS revenue
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey
+)
+SELECT o_orderkey::BIGINT AS o_orderkey, revenue FROM rev
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+""".strip(),
+)
+def _q_top_orders(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(orders.o_orderkey)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .alias("revenue")
+        )
+        .select(F.col("o_orderkey").cast("long").alias("o_orderkey"), "revenue")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )

@@ -344,16 +344,22 @@ def simhash_pairs(
 
 
 def cosine_expr(x: str, y: str):
-    """JVM-side cosine of two array<float> columns (no Python)."""
+    """JVM-side cosine of two array<float> columns (no Python).
+
+    Elements are cast to double BEFORE multiplying so the arithmetic is
+    float64 end-to-end — matching DuckDB's `list_dot_product(a::DOUBLE[],
+    b::DOUBLE[])` bit for bit (a float32 product then widened would
+    differ)."""
     dot = F.aggregate(
-        F.zip_with(F.col(x), F.col(y), lambda a, b: (a * b).cast("double")),
+        F.zip_with(F.col(x), F.col(y),
+                   lambda a, b: a.cast("double") * b.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v,
     )
     nx = F.sqrt(F.aggregate(
-        F.transform(F.col(x), lambda a: (a * a).cast("double")),
+        F.transform(F.col(x), lambda a: a.cast("double") * a.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v))
     ny = F.sqrt(F.aggregate(
-        F.transform(F.col(y), lambda a: (a * a).cast("double")),
+        F.transform(F.col(y), lambda a: a.cast("double") * a.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v))
     return dot / (nx * ny)
 

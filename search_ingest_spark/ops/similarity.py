@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+- :func:`brute_force_topk` — exact cosine top-k per query vector,
+  entirely JVM-side (`zip_with`/`aggregate` fold for the dot product —
+  whole-stage codegen, no Python).  The correctness baseline.
+- :func:`ivf_topk` — the scale path: IVF-style partition pruning.
+  Centroids are learned with a deterministic k-means (seeded, fixed
+  iterations) over a sample; vectors are bucketed by nearest centroid
+  (one narrow shuffle at build time); a query probes only the
+  `nprobe` nearest buckets.  Approximate recall, exact distances.
+
+At 10^12 scale the IVF bucket id becomes the Iceberg partition key so a
+query scans nprobe/nlist of the data; brute force stays as the oracle
+on samples.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_ingest_spark.ops.dedup import cosine_expr
+
+
+def _query_df(spark: SparkSession, qvec: list[float]):
+    return F.array(*[F.lit(float(v)).cast("float") for v in qvec])
+
+
+def brute_force_topk(
+    emb: DataFrame, qvec: list[float], k: int = 10,
+    *, id_col: str = "vec_id", vec_col: str = "embedding",
+    round_to: int | None = 4,
+) -> DataFrame:
+    """Exact cosine top-k: (vec_id, cosine, rank) by (cosine desc, id asc)."""
+    q = F.array(*[F.lit(float(v)).cast("float") for v in qvec])
+    scored = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("va"),
+    ).withColumn("qv", q).withColumn("cosine", cosine_expr("va", "qv"))
+    if round_to is not None:
+        scored = scored.withColumn("cosine", F.round("cosine", round_to))
+    topk = scored.select("vec_id", "cosine").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    ).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return topk.withColumn("rank", F.row_number().over(w))
+
+
+def brute_force_topk_sql(
+    qvec: list[float], k: int = 10, *, table: str = "embeddings",
+    id_col: str = "vec_id", vec_col: str = "embedding", round_to: int = 4,
+) -> str:
+    """DuckDB oracle: same cosine, same float64 math (cast to DOUBLE[]),
+    same rounding + tie-break."""
+    vec = "[" + ", ".join(f"{float(v)!r}::FLOAT" for v in qvec) + "]"
+    return f"""
+WITH q AS (SELECT {vec} AS qv),
+scored AS (
+  SELECT {id_col} AS vec_id,
+         round(
+           list_dot_product({vec_col}::DOUBLE[], qv::DOUBLE[])
+           / (sqrt(list_dot_product({vec_col}::DOUBLE[], {vec_col}::DOUBLE[]))
+              * sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))),
+         {round_to})::DOUBLE AS cosine
+  FROM {table}, q
+),
+topk AS (
+  SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+)
+SELECT vec_id, cosine,
+       row_number() OVER (ORDER BY cosine DESC, vec_id ASC)::INT AS rank
+FROM topk
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) approximate search
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(
+    emb: DataFrame, nlist: int = 16, *, vec_col: str = "embedding",
+    sample: int = 2048, iters: int = 10, seed: int = 1,
+) -> np.ndarray:
+    """Deterministic mini k-means on a driver-side sample (centroid
+    training is inherently tiny relative to the corpus; the heavy part —
+    assignment — stays distributed)."""
+    rows = emb.select(vec_col).limit(sample).collect()
+    X = np.array([r[0] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
+    for _ in range(iters):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                C[j] = X[m].mean(axis=0)
+    return C
+
+
+def assign_buckets(
+    emb: DataFrame, centroids: np.ndarray, *, vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid bucket id per vector — JVM-side argmin over
+    per-centroid distance expressions (nlist is small; the expression
+    tree stays codegen-friendly)."""
+    dists = [
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.array(*[F.lit(float(c)).cast("float") for c in cent]),
+                lambda a, b: ((a - b) * (a - b)).cast("double"),
+            ),
+            F.lit(0.0), lambda acc, v: acc + v,
+        )
+        for cent in centroids
+    ]
+    best = F.least(*dists)
+    bucket = F.lit(-1)
+    for j in reversed(range(len(dists))):
+        bucket = F.when(dists[j] == best, F.lit(j)).otherwise(bucket)
+    return emb.withColumn("ivf_bucket", bucket)
+
+
+def ivf_topk(
+    emb_bucketed: DataFrame, centroids: np.ndarray, qvec: list[float],
+    k: int = 10, *, nprobe: int = 4, id_col: str = "vec_id",
+    vec_col: str = "embedding", round_to: int | None = 4,
+) -> DataFrame:
+    """Probe the nprobe nearest buckets only (partition pruning at scale),
+    exact cosine within them."""
+    q = np.asarray(qvec, dtype=np.float64)
+    order = np.argsort(((centroids - q) ** 2).sum(axis=1), kind="stable")
+    probes = [int(j) for j in order[:nprobe]]
+    pruned = emb_bucketed.where(F.col("ivf_bucket").isin(probes))
+    return brute_force_topk(
+        pruned, qvec, k, id_col=id_col, vec_col=vec_col, round_to=round_to
+    )

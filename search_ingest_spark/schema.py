@@ -186,9 +186,10 @@ def fan_out_to_parent(
     into the parent doc set — `repartition("_routing")` colocates each
     child with its parent (ES routing analog, elastic.cr:396-405)."""
     fk = relation.routing_attr
+    fk_str = F.col(fk).cast("string")
     return (
-        child_df.where(F.col(fk).isNotNull() & (F.col(fk) != F.lit("")))
-        .withColumn("_routing", F.col(fk).cast("string"))
+        child_df.where(F.col(fk).isNotNull() & (fk_str != F.lit("")))
+        .withColumn("_routing", fk_str)
         .withColumn("_join_field", F.struct(
             F.lit(doc_type).alias("name"), F.col(fk).cast("string").alias("parent"),
         ))
@@ -204,7 +205,7 @@ def skip_self_replication(
     if relation.index != index_name:
         return df
     fk = relation.routing_attr
-    return df.where(F.col(fk).isNull() | (F.col(fk) == F.lit("")))
+    return df.where(F.col(fk).isNull() | (F.col(fk).cast("string") == F.lit("")))
 
 
 # ---------------------------------------------------------------------------

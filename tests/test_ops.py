@@ -1,0 +1,134 @@
+"""Training-data pipeline ops: dedup families, similarity search,
+multimodal plumbing.  Oracle parity for the SQL-expressible ops is
+covered by the driver contract (entrypoints); these tests check the
+operator semantics themselves."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from search_ingest_spark.ops import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def dup_docs(spark, documents_smoke):
+    d = documents_smoke.select("doc_id", "text")
+    return d.unionByName(
+        d.where(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+class TestDedup:
+    def test_exact_finds_planted_dups(self, dup_docs):
+        out = dedup.exact_duplicates(dup_docs).collect()
+        assert len(out) == 10
+        for r in out:
+            assert r["group_size"] == 2
+            assert r["keep_doc_id"] == min(r["members"])
+
+    def test_minhash_lsh_recall_vs_exact(self, dup_docs):
+        exact = {
+            (r["a"], r["b"])
+            for r in dedup.ngram_jaccard_pairs(dup_docs, threshold=0.8,
+                                               max_shingle_df_frac=1.01).collect()
+        }
+        lsh = {
+            (r["a"], r["b"])
+            for r in dedup.minhash_lsh_pairs(dup_docs, threshold=0.8).collect()
+        }
+        assert lsh <= exact          # exact verification → perfect precision
+        assert len(lsh) >= 0.9 * len(exact)  # banded LSH → high recall
+
+    def test_simhash_identical_docs_distance_zero(self, dup_docs):
+        pairs = dedup.simhash_pairs(dup_docs, max_hamming=0).collect()
+        found = {(r["a"], r["b"]) for r in pairs}
+        assert {(i, i + 100000) for i in range(10)} <= found
+
+    def test_jaccard_self_pairs_are_one(self, dup_docs):
+        out = dedup.ngram_jaccard_pairs(dup_docs, threshold=0.999,
+                                        max_shingle_df_frac=1.01).collect()
+        planted = {(r["a"], r["b"]): r["jaccard"] for r in out}
+        for i in range(10):
+            assert planted.get((i, i + 100000)) == 1.0
+
+    def test_embedding_near_dups_symmetric_threshold(self, emb):
+        out = dedup.embedding_near_dups(emb, threshold=0.3).collect()
+        assert all(r["a"] < r["b"] and r["cosine"] >= 0.3 for r in out)
+
+
+class TestSimilarity:
+    def test_brute_force_topk_shape(self, emb):
+        q = [1.0] + [0.0] * 63
+        out = similarity.brute_force_topk(emb, q, k=5).collect()
+        assert len(out) == 5
+        scores = [r["cosine"] for r in out]
+        assert scores == sorted(scores, reverse=True)
+        assert [r["rank"] for r in out] == [1, 2, 3, 4, 5]
+
+    def test_ivf_results_are_exact_within_probed_buckets(self, emb):
+        q = [1.0] + [0.0] * 63
+        cents = similarity.train_centroids(emb, nlist=4, seed=1)
+        bucketed = similarity.assign_buckets(emb, cents)
+        ivf = similarity.ivf_topk(bucketed, cents, q, k=5, nprobe=4)  # all buckets
+        brute = similarity.brute_force_topk(emb, q, k=5)
+        # nprobe == nlist → identical to brute force
+        assert [tuple(r) for r in ivf.collect()] == [tuple(r) for r in brute.collect()]
+
+    def test_centroids_deterministic(self, emb):
+        c1 = similarity.train_centroids(emb, nlist=4, seed=9)
+        c2 = similarity.train_centroids(emb, nlist=4, seed=9)
+        assert np.array_equal(c1, c2)
+
+    def test_bucket_assignment_total(self, emb):
+        cents = similarity.train_centroids(emb, nlist=4)
+        b = similarity.assign_buckets(emb, cents)
+        assert b.where(F.col("ivf_bucket") < 0).count() == 0
+        assert b.count() == emb.count()
+
+
+class TestMultimodal:
+    def test_decode_stub_raises_without_fake(self):
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"bytes")
+
+    def test_fake_decode_deterministic(self):
+        f1 = multimodal.decode_image(b"same bytes", fake=True)
+        f2 = multimodal.decode_image(b"same bytes", fake=True)
+        assert np.array_equal(f1, f2)
+        assert f1.shape == (8,)
+
+    def test_extract_features_plumbing(self, spark):
+        media = multimodal.synth_media(spark, n=30)
+        out = multimodal.extract_features(media, fake=True)
+        rows = out.collect()
+        assert len(rows) == 30
+        assert all(r["decode_status"] == "ok" for r in rows)
+        assert all(len(r["feat"]) == 8 for r in rows)
+        assert all(len(r["sha256"]) == 64 for r in rows)
+        # deterministic across runs
+        again = {r["media_id"]: r["feat"] for r in out.collect()}
+        assert all(again[r["media_id"]] == r["feat"] for r in rows)
+
+    def test_extract_features_stub_status(self, spark):
+        media = multimodal.synth_media(spark, n=6)
+        rows = multimodal.extract_features(media, fake=False).collect()
+        assert all(r["decode_status"] == "decoder_unavailable" for r in rows)
+        assert all(r["feat"] is None for r in rows)
+
+    def test_frame_sample_plan(self, spark):
+        media = multimodal.synth_media(spark, n=30)
+        plan = multimodal.frame_sample_plan(media, every_ms=1000)
+        vids = media.where("kind = 'video'").collect()
+        got = plan.groupBy("media_id").count().collect()
+        want = {v["media_id"]: max(v["duration_ms"] // 1000, 1) for v in vids}
+        assert {r["media_id"]: r["count"] for r in got} == want
+        assert plan.where("ts_ms != frame_idx * 1000").count() == 0
