@@ -11,8 +11,15 @@ Phases:
    documents index, brute-force BM25, and representative dedup /
    similarity / relational operators.
 
+Phase 1 also runs node-calibration probes (cache-resident compute vs
+streaming-memory scaling) so the reported efficiency can be compared
+to what this single node can physically deliver — one box shares one
+set of memory controllers across all cores, which bounds any
+data-intensive pipeline's core-scaling well below 1.0; a real N→4N
+executor cluster multiplies memory bandwidth along with cores.
+
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-SPARK_GRAFT_BENCH_DOCS (scaling-corpus size, default 24000),
+SPARK_GRAFT_BENCH_DOCS (scaling-corpus size, default 400000),
 SPARK_GRAFT_SCALING=0 to skip phase 1.
 """
 
@@ -28,7 +35,7 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "24000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "400000"))
 RUN_SCALING = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
 
 WAND_QUERIES = ["data", "spark query data", "customer window batch",
@@ -43,6 +50,16 @@ def _fresh_spark(cores: int):
                      shuffle_partitions=cores)
 
 
+def _warmup(spark, cores: int) -> None:
+    """Touch every Python worker once (a real cluster reuses warm
+    workers; without this, import cost pollutes the measurement)."""
+
+    def noop(it):
+        yield from it
+
+    spark.range(cores * 4, numPartitions=cores * 4).mapInPandas(noop, "id long").count()
+
+
 def _stop(spark) -> None:
     spark.stop()
     # clear the JVM so the next session gets a fresh master/core count
@@ -52,53 +69,149 @@ def _stop(spark) -> None:
     SparkSession._activeSession = None  # noqa: SLF001
 
 
+def _burn(n: int) -> int:
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def _stream(n: int) -> float:
+    import numpy as np
+
+    a = np.ones(12_000_000, dtype=np.float64)  # ~96MB, beyond L3
+    s = 0.0
+    for _ in range(n):
+        a *= 1.0000001
+        s += a[0]
+    return s
+
+
+def calibration_phase() -> dict:
+    """Hardware-envelope probes: how much 8→32-way speedup THIS node can
+    physically deliver for (a) cache-resident compute and (b) streaming
+    memory traffic.  A single node shares one set of memory controllers
+    across all cores; a real N→4N executor cluster multiplies them.
+    The index build is judged against (b), its actual profile."""
+    import multiprocessing as mp
+
+    out = {}
+    for name, fn, arg in [("cpu", _burn, 6_000_000), ("membw", _stream, 6)]:
+        rates = {}
+        for procs in (max(CPUS // 4, 1), CPUS):
+            t0 = time.time()
+            with mp.Pool(procs) as p:
+                p.map(fn, [arg] * procs * 2)
+            rates[procs] = procs * 2 / (time.time() - t0)
+        lo, hi = sorted(rates)
+        out[f"{name}_speedup"] = round(rates[hi] / rates[lo], 3)
+        out[f"{name}_efficiency"] = round(rates[hi] / rates[lo] / (hi / lo), 3)
+    return out
+
+
 def scaling_phase(tmp: str) -> dict:
-    """Build the same corpus at two parallelism levels; docs/sec both."""
-    from search_ingest_spark.catalog import Catalog
-    from search_ingest_spark.corpus import generate_pages
-    from search_ingest_spark.index.build import build_index
-    from pyspark.sql import functions as F
+    """Build the same corpus at two parallelism levels; docs/sec both.
+
+    Isolation rules learned the hard way (all measured on this box):
+    - every Spark run (generation AND each build) is its own subprocess:
+      a resident parent JVM — even a stopped one — costs a 32-core
+      build ~50% via memory pressure;
+    - each build subprocess is pinned to exactly its core count with
+      `taskset`: unpinned local[8] lets JVM helper threads spill onto
+      idle cores and inflates the low-core baseline;
+    - levels run interleaved (lo,hi,lo,hi) and the min wall per level is
+      used, so slow environment drift hits both levels equally.
+    """
+    import subprocess
 
     corpus_path = os.path.join(tmp, "pages_docs")
-    spark = _fresh_spark(CPUS)
-    pages = generate_pages(spark, BENCH_DOCS, seed=11, partitions=CPUS * 2)
-    latest = (
-        pages.groupBy("url")
-        .agg(F.max_by(F.struct("warc_ts", "text"), "warc_ts").alias("s"))
-        .select("url", F.col("s.text").alias("text"))
-    )
-    docs = latest.withColumn(
-        "doc_id", F.regexp_extract("url", r"(\d+)$", 1).cast("long")
-    ).select("doc_id", "text")
-    docs.repartition(CPUS * 2).write.mode("overwrite").parquet(corpus_path)
-    n_docs = spark.read.parquet(corpus_path).count()
-    _stop(spark)
-
-    out: dict = {"n_docs": n_docs}
-    lo, hi = max(CPUS // 4, 1), CPUS
-    for cores, tag in [(lo, "low"), (hi, "high")]:
-        spark = _fresh_spark(cores)
-        cat = Catalog(spark, os.path.join(tmp, f"idx_{cores}"))
-        t0 = time.time()
-        build_index(
-            spark,
-            spark.read.parquet(corpus_path),
-            cat,
-            mode="standard",
-            docs_per_shard=max(256, n_docs // (cores * 4)),
-            resume=False,
+    gen_script = os.path.join(tmp, "gen_corpus.py")
+    with open(gen_script, "w") as fh:
+        fh.write(
+            "import sys\n"
+            "from pyspark.sql import functions as F\n"
+            "from search_ingest_spark.session import get_spark\n"
+            "from search_ingest_spark.corpus import generate_pages\n"
+            f"spark = get_spark('gen', master='local[{CPUS}]', shuffle_partitions={CPUS})\n"
+            f"pages = generate_pages(spark, {BENCH_DOCS}, seed=11, partitions={CPUS * 8})\n"
+            "latest = (pages.groupBy('url')\n"
+            "    .agg(F.max_by(F.struct('warc_ts', 'text'), 'warc_ts').alias('s'))\n"
+            "    .select('url', F.col('s.text').alias('text')))\n"
+            "docs = latest.withColumn('doc_id', F.regexp_extract('url', r'(\\d+)$', 1)"
+            ".cast('long')).select('doc_id', 'text')\n"
+            f"docs.repartition(128).write.mode('overwrite').parquet({corpus_path!r})\n"
+            "print(docs.count())\n"
         )
-        wall = time.time() - t0
-        out[f"local{cores}_sec"] = round(wall, 2)
-        out[f"local{cores}_docs_per_sec"] = round(n_docs / wall, 1)
-        if tag == "high":
-            # keep the hi-core index for the query phase
-            out["_index_dir"] = cat.root
-        _stop(spark)
+    build_script = os.path.join(tmp, "build_one.py")
+    with open(build_script, "w") as fh:
+        fh.write(
+            "import json, sys, time\n"
+            "cores, docs_path, idx_path, dps = int(sys.argv[1]), sys.argv[2], sys.argv[3], int(sys.argv[4])\n"
+            "from search_ingest_spark.session import get_spark\n"
+            "spark = get_spark(f'b{cores}', master=f'local[{cores}]', shuffle_partitions=cores)\n"
+            "def noop(it):\n"
+            "    yield from it\n"
+            "spark.range(cores*4, numPartitions=cores*4).mapInPandas(noop, 'id long').count()\n"
+            "from search_ingest_spark.catalog import Catalog\n"
+            "from search_ingest_spark.index.build import build_index\n"
+            "t0 = time.time()\n"
+            "build_index(spark, spark.read.parquet(docs_path), Catalog(spark, idx_path),\n"
+            "            mode='standard', docs_per_shard=dps, resume=True)\n"
+            "print(json.dumps({'wall': time.time() - t0}))\n"
+        )
+
+    env = {
+        **os.environ,
+        "PYTHONPATH": os.path.dirname(os.path.abspath(__file__)),
+        "SPARK_DRIVER_MEM": os.environ.get("SPARK_DRIVER_MEM", "24g"),
+    }
+
+    def run_sub(cmd: list[str]) -> str:
+        res = subprocess.run(cmd, capture_output=True, text=True, timeout=1200,
+                             env=env)
+        if res.returncode != 0:
+            raise RuntimeError(f"bench subprocess failed: {res.stderr[-2000:]}")
+        return res.stdout.strip().splitlines()[-1]
+
+    n_docs = int(run_sub([sys.executable, gen_script]))
+    docs_per_shard = max(256, n_docs // 128)  # same layout at both levels
+
+    def run_level(cores: int, rep: int) -> float:
+        idx = os.path.join(tmp, f"idx_{cores}_{rep}")
+        cmd = [sys.executable, build_script, str(cores), corpus_path, idx,
+               str(docs_per_shard)]
+        if shutil.which("taskset"):
+            cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        return json.loads(run_level_raw(cmd))["wall"]
+
+    def run_level_raw(cmd: list[str]) -> str:
+        return run_sub(cmd)
+
+    lo, hi = max(CPUS // 4, 1), CPUS
+    walls: dict[int, list[float]] = {lo: [], hi: []}
+    for rep in range(2):  # interleaved: lo,hi,lo,hi
+        walls[lo].append(run_level(lo, rep))
+        walls[hi].append(run_level(hi, rep))
+    out: dict = {"n_docs": n_docs, "reps": 2,
+                 "pinned": bool(shutil.which("taskset"))}
+    for cores in (lo, hi):
+        best = min(walls[cores])
+        out[f"local{cores}_sec"] = round(best, 2)
+        out[f"local{cores}_walls"] = [round(w, 2) for w in walls[cores]]
+        out[f"local{cores}_docs_per_sec"] = round(n_docs / best, 1)
+    out["_index_dir"] = os.path.join(tmp, f"idx_{hi}_1")
     ratio = out[f"local{hi}_docs_per_sec"] / out[f"local{lo}_docs_per_sec"]
     out["cores_low"], out["cores_high"] = lo, hi
     out["speedup"] = round(ratio, 3)
     out["scaling_efficiency"] = round(ratio / (hi / lo), 3)
+    cal = calibration_phase()
+    out["node_calibration"] = cal
+    # fraction of the node's achievable (memory-bandwidth-bound) scaling
+    # actually realized by the pipeline — the cluster-relevant number
+    if cal.get("membw_speedup"):
+        out["efficiency_vs_node_envelope"] = round(
+            ratio / cal["membw_speedup"], 3
+        )
     return out
 
 
@@ -122,6 +235,7 @@ def query_phase(tmp: str, scaling: dict | None) -> dict:
     queries["index_build_documents"] = round(time.time() - t0, 3)
 
     s = Searcher(spark, cat)
+    s.topk(WAND_QUERIES[0], 10).collect()  # warm codegen + Python workers
     lat: list[float] = []
     for q in WAND_QUERIES:
         for _ in range(REPEATS):
@@ -155,6 +269,7 @@ def query_phase(tmp: str, scaling: dict | None) -> dict:
     # query latency against the big scaling-corpus index, if present
     if scaling and scaling.get("_index_dir"):
         big = Searcher(spark, Catalog(spark, scaling["_index_dir"]))
+        big.topk("the", 10).collect()  # warm
         lat2 = []
         for q in ["the tok0001", "café tok0010 tok2000"]:
             for _ in range(REPEATS):
@@ -168,7 +283,8 @@ def query_phase(tmp: str, scaling: dict | None) -> dict:
 
 
 def main() -> None:
-    tmp = tempfile.mkdtemp(prefix="sis_bench_")
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix="sis_bench_", dir=base)
     t_start = time.time()
     scaling = scaling_phase(tmp) if RUN_SCALING else None
     queries = query_phase(tmp, scaling)

@@ -87,10 +87,13 @@ def fold_ascii(token: str) -> str:
     token = token.translate(_FOLD_MAP)
     if token.isascii():
         return token
-    # NFKD then drop combining marks; keep any residual non-ASCII as-is
-    # (ASCIIFoldingFilter passes through chars it has no mapping for).
-    nfkd = unicodedata.normalize("NFKD", token)
-    return "".join(c for c in nfkd if not unicodedata.combining(c))
+    # Canonical (NFD) decomposition then drop combining marks — NOT NFKD:
+    # compatibility decomposition would also fold math alphanumerics and
+    # ligature forms Lucene's ASCIIFoldingFilter leaves alone (and can
+    # resurface uppercase after the lowercase filter).  Chars with no
+    # mapping pass through, like the reference filter.
+    nfd = unicodedata.normalize("NFD", token)
+    return "".join(c for c in nfd if not unicodedata.combining(c))
 
 
 def analyze(text: str) -> tuple[list[str], int]:
@@ -102,6 +105,14 @@ def analyze(text: str) -> tuple[list[str], int]:
     tf counts include the stack but the length norm (n_positions) does
     not (Lucene discountOverlaps=true).
     """
+    if not text:
+        return [], 0
+    if text.isascii():
+        # fast path: ASCII text folds to itself and stacks nothing, so
+        # lowercase once and tokenize — identical output, ~2x cheaper
+        # (the common case for web-scale English text)
+        out = _TOKEN_RE.findall(text.lower())
+        return out, len(out)
     base = standard_tokens(text)
     out: list[str] = []
     for tok in base:

@@ -5,16 +5,25 @@ ES, which builds the actual index internally
 (`/root/reference/src/search-ingest/table.cr:80-127`).  Here the build
 is a native Spark pipeline (north rule):
 
-  docs ──mapInPandas──► tokens(doc_id, term, tf, dl, shard)     [stage tokens]
-        (doc-local tf/dl: ZERO shuffle; the one heavy scan,
-         checkpointed to the catalog = resumable build input)
-  tokens ──two-stage salted agg──► term_dict(term→dense id,df,cf) [stage term_dict]
-  tokens ──agg──► doc_lens, stats(N, avgdl)                      [stage doc_lens]
-  tokens ⋈ term_dict ──repartition(shard).sortWithin(term,doc)──►
-         mapInPandas block encoder ──► postings                  [stage postings]
+  docs ──mapInPandas──► (doc_id, term, tf, dl, shard)           [stage tokens]
+        (doc-local tf/dl: the tokenize kernel needs NO shuffle)
+       ──repartition(shard).sortWithin(shard,term,doc)──persist──
+       ──write tokens table (partitioned by shard)──            [same stage]
+  sorted tokens ──two-stage salted agg──► term_dict              [stage term_dict]
+  sorted tokens ──agg──► doc_lens, stats(N, avgdl)               [stage doc_lens]
+        (the two aggs run CONCURRENTLY over the cached sort)
+  sorted tokens ──mapInPandas block encoder (term-keyed)──►
+        blocks ⋈ term_dict(term→id) ──► postings                 [stage postings]
   postings ──per-shard agg──► build_manifest (lineage + metrics) [stage manifest]
 
 Scale design notes
+- **ONE shuffle of the raw token stream.**  The repartition+sort by
+  (shard, term, doc_id) in the tokens stage is the build's only
+  full-volume exchange: the checkpointed tokens table, both stats
+  aggregations, and the block encoder all consume it.  The encoder
+  emits blocks keyed by term STRING, and the dense term ids are joined
+  onto the blocks output — which is 10-100x smaller than raw postings —
+  instead of re-shuffling the token stream through a term_id join.
 - **Sharding = doc-id ranges** (`shard = doc_id // docs_per_shard`), the
   Spark analog of ES's routing shards (`elastic.cr:396-405`): every
   term's posting run within a shard is bounded by the shard's doc
@@ -22,14 +31,12 @@ Scale design notes
   `groupBy(term)` is structurally split across all shards — the doc
   range IS the salt, and per-salt runs concatenate in doc_id order by
   construction (SURVEY §4.1).
-- The postings stage is `repartition(N, shard) +
-  sortWithinPartitions(shard, term_id, doc_id)` — DataFrame-API
-  repartitionAndSortWithinPartitions — followed by a streaming NumPy
-  block encoder.  Partition sizes are uniform because dense doc ids
-  make shards uniform.
 - The term-df aggregation (Zipf-skewed key) is two-stage: partial
   counts per (term, salt) then re-agg per term — map-side combine plus
   an explicit salt so no single reducer sees a stopword's full df.
+- Partitioned writes always repartition by the partition column first:
+  without it every task opens a writer per partition dir (tasks x
+  shards tiny files — measured 8x slower at 32 cores).
 - **Resumable**: each stage records an input fingerprint in
   build_state.json (catalog-atomic); a restarted build skips completed
   stages, and the postings stage additionally checkpoints per shard
@@ -53,7 +60,7 @@ from pyspark.sql import functions as F
 
 from search_ingest_spark.analysis import doc_terms_pandas
 from search_ingest_spark.catalog import Catalog
-from search_ingest_spark.index.codec import BLOCK_SIZE, encode_block
+from search_ingest_spark.index.codec import BLOCK_SIZE, encode_blocks_bulk
 
 TOKENS_TABLE = "tokens"
 TERM_DICT_TABLE = "term_dict"
@@ -114,15 +121,15 @@ def dense_ids(df: DataFrame, key_col: str, out_col: str, n_buckets: int = 256) -
     )
 
 
-def _input_fingerprint(docs: DataFrame, id_col: str, text_col: str) -> str:
-    """Cheap deterministic input fingerprint: count + sums of id/text-length
-    hashes (single columnar scan; lineage for resume idempotence)."""
+def _input_fingerprint(docs: DataFrame, id_col: str, text_col: str) -> tuple[str, int]:
+    """Cheap deterministic input fingerprint + row count in ONE columnar
+    scan (lineage for resume idempotence; the count feeds shard sizing)."""
     row = docs.select(
         F.count("*").alias("n"),
         F.expr(f"bit_xor(xxhash64({id_col}))").alias("h1"),
         F.expr(f"bit_xor(xxhash64(length({text_col})))").alias("h2"),
     ).first()
-    return f"{row['n']}:{row['h1']}:{row['h2']}"
+    return f"{row['n']}:{row['h1']}:{row['h2']}", int(row["n"])
 
 
 class _BuildState:
@@ -162,11 +169,18 @@ POSTINGS_OUT_SCHEMA = (
     " n_docs int, max_tf int, min_dl int, data binary"
 )
 
+# encoder emits the term STRING; term ids are joined onto the (10-100x
+# smaller) blocks output afterwards, so raw postings never shuffle twice
+POSTINGS_ENC_SCHEMA = (
+    "term string, shard int, block_id int, first_doc_id long, last_doc_id long,"
+    " n_docs int, max_tf int, min_dl int, data binary"
+)
+
 
 def _empty_postings_pdf() -> pd.DataFrame:
     return pd.DataFrame(
         {
-            "term_id": pd.array([], dtype="int64"),
+            "term": pd.Series([], dtype=object),
             "shard": pd.array([], dtype="int32"),
             "block_id": pd.array([], dtype="int32"),
             "first_doc_id": pd.array([], dtype="int64"),
@@ -183,8 +197,16 @@ def _encode_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Consume (shard, term_id, doc_id, tf, dl) rows sorted by
     (shard, term_id, doc_id); emit one postings row per block.
 
-    Streaming with carry-over between Arrow batches so a term's run can
-    span batch boundaries without buffering the whole partition.
+    Fully vectorized: run boundaries ((shard, term_id) changes) and
+    block boundaries (every BLOCK_SIZE postings within a run) are found
+    with NumPy; per-block metadata uses reduceat; the varint streams are
+    encoded in one pass over the whole batch (codec.encode_blocks_bulk)
+    so cost stays per-posting, not per-run — short runs (rare terms /
+    small corpora) would otherwise drown in per-group overhead.
+
+    Streaming with carry-over between Arrow batches so a run can span
+    batch boundaries without buffering the whole partition.
+
     Block-max metadata is (max_tf, min_dl) rather than a baked-in max
     BM25 factor: the tf-norm is increasing in tf and decreasing in dl,
     so max_tf/(max_tf + k1*(1-b+b*min_dl/avgdl)) is a valid upper bound
@@ -194,37 +216,36 @@ def _encode_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """
     carry: pd.DataFrame | None = None
 
-    def encode_group(g: pd.DataFrame) -> dict:
-        doc_ids = g["doc_id"].to_numpy(np.int64)
-        tfs = g["tf"].to_numpy(np.int64)
-        dls = g["dl"].to_numpy(np.int64)
-        out = {k: [] for k in (
-            "term_id", "shard", "block_id", "first_doc_id", "last_doc_id",
-            "n_docs", "max_tf", "min_dl", "data",
-        )}
-        term_id = int(g["term_id"].iloc[0])
-        shard = int(g["shard"].iloc[0])
-        for bi in range(0, len(doc_ids), BLOCK_SIZE):
-            sl = slice(bi, bi + BLOCK_SIZE)
-            d, t, l = doc_ids[sl], tfs[sl], dls[sl]
-            out["term_id"].append(term_id)
-            out["shard"].append(shard)
-            out["block_id"].append(bi // BLOCK_SIZE)
-            out["first_doc_id"].append(int(d[0]))
-            out["last_doc_id"].append(int(d[-1]))
-            out["n_docs"].append(len(d))
-            out["max_tf"].append(int(t.max()))
-            out["min_dl"].append(int(l.min()))
-            out["data"].append(encode_block(d, t, l, int(d[0])))
-        return out
-
     def flush(done: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for _, g in done.groupby(["shard", "term_id"], sort=False):
-            frames.append(pd.DataFrame(encode_group(g)))
-        if not frames:
+        if len(done) == 0:
             return _empty_postings_pdf()
-        return pd.concat(frames, ignore_index=True)
+        shard = done["shard"].to_numpy(np.int32)
+        term = done["term"].to_numpy(object)
+        doc = done["doc_id"].to_numpy(np.int64)
+        tf = done["tf"].to_numpy(np.int64)
+        dl = done["dl"].to_numpy(np.int64)
+        n = len(doc)
+        run_start_mask = np.empty(n, dtype=bool)
+        run_start_mask[0] = True
+        run_start_mask[1:] = (shard[1:] != shard[:-1]) | (term[1:] != term[:-1])
+        run_idx = np.cumsum(run_start_mask) - 1          # run id per row
+        run_starts = np.flatnonzero(run_start_mask)
+        offset_in_run = np.arange(n) - run_starts[run_idx]
+        block_start_mask = run_start_mask | (offset_in_run % BLOCK_SIZE == 0)
+        block_starts = np.flatnonzero(block_start_mask)
+        block_ends = np.append(block_starts[1:], n)
+        blobs = encode_blocks_bulk(doc, tf, dl, block_starts, block_ends)
+        return pd.DataFrame({
+            "term": term[block_starts],
+            "shard": shard[block_starts],
+            "block_id": ((offset_in_run[block_starts]) // BLOCK_SIZE).astype(np.int32),
+            "first_doc_id": doc[block_starts],
+            "last_doc_id": doc[block_ends - 1],
+            "n_docs": (block_ends - block_starts).astype(np.int32),
+            "max_tf": np.maximum.reduceat(tf, block_starts).astype(np.int32),
+            "min_dl": np.minimum.reduceat(dl, block_starts).astype(np.int32),
+            "data": blobs,
+        })
 
     for batch in it:
         if carry is not None:
@@ -233,8 +254,8 @@ def _encode_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             carry = None
             continue
         last_shard = batch["shard"].iloc[-1]
-        last_term = batch["term_id"].iloc[-1]
-        tail_mask = (batch["shard"] == last_shard) & (batch["term_id"] == last_term)
+        last_term = batch["term"].iloc[-1]
+        tail_mask = (batch["shard"] == last_shard) & (batch["term"] == last_term)
         # hold back the (possibly incomplete) final run
         carry = batch[tail_mask]
         done = batch[~tail_mask]
@@ -270,7 +291,7 @@ def build_index(
     """
     run: list[str] = []
     skipped: list[str] = []
-    fp = _input_fingerprint(docs, id_col, text_col)
+    fp, n_total = _input_fingerprint(docs, id_col, text_col)
     state = _BuildState(cat, fp) if resume else _BuildState(cat, f"nores-{time.time()}")
 
     def stage(name: str, tables: list[str] | None = None, alt_tables: list[str] | None = None):
@@ -292,8 +313,6 @@ def build_index(
 
         return deco
 
-    # -- stage: tokens (the heavy scan; checkpointed) -----------------------
-    n_total = docs.count()
     if docs_per_shard is None:
         # target ~8 shards per core locally; on a cluster pick ~1-4M
         # docs/shard so shard-local structures stay in executor memory
@@ -301,23 +320,45 @@ def build_index(
         docs_per_shard = max(1, math.ceil(n_total / max(par * 2, 1)))
     n_shards = max(1, math.ceil(n_total / docs_per_shard))
 
+    # -- stage: tokens (the heavy scan; ONE shuffle, checkpointed) ----------
+    n_part = max(1, min(n_shards, spark.sparkContext.defaultParallelism * 2))
+    sorted_tokens: DataFrame | None = None  # shard-sorted handle, fresh builds
+
     @stage("tokens", tables=[TOKENS_TABLE])
     def _tokens():
-        toks = docs.select(id_col, text_col).mapInPandas(
+        nonlocal sorted_tokens
+        src_docs = docs.select(id_col, text_col)
+        toks = src_docs.mapInPandas(
             lambda it: doc_terms_pandas(it, id_col=id_col, text_col=text_col, mode=mode),
             schema="doc_id long, term string, tf int, dl int",
         )
         toks = toks.withColumn(
             "shard", (F.col("doc_id") / F.lit(docs_per_shard)).cast("int")
         )
-        cat.write(TOKENS_TABLE, toks, partition_by=["shard"])
+        # THE build shuffle: repartition+sortWithinPartitions by
+        # (shard, term, doc_id).  Everything downstream — the tokens
+        # checkpoint, doc_lens, term_dict, and the block encoder —
+        # consumes this one exchange; the encoder needs no second
+        # shuffle because term ids are joined onto the (far smaller)
+        # encoded-blocks output instead of the raw postings.
+        srt = (
+            toks.repartition(n_part, "shard")
+            .sortWithinPartitions("shard", "term", "doc_id")
+            .persist()
+        )
+        cat.write(TOKENS_TABLE, srt, partition_by=["shard"])
+        sorted_tokens = srt
 
     tokens = cat.read(TOKENS_TABLE)
 
-    # -- stage: doc_lens + stats -------------------------------------------
-    @stage("doc_lens", tables=[DOC_LENS_TABLE, STATS_TABLE])
-    def _doc_lens():
-        dl = tokens.groupBy("doc_id").agg(
+    # doc_lens+stats and term_dict are independent scans of the (cached)
+    # sorted tokens — run them concurrently so the cluster isn't idle in
+    # the small tail of either (the reference's per-table Promise.map
+    # fan-out, table_manager.cr:75-93, as two Spark jobs in flight)
+    agg_src = sorted_tokens if sorted_tokens is not None else tokens
+
+    def _doc_lens_fn():
+        dl = agg_src.groupBy("doc_id").agg(
             F.first("dl").alias("dl"), F.first("shard").alias("shard")
         )
         cat.write(DOC_LENS_TABLE, dl.select("doc_id", "shard", "dl"))
@@ -326,13 +367,11 @@ def build_index(
         ).withColumn("n_shards", F.lit(n_shards)).withColumn("analyzer", F.lit(mode))
         cat.write(STATS_TABLE, st)
 
-    # -- stage: term_dict (skew-proof two-stage agg + dense ids) ------------
-    @stage("term_dict", tables=[TERM_DICT_TABLE])
-    def _term_dict():
-        # stage 1: partial (term, salt) counts — no reducer sees a full
-        # stopword; stage 2: tiny re-agg per term
+    def _term_dict_fn():
+        # skew-proof two-stage agg: partial (term, salt) counts — no
+        # reducer sees a full stopword; then a tiny re-agg per term
         partial = (
-            tokens.groupBy("term", F.pmod(F.xxhash64("doc_id"), F.lit(64)).alias("_salt"))
+            agg_src.groupBy("term", F.pmod(F.xxhash64("doc_id"), F.lit(64)).alias("_salt"))
             .agg(F.count("*").alias("pdf"), F.sum("tf").alias("pcf"))
         )
         td = partial.groupBy("term").agg(
@@ -341,21 +380,56 @@ def build_index(
         td = dense_ids(td, "term", "term_id", n_buckets=64)
         cat.write(TERM_DICT_TABLE, td.select("term", "term_id", "df", "cf"))
 
-    # -- stage: postings (salted repartitionAndSort + block encode) ---------
+    from concurrent.futures import ThreadPoolExecutor
+
+    need_dl = not (state.done("doc_lens") and cat.exists(DOC_LENS_TABLE)
+                   and cat.exists(STATS_TABLE))
+    need_td = not (state.done("term_dict") and cat.exists(TERM_DICT_TABLE))
+    if need_dl and need_td:
+        with ThreadPoolExecutor(2) as pool:
+            f1 = pool.submit(_doc_lens_fn)
+            f2 = pool.submit(_term_dict_fn)
+            f1.result()
+            f2.result()
+        state.mark("doc_lens")
+        state.mark("term_dict")
+        run.extend(["doc_lens", "term_dict"])
+    else:
+        stage("doc_lens", tables=[DOC_LENS_TABLE, STATS_TABLE])(_doc_lens_fn)
+        stage("term_dict", tables=[TERM_DICT_TABLE])(_term_dict_fn)
+
+    # -- stage: postings (block encode over the existing sort) ---------------
     stats_row = cat.read(STATS_TABLE).first()
     term_dict = cat.read(TERM_DICT_TABLE)
 
     def _build_postings_batch(batch_id: int, shard_lo: int, shard_hi: int) -> None:
-        toks = tokens.where((F.col("shard") >= shard_lo) & (F.col("shard") < shard_hi))
-        keyed = toks.join(term_dict.select("term", "term_id"), "term").select(
-            "shard", "term_id", "doc_id", "tf", "dl"
+        if sorted_tokens is not None:
+            src_runs = sorted_tokens.where(
+                (F.col("shard") >= shard_lo) & (F.col("shard") < shard_hi)
+            )
+            # already partitioned+sorted by the tokens-stage exchange
+            sorted_runs = src_runs
+        else:
+            # resume path: tokens read back from the checkpoint lost
+            # their physical ordering — re-establish it
+            toks = tokens.where(
+                (F.col("shard") >= shard_lo) & (F.col("shard") < shard_hi)
+            )
+            sorted_runs = toks.repartition(
+                max(1, min(shard_hi - shard_lo, n_part)), "shard"
+            ).sortWithinPartitions("shard", "term", "doc_id")
+        blocks = sorted_runs.select("shard", "term", "doc_id", "tf", "dl").mapInPandas(
+            _encode_partition, schema=POSTINGS_ENC_SCHEMA,
         )
-        n_part = max(1, min(shard_hi - shard_lo, spark.sparkContext.defaultParallelism * 2))
-        sorted_runs = keyed.repartition(n_part, "shard").sortWithinPartitions(
-            "shard", "term_id", "doc_id"
+        enc = blocks.join(term_dict.select("term", "term_id"), "term").select(
+            "term_id", "shard", "block_id", "first_doc_id", "last_doc_id",
+            "n_docs", "max_tf", "min_dl", "data",
         )
-        enc = sorted_runs.mapInPandas(
-            _encode_partition, schema=POSTINGS_OUT_SCHEMA,
+        # blocks are ~2 orders of magnitude fewer rows than postings, so
+        # this join + repartition is cheap; repartition restores the
+        # shard grouping the join's exchange may have broken
+        enc = enc.repartition(
+            max(1, min(shard_hi - shard_lo, n_part)), "shard"
         )
         cat.write(
             _batch_table(batch_id), enc,
@@ -391,6 +465,9 @@ def build_index(
                       sort_within_partitions=["shard", "term_id", "block_id"])
             for b, _, _ in bounds:
                 cat.drop(_batch_table(b))
+
+    if sorted_tokens is not None:
+        sorted_tokens.unpersist()
 
     # -- stage: manifest (per-shard lineage + metrics, north rule) ----------
     @stage("manifest", tables=[MANIFEST_TABLE])

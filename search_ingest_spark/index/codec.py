@@ -71,6 +71,57 @@ def _varint_decode(buf: bytes, count: int) -> np.ndarray:
     return out
 
 
+def varint_lengths(values: np.ndarray) -> np.ndarray:
+    """Byte length each value takes under LEB128 (vectorized)."""
+    v = values.astype(np.uint64, copy=False)
+    return np.maximum((np.uint64(64) - _clz64(v) + np.uint64(6)) // np.uint64(7),
+                      np.uint64(1)).astype(np.int64)
+
+
+def encode_blocks_bulk(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    block_starts: np.ndarray,
+    block_ends: np.ndarray,
+) -> list[bytes]:
+    """Encode MANY blocks in one vectorized pass.
+
+    `block_starts/ends` delimit blocks inside the flat arrays; each
+    block's first delta is 0 by construction (first_doc_id column ==
+    doc_ids[start]).  The three varint streams are encoded over the
+    whole batch at once; per-block blobs are cheap byte slices — this
+    removes the per-block Python cost that dominates when posting runs
+    are short (small corpora / rare terms).
+    """
+    d = doc_ids.astype(np.uint64, copy=False)
+    deltas = np.empty_like(d)
+    deltas[1:] = d[1:] - d[:-1]
+    deltas[block_starts] = 0
+    streams = []
+    offsets = []
+    for arr in (deltas, tfs.astype(np.uint64, copy=False), dls.astype(np.uint64, copy=False)):
+        payload = _varint_encode(arr)
+        lens = varint_lengths(arr)
+        off = np.zeros(len(arr) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        streams.append(payload)
+        offsets.append(off)
+    blobs: list[bytes] = []
+    sd, st_, sl = streams
+    od, ot, ol = offsets
+    for s, e in zip(block_starts, block_ends):
+        p_docs = sd[od[s] : od[e]]
+        p_tfs = st_[ot[s] : ot[e]]
+        p_dls = sl[ol[s] : ol[e]]
+        blobs.append(
+            len(p_docs).to_bytes(4, "little")
+            + len(p_tfs).to_bytes(4, "little")
+            + p_docs + p_tfs + p_dls
+        )
+    return blobs
+
+
 def encode_block(
     doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, first_doc_id: int
 ) -> bytes:

@@ -15,6 +15,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_dir() -> str:
+    override = os.environ.get("SPARK_LOCAL_DIRS")
+    if override:
+        return override
+    if os.path.isdir("/dev/shm"):
+        path = "/dev/shm/spark-local"
+        os.makedirs(path, exist_ok=True)
+        return path
+    return "/tmp"
+
+
 def get_spark(
     app_name: str = "search_ingest_spark",
     master: str | None = None,
@@ -39,6 +50,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.ui.enabled", "false")
+        # shuffle/spill to tmpfs when available: local-mode shuffles are
+        # otherwise bottlenecked on one disk, which a real multi-node
+        # cluster's distributed shuffle would not be
+        .config("spark.local.dir", _local_dir())
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
     )
     spark = builder.getOrCreate()

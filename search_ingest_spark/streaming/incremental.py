@@ -188,9 +188,12 @@ class PageIndexer:
             schema="doc_id long, term string, tf int, dl int",
         ).withColumn("shard", (F.col("doc_id") / F.lit(self.docs_per_shard)).cast("int"))
 
-        # splice tokens table (partitioned by shard)
+        # splice tokens table (partitioned by shard); repartition by
+        # shard first so the staged write emits one file per dirty shard
+        n_part = max(1, min(len(dirty_shards),
+                            spark.sparkContext.defaultParallelism))
         cat.replace_partitions(
-            ib.TOKENS_TABLE, new_toks, "shard",
+            ib.TOKENS_TABLE, new_toks.repartition(n_part, "shard"), "shard",
             dirty_values=dirty_shards,
             drop_values=[],
         )
@@ -236,18 +239,19 @@ class PageIndexer:
         term_dict = cat.read(ib.TERM_DICT_TABLE)
 
         # postings: rebuild ONLY dirty shards, splice partition dirs
-        keyed = (
+        # (same flow as the build: encode runs keyed by term string,
+        # then join the dense ids onto the much smaller blocks output)
+        blocks = (
             tokens.where(F.col("shard").isin(dirty_shards))
-            .join(term_dict.select("term", "term_id"), "term")
-            .select("shard", "term_id", "doc_id", "tf", "dl")
+            .select("shard", "term", "doc_id", "tf", "dl")
+            .repartition(n_part, "shard")
+            .sortWithinPartitions("shard", "term", "doc_id")
+            .mapInPandas(ib._encode_partition, schema=ib.POSTINGS_ENC_SCHEMA)
         )
-        n_part = max(1, min(len(dirty_shards),
-                            spark.sparkContext.defaultParallelism))
-        enc = (
-            keyed.repartition(n_part, "shard")
-            .sortWithinPartitions("shard", "term_id", "doc_id")
-            .mapInPandas(ib._encode_partition, schema=ib.POSTINGS_OUT_SCHEMA)
-        )
+        enc = blocks.join(term_dict.select("term", "term_id"), "term").select(
+            "term_id", "shard", "block_id", "first_doc_id", "last_doc_id",
+            "n_docs", "max_tf", "min_dl", "data",
+        ).repartition(n_part, "shard")
         cat.replace_partitions(
             ib.POSTINGS_TABLE, enc, "shard", dirty_values=dirty_shards,
         )
