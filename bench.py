@@ -246,6 +246,21 @@ def query_phase(tmp: str, scaling: dict | None) -> dict:
     queries["wand_topk_p50"] = round(statistics.median(lat), 4)
     queries["wand_topk_p95"] = round(lat[int(len(lat) * 0.95) - 1], 4)
 
+    # Spark-free serving path over the same index (query/reader.py)
+    from search_ingest_spark.query.reader import LocalSearcher
+
+    ls = LocalSearcher(cat)
+    ls.topk(WAND_QUERIES[0], 10)  # warm
+    lat_local: list[float] = []
+    for q in WAND_QUERIES:
+        for _ in range(REPEATS):
+            t0 = time.time()
+            ls.topk(q, 10)
+            lat_local.append(time.time() - t0)
+    lat_local.sort()
+    queries["wand_local_p50"] = round(statistics.median(lat_local), 4)
+    queries["wand_local_p95"] = round(lat_local[int(len(lat_local) * 0.95) - 1], 4)
+
     t0 = time.time()
     bm25.bm25_brute_force(docs, "spark query data", 10, mode="simple").collect()
     queries["bm25_brute_force"] = round(time.time() - t0, 3)
@@ -278,6 +293,16 @@ def query_phase(tmp: str, scaling: dict | None) -> dict:
                 lat2.append(time.time() - t0)
         lat2.sort()
         queries["wand_bigcorpus_p95"] = round(lat2[int(len(lat2) * 0.95) - 1], 4)
+        ls_big = LocalSearcher(Catalog(spark, scaling["_index_dir"]))
+        ls_big.topk("the", 10)
+        lat3 = []
+        for q in ["the tok0001", "café tok0010 tok2000"]:
+            for _ in range(REPEATS):
+                t0 = time.time()
+                ls_big.topk(q, 10)
+                lat3.append(time.time() - t0)
+        lat3.sort()
+        queries["wand_local_bigcorpus_p95"] = round(lat3[int(len(lat3) * 0.95) - 1], 4)
     _stop(spark)
     return queries
 

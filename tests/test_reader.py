@@ -1,0 +1,44 @@
+"""LocalSearcher (Spark-free serving path) must be bitwise identical to
+the Spark WAND path on every query — the index format is the contract."""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from search_ingest_spark.catalog import Catalog
+from search_ingest_spark.index import build as ib
+from search_ingest_spark.query.reader import LocalSearcher
+from search_ingest_spark.query.wand import Searcher
+
+QUERIES = ["spark query data", "data", "customer order line", "hash join",
+           "zzzunknown", "data zzzunknown"]
+
+
+@pytest.fixture(scope="module")
+def built(spark, documents_correct, tmp_path_factory):
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("rdr")))
+    ib.build_index(spark, documents_correct, cat, mode="simple", docs_per_shard=50)
+    return cat
+
+
+def test_local_reader_bitwise_matches_spark_path(spark, built):
+    s = Searcher(spark, built)
+    ls = LocalSearcher(built)
+    for q in QUERIES:
+        spark_rows = [tuple(r) for r in s.topk(q, 10).collect()]
+        local_rows = ls.topk(q, 10)
+        assert local_rows == spark_rows, q
+
+
+def test_local_reader_latency_is_millisecond_class(built):
+    ls = LocalSearcher(built)
+    ls.topk("data", 10)  # warm
+    t0 = time.time()
+    n = 20
+    for _ in range(n):
+        ls.topk("spark query data", 10)
+    per_query = (time.time() - t0) / n
+    # the point of the serving path: no per-query Spark job scheduling
+    assert per_query < 0.25, per_query
