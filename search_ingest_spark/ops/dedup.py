@@ -255,11 +255,36 @@ def minhash_lsh_pairs(
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
     )
-    exact = ngram_jaccard_pairs(
-        df, n=n, threshold=threshold, id_col=id_col, text_col=text_col,
-        max_shingle_df_frac=1.01,  # verification uses the unfiltered universe
+    # exact-Jaccard verification restricted to CANDIDATE docs only — the
+    # whole point of LSH is that this set is tiny relative to the corpus
+    cand_docs = (
+        cand.select(F.col("a").alias("doc_id"))
+        .union(cand.select(F.col("b").alias("doc_id")))
+        .distinct()
     )
-    return cand.join(exact, ["a", "b"]).select("a", "b", "jaccard")
+    sh = df.join(cand_docs, df[id_col] == cand_docs.doc_id, "left_semi").select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(text_col, n)).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        sh.alias("x").join(sh.alias("y"), "sh")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .groupBy(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+        .agg(F.count("*").alias("inter"))
+        .join(cand, ["a", "b"], "left_semi")
+    )
+    return (
+        inter
+        .join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sza")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("szb")), "b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 4),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
 
 
 # ---------------------------------------------------------------------------
