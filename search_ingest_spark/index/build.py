@@ -313,11 +313,20 @@ def build_index(
 
         return deco
 
-    if docs_per_shard is None:
+    # Shard layout is part of the index's identity: a resumed build MUST
+    # reuse the layout the checkpointed tokens were written with, even if
+    # the cluster size (and hence the default) changed between runs.
+    prior_dps = state.data.get("docs_per_shard")
+    if prior_dps:
+        docs_per_shard = int(prior_dps)
+    elif docs_per_shard is None:
         # target ~8 shards per core locally; on a cluster pick ~1-4M
         # docs/shard so shard-local structures stay in executor memory
         par = spark.sparkContext.defaultParallelism
         docs_per_shard = max(1, math.ceil(n_total / max(par * 2, 1)))
+    if not prior_dps:
+        state.data["docs_per_shard"] = docs_per_shard
+        state.mark("_layout")
     n_shards = max(1, math.ceil(n_total / docs_per_shard))
 
     # -- stage: tokens (the heavy scan; ONE shuffle, checkpointed) ----------
