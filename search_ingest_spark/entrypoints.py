@@ -111,6 +111,21 @@ for _name, _qtext in _WAND_QUERIES.items():
     ORACLE_SQL[_name] = bm25.bm25_oracle_sql(_qtext, k=10)
 
 
+_BATCH_QUERIES = {0: "data", 1: "spark query data", 2: "customer window batch"}
+
+
+def _q_wand_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole query set in one Spark job (Searcher.topk_many)."""
+    return _searcher(spark, sf_dir).topk_many(_BATCH_QUERIES, 10, round_to=4)
+
+
+QUERIES["bm25_wand_batch"] = _q_wand_batch
+ORACLE_SQL["bm25_wand_batch"] = "\nUNION ALL\n".join(
+    f"SELECT {qid}::INT AS query_id, * FROM ({bm25.bm25_oracle_sql(qtext, k=10)})"
+    for qid, qtext in _BATCH_QUERIES.items()
+)
+
+
 # ---------------------------------------------------------------------------
 # Text analysis (training-data pipeline ops)
 # ---------------------------------------------------------------------------

@@ -98,6 +98,53 @@ class Searcher:
         return topk.withColumn("rank", F.row_number().over(w))
 
 
+    # -- batch execution ------------------------------------------------------
+    def topk_many(
+        self, queries: dict[int, str], k: int = 10, *, round_to: int | None = None,
+    ) -> DataFrame:
+        """Execute a whole query set in ONE Spark job.
+
+        This is the throughput path the architecture is built for: the
+        per-job scheduling overhead that dominates single-query latency
+        in local mode amortizes over the set; the postings scan prunes
+        to the UNION of all queries' term ids (one pass), and each
+        shard scores every query against its already-materialized
+        Arrow batch.  Returns (query_id, doc_id, score, rank).
+        """
+        plans = {qid: self.plan(text) for qid, text in queries.items()}
+        plans = {qid: p for qid, p in plans.items() if p}
+        out_schema = "query_id int, doc_id long, score double"
+        if not plans:
+            return self.spark.createDataFrame([], out_schema + ", rank int")
+        all_tids = sorted({t for p in plans.values() for t in p})
+        pruned = self.postings.where(
+            F.col("term_id").isin([int(t) for t in all_tids])
+        )
+        avgdl = self.avgdl
+
+        def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            tid_col = pdf["term_id"].to_numpy(np.int64)
+            for qid, idf in plans.items():
+                sub = pdf[np.isin(tid_col, list(idf))]
+                res = shard_topk(sub, idf=idf, k=k, avgdl=avgdl)
+                res.insert(0, "query_id", np.int32(qid))
+                frames.append(res)
+            return pd.concat(frames, ignore_index=True)
+
+        per_shard = pruned.groupBy("shard").applyInPandas(scorer, schema=out_schema)
+        if round_to is not None:
+            per_shard = per_shard.withColumn("score", F.round("score", round_to))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            per_shard.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank")
+        )
+
+
 def _make_shard_scorer(idf: dict[int, float], k: int, avgdl: float):
     """Build the per-shard applyInPandas kernel (closure ships idf/k)."""
 

@@ -118,7 +118,7 @@ class TableSchema:
             out.append(T.StructField("_document_type", T.StringType(), False))
         return T.StructType(out)
 
-    def apply_mapping(self, df: DataFrame) -> DataFrame:
+    def apply_mapping(self, df: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
         """The projection operator (SURVEY §2 A4-A7): select mapped
         columns with override casts, add subfield/token columns, stamp
         `_document_type`.  Catalyst prunes the dropped columns all the
@@ -130,6 +130,7 @@ class TableSchema:
                 # multi-field: same source indexed twice (schemas.cr:309-323)
                 cols.append(F.col(f.name).alias(f"{f.name}__{f.es_subfield}"))
         cols.append(F.lit(self.name).alias("_document_type"))
+        cols.extend(F.col(c) for c in extra_cols)
         return df.select(*cols)
 
 
