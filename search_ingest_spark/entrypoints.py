@@ -243,6 +243,12 @@ def _q_ann_brute(spark, sf_dir):
     return similarity.brute_force_topk(_emb(spark, sf_dir), _QVEC, k=10)
 
 
+@register("dedup_embedding_bucketed")  # approximate blocking → rows-only
+def _q_emb_bucketed(spark, sf_dir):
+    return similarity.bucketed_near_dups(_emb(spark, sf_dir), nlist=8,
+                                         threshold=0.4)
+
+
 @register("ann_ivf_topk")  # approximate (bucket pruning) → rows-only check
 def _q_ann_ivf(spark, sf_dir):
     emb = _emb(spark, sf_dir)

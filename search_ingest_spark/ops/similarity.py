@@ -126,6 +126,35 @@ def assign_buckets(
     return emb.withColumn("ivf_bucket", bucket)
 
 
+def bucketed_near_dups(
+    emb: DataFrame, *, nlist: int = 16, threshold: float = 0.9,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: IVF buckets as the
+    blocking key — the self-join shuffles on bucket id and compares
+    only within-bucket pairs (O(Σ bucket²) instead of O(N²)); cosine is
+    exact within candidates.  Misses cross-bucket pairs near centroid
+    boundaries (recall < 1), which is the standard trade; the exact
+    `embedding_near_dups` is the oracle on samples."""
+    from search_ingest_spark.ops.dedup import cosine_expr
+
+    if centroids is None:
+        centroids = train_centroids(emb, nlist=nlist, vec_col=vec_col)
+    b = assign_buckets(emb, centroids, vec_col=vec_col)
+    x = b.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
+                 F.col("ivf_bucket").alias("bk"))
+    y = b.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),
+                 F.col("ivf_bucket").alias("bk"))
+    return (
+        x.join(y, "bk")
+        .where(F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(cosine_expr("va", "vb"), 4))
+        .where(F.col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    )
+
+
 def ivf_topk(
     emb_bucketed: DataFrame, centroids: np.ndarray, qvec: list[float],
     k: int = 10, *, nprobe: int = 4, id_col: str = "vec_id",

@@ -116,11 +116,19 @@ class PageIndexer:
     def apply_changes(self, changes: DataFrame) -> ChangeStats:
         """Apply one micro-batch of (url, warc_ts, html/text, _op) events."""
         spark, cat = self.spark, self.cat
-        ups = latest_per_key(
-            normalize_pages(changes.where(F.col("_op") == OP_UPSERT)),
-            "url", "warc_ts", ["text"],
+        # Last-writer-wins PER URL across BOTH op kinds (the reference
+        # consumes events in order, so a delete after an upsert in the
+        # same batch must win, and vice versa).  Tie-break on (op, text)
+        # struct order — 'upsert' > 'delete' lexicographically, i.e. an
+        # exact-timestamp tie resurrects the doc, deterministically.
+        ev = changes.select(
+            "url", "warc_ts",
+            F.coalesce(F.col("text"), extract_text_udf(F.col("html"))).alias("text"),
+            "_op",
         )
-        dels = changes.where(F.col("_op") == OP_DELETE).select("url").distinct()
+        latest = latest_per_key(ev, "url", "warc_ts", ["_op", "text"])
+        ups = latest.where(F.col("_op") == OP_UPSERT).select("url", "warc_ts", "text")
+        dels = latest.where(F.col("_op") == OP_DELETE).select("url")
 
         doc_ids = cat.read(DOC_IDS_TABLE)
         docs = cat.read(DOCS_TABLE)
