@@ -111,6 +111,17 @@ for _name, _qtext in _WAND_QUERIES.items():
     ORACLE_SQL[_name] = bm25.bm25_oracle_sql(_qtext, k=10)
 
 
+@register(
+    "bm25_wand_topk_and",
+    bm25.bm25_oracle_sql("spark query data", k=10, match_all=True),
+)
+def _q_wand_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive (AND) top-k: docs must contain every query term."""
+    return _searcher(spark, sf_dir).topk(
+        "spark query data", 10, round_to=4, match_all=True
+    )
+
+
 _BATCH_QUERIES = {0: "data", 1: "spark query data", 2: "customer window batch"}
 
 

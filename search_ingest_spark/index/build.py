@@ -387,7 +387,10 @@ def build_index(
             F.sum("pdf").alias("df"), F.sum("pcf").alias("cf")
         )
         td = dense_ids(td, "term", "term_id", n_buckets=64)
-        cat.write(TERM_DICT_TABLE, td.select("term", "term_id", "df", "cf"))
+        # sorted by term within files → parquet min/max stats prune the
+        # per-query dictionary lookups (Searcher.plan / LocalSearcher)
+        cat.write(TERM_DICT_TABLE, td.select("term", "term_id", "df", "cf"),
+                  sort_within_partitions=["term"])
 
     from concurrent.futures import ThreadPoolExecutor
 

@@ -80,6 +80,7 @@ def bm25_brute_force(
     round_to: int | None = None,
     deterministic_sum: bool = False,
     driver_idf: bool = False,
+    match_all: bool = False,
 ) -> DataFrame:
     """Exact BM25 top-k over raw docs, no index. Returns
     (doc_id, score double, rank int) ordered by (score desc, doc_id asc).
@@ -135,10 +136,17 @@ def bm25_brute_force(
                 F.array_sort(F.collect_list(F.struct("term", "partial"))),
                 F.lit(0.0),
                 lambda acc, x: acc + x["partial"],
-            ).alias("score")
+            ).alias("score"),
+            F.count("*").alias("_nmatch"),
         )
     else:
-        per_doc = scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
+        per_doc = scored.groupBy("doc_id").agg(
+            F.sum("partial").alias("score"), F.count("*").alias("_nmatch")
+        )
+    if match_all:
+        # conjunctive (AND): the doc must contain every analyzed term
+        per_doc = per_doc.where(F.col("_nmatch") == len(uniq_terms))
+    per_doc = per_doc.drop("_nmatch")
 
     if round_to is not None:
         per_doc = per_doc.withColumn("score", F.round("score", round_to))
@@ -160,12 +168,15 @@ def bm25_oracle_sql(
     id_col: str = "doc_id",
     text_col: str = "text",
     round_to: int = 4,
+    match_all: bool = False,
 ) -> str:
     """DuckDB SQL computing the identical BM25 top-k with the simple
     analyzer (`regexp_extract_all(lower(text),'[a-z0-9]+')` ==
     analysis.simple_tokens_col) — the driver-facing oracle."""
     terms = analyze_query(query_text, mode="simple")
-    term_list = ", ".join("('" + t.replace("'", "''") + "')" for t in sorted(set(terms)))
+    uniq = sorted(set(terms))
+    term_list = ", ".join("('" + t.replace("'", "''") + "')" for t in uniq)
+    having = f"\n  HAVING count(*) = {len(uniq)}" if match_all else ""
     return f"""
 WITH toks AS (
   SELECT {id_col} AS doc_id,
@@ -188,7 +199,7 @@ scores AS (
   JOIN dfreq USING (term)
   JOIN dl USING (doc_id)
   CROSS JOIN stats
-  GROUP BY tf.doc_id
+  GROUP BY tf.doc_id{having}
 ),
 topk AS (
   SELECT doc_id, round(score_raw, {round_to})::DOUBLE AS score

@@ -78,15 +78,20 @@ class Searcher:
         }
 
     # -- execution ----------------------------------------------------------
-    def topk(self, query_text: str, k: int = 10, *, round_to: int | None = None) -> DataFrame:
-        """(doc_id, score, rank) — rank-identical to the brute-force oracle."""
+    def topk(self, query_text: str, k: int = 10, *, round_to: int | None = None,
+             match_all: bool = False) -> DataFrame:
+        """(doc_id, score, rank) — rank-identical to the brute-force oracle.
+
+        `match_all=True` = conjunctive (AND) query.  A query with terms
+        missing from the dictionary can match nothing under AND."""
         idf = self.plan(query_text)
         out_schema = "doc_id long, score double"
-        if not idf:
+        n_query_terms = len(set(analyze_query(query_text, mode=self.mode)))
+        if not idf or (match_all and len(idf) < n_query_terms):
             return self.spark.createDataFrame([], out_schema + ", rank int")
         term_ids = sorted(idf)
         pruned = self.postings.where(F.col("term_id").isin([int(t) for t in term_ids]))
-        scorer = _make_shard_scorer(idf, k, self.avgdl)
+        scorer = _make_shard_scorer(idf, k, self.avgdl, match_all)
         per_shard = pruned.groupBy("shard").applyInPandas(scorer, schema=out_schema)
         topk = per_shard
         if round_to is not None:
@@ -145,20 +150,25 @@ class Searcher:
         )
 
 
-def _make_shard_scorer(idf: dict[int, float], k: int, avgdl: float):
+def _make_shard_scorer(idf: dict[int, float], k: int, avgdl: float,
+                       match_all: bool = False):
     """Build the per-shard applyInPandas kernel (closure ships idf/k)."""
 
     def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
-        return shard_topk(pdf, idf=idf, k=k, avgdl=avgdl)
+        return shard_topk(pdf, idf=idf, k=k, avgdl=avgdl, match_all=match_all)
 
     return scorer
 
 
 def shard_topk(
     pdf: pd.DataFrame, *, idf: dict[int, float], k: int, avgdl: float,
-    k1: float = K1, b: float = B,
+    k1: float = K1, b: float = B, match_all: bool = False,
 ) -> pd.DataFrame:
     """Exact top-k for one shard's query-term postings (block-max pruning).
+
+    `match_all=True` = conjunctive (AND) semantics: only docs containing
+    EVERY query term qualify (ES `operator: and`); the OR upper bounds
+    remain valid bounds so pruning stays exact.
 
     Pure function over the postings rows of ONE shard — unit-testable
     without Spark."""
@@ -263,8 +273,16 @@ def shard_topk(
         # NOT usable here: it sums pairwise, not left-to-right.)
         docs_u = np.unique(np.concatenate(seg_docs))
         scores_u = np.zeros(len(docs_u), dtype=np.float64)
+        nmatch = np.zeros(len(docs_u), dtype=np.int32)
         for d_arr, c_arr in zip(seg_docs, seg_contrib):
-            scores_u[np.searchsorted(docs_u, d_arr)] += c_arr
+            idxs = np.searchsorted(docs_u, d_arr)
+            scores_u[idxs] += c_arr
+            nmatch[idxs] += 1
+        if match_all:
+            qual = nmatch == len(term_ids)
+            docs_u, scores_u = docs_u[qual], scores_u[qual]
+            if len(docs_u) == 0:
+                continue
         results_docs.append(docs_u)
         results_scores.append(scores_u)
         # update threshold heap (score asc, doc_id desc so kth = weakest)

@@ -101,6 +101,28 @@ class TestRankIdentity:
         s = Searcher(spark, cat)
         assert s.topk("zzzzunknownterm", 10).count() == 0
 
+    @pytest.mark.parametrize("q", ["spark query data", "data table"])
+    def test_conjunctive_and_bitwise(self, spark, documents_correct, doc_index, q):
+        cat, _ = doc_index
+        s = Searcher(spark, cat)
+        fast = [tuple(r) for r in s.topk(q, 10, match_all=True).collect()]
+        slow = [
+            tuple(r)
+            for r in bm25_brute_force(
+                documents_correct, q, 10, mode="simple",
+                deterministic_sum=True, driver_idf=True, match_all=True,
+            ).collect()
+        ]
+        assert fast == slow
+        # AND results ⊆ OR results' doc set is NOT generally true for
+        # top-k, but every AND hit must contain all terms — spot-check
+        # via the oracle instead (driver query covers it)
+
+    def test_conjunctive_unknown_term_empty(self, spark, doc_index):
+        cat, _ = doc_index
+        s = Searcher(spark, cat)
+        assert s.topk("data zzzunknown", 10, match_all=True).count() == 0
+
     def test_mixed_known_unknown(self, spark, documents_correct, doc_index):
         cat, _ = doc_index
         s = Searcher(spark, cat)
