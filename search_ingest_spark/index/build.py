@@ -294,14 +294,16 @@ def build_index(
     fp, n_total = _input_fingerprint(docs, id_col, text_col)
     state = _BuildState(cat, fp) if resume else _BuildState(cat, f"nores-{time.time()}")
 
-    def stage(name: str, tables: list[str] | None = None, alt_tables: list[str] | None = None):
+    def stage(name: str, tables: list[str] | None = None,
+              alt_tables: list[list[str]] | None = None):
         """Run-or-skip a checkpointed stage: skip iff marked done AND its
-        output tables (or the `alt_tables` that supersede them) exist."""
+        output tables (or any alternative table-set that supersedes
+        them) exist."""
 
         def deco(fn):
             t0 = time.time()
-            outputs_ok = all(cat.exists(t) for t in (tables or [])) or (
-                alt_tables is not None and all(cat.exists(t) for t in alt_tables)
+            outputs_ok = all(cat.exists(t) for t in (tables or [])) or any(
+                all(cat.exists(t) for t in alt) for alt in (alt_tables or [])
             )
             if state.done(name) and outputs_ok:
                 skipped.append(name)
@@ -360,10 +362,11 @@ def build_index(
 
     tokens = cat.read(TOKENS_TABLE)
 
-    # doc_lens+stats and term_dict are independent scans of the (cached)
-    # sorted tokens — run them concurrently so the cluster isn't idle in
-    # the small tail of either (the reference's per-table Promise.map
-    # fan-out, table_manager.cr:75-93, as two Spark jobs in flight)
+    # doc_lens+stats, term_dict, and the block ENCODE are all independent
+    # consumers of the one shard-sorted exchange — run them concurrently
+    # (the reference's per-table Promise.map fan-out, table_manager.cr:75-93).
+    # The encoder is term-STRING-keyed, so only the tiny blocks→term_id
+    # join afterwards needs term_dict; the expensive encode never waits.
     agg_src = sorted_tokens if sorted_tokens is not None else tokens
 
     def _doc_lens_fn():
@@ -392,75 +395,75 @@ def build_index(
         cat.write(TERM_DICT_TABLE, td.select("term", "term_id", "df", "cf"),
                   sort_within_partitions=["term"])
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    need_dl = not (state.done("doc_lens") and cat.exists(DOC_LENS_TABLE)
-                   and cat.exists(STATS_TABLE))
-    need_td = not (state.done("term_dict") and cat.exists(TERM_DICT_TABLE))
-    if need_dl and need_td:
-        with ThreadPoolExecutor(2) as pool:
-            f1 = pool.submit(_doc_lens_fn)
-            f2 = pool.submit(_term_dict_fn)
-            f1.result()
-            f2.result()
-        state.mark("doc_lens")
-        state.mark("term_dict")
-        run.extend(["doc_lens", "term_dict"])
-    else:
-        stage("doc_lens", tables=[DOC_LENS_TABLE, STATS_TABLE])(_doc_lens_fn)
-        stage("term_dict", tables=[TERM_DICT_TABLE])(_term_dict_fn)
-
-    # -- stage: postings (block encode over the existing sort) ---------------
-    stats_row = cat.read(STATS_TABLE).first()
-    term_dict = cat.read(TERM_DICT_TABLE)
-
-    def _build_postings_batch(batch_id: int, shard_lo: int, shard_hi: int) -> None:
-        if sorted_tokens is not None:
-            src_runs = sorted_tokens.where(
-                (F.col("shard") >= shard_lo) & (F.col("shard") < shard_hi)
-            )
-            # already partitioned+sorted by the tokens-stage exchange
-            sorted_runs = src_runs
-        else:
-            # resume path: tokens read back from the checkpoint lost
-            # their physical ordering — re-establish it
-            toks = tokens.where(
-                (F.col("shard") >= shard_lo) & (F.col("shard") < shard_hi)
-            )
-            sorted_runs = toks.repartition(
-                max(1, min(shard_hi - shard_lo, n_part)), "shard"
-            ).sortWithinPartitions("shard", "term", "doc_id")
-        blocks = sorted_runs.select("shard", "term", "doc_id", "tf", "dl").mapInPandas(
-            _encode_partition, schema=POSTINGS_ENC_SCHEMA,
-        )
-        enc = blocks.join(term_dict.select("term", "term_id"), "term").select(
-            "term_id", "shard", "block_id", "first_doc_id", "last_doc_id",
-            "n_docs", "max_tf", "min_dl", "data",
-        )
-        # blocks are ~2 orders of magnitude fewer rows than postings, so
-        # this join + repartition is cheap; repartition restores the
-        # shard grouping the join's exchange may have broken
-        enc = enc.repartition(
-            max(1, min(shard_hi - shard_lo, n_part)), "shard"
-        )
-        cat.write(
-            _batch_table(batch_id), enc,
-            partition_by=["shard"],
-            sort_within_partitions=["shard", "term_id", "block_id"],
-        )
-
     n_batches = max(1, min(shard_batches, n_shards))
     bounds = [
         (i, i * n_shards // n_batches, (i + 1) * n_shards // n_batches)
         for i in range(n_batches)
     ]
 
-    for bid, lo, hi in bounds:
-        sname = f"postings_batch_{bid}"
+    def _encode_batch(batch_id: int, shard_lo: int, shard_hi: int) -> None:
+        if sorted_tokens is not None:
+            # already partitioned+sorted by the tokens-stage exchange
+            src_runs = sorted_tokens.where(
+                (F.col("shard") >= shard_lo) & (F.col("shard") < shard_hi)
+            )
+        else:
+            # resume path: tokens read back from the checkpoint lost
+            # their physical ordering — re-establish it
+            src_runs = tokens.where(
+                (F.col("shard") >= shard_lo) & (F.col("shard") < shard_hi)
+            ).repartition(
+                max(1, min(shard_hi - shard_lo, n_part)), "shard"
+            ).sortWithinPartitions("shard", "term", "doc_id")
+        blocks = src_runs.select("shard", "term", "doc_id", "tf", "dl").mapInPandas(
+            _encode_partition, schema=POSTINGS_ENC_SCHEMA,
+        )
+        # input is shard-grouped, so each task writes few partition dirs
+        cat.write(_blocks_table(batch_id), blocks, partition_by=["shard"])
 
-        @stage(sname, tables=[_batch_table(bid)], alt_tables=[POSTINGS_TABLE])
-        def _batch(bid=bid, lo=lo, hi=hi):
-            _build_postings_batch(bid, lo, hi)
+    # ---- concurrent phase: aggs + encodes ---------------------------------
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _stage_job(name, tables, alt, fn):
+        def run_it():
+            stage(name, tables=tables, alt_tables=alt)(fn)
+        return run_it
+
+    jobs = [
+        _stage_job("doc_lens", [DOC_LENS_TABLE, STATS_TABLE], None, _doc_lens_fn),
+        _stage_job("term_dict", [TERM_DICT_TABLE], None, _term_dict_fn),
+    ]
+    for bid, lo, hi in bounds:
+        jobs.append(_stage_job(
+            f"blocks_batch_{bid}", [_blocks_table(bid)],
+            [[_batch_table(bid)], [POSTINGS_TABLE]],
+            (lambda bid=bid, lo=lo, hi=hi: _encode_batch(bid, lo, hi)),
+        ))
+    with ThreadPoolExecutor(max_workers=len(jobs)) as pool:
+        futures = [pool.submit(j) for j in jobs]
+        for f in futures:
+            f.result()
+
+    # ---- join dense ids onto the (small) blocks output --------------------
+    stats_row = cat.read(STATS_TABLE).first()
+    term_dict = cat.read(TERM_DICT_TABLE)
+
+    for bid, lo, hi in bounds:
+
+        @stage(f"postings_batch_{bid}", tables=[_batch_table(bid)],
+               alt_tables=[[POSTINGS_TABLE]])
+        def _join_batch(bid=bid, lo=lo, hi=hi):
+            blocks = cat.read(_blocks_table(bid))
+            enc = blocks.join(term_dict.select("term", "term_id"), "term").select(
+                "term_id", "shard", "block_id", "first_doc_id", "last_doc_id",
+                "n_docs", "max_tf", "min_dl", "data",
+            ).repartition(max(1, min(hi - lo, n_part)), "shard")
+            cat.write(
+                _batch_table(bid), enc,
+                partition_by=["shard"],
+                sort_within_partitions=["shard", "term_id", "block_id"],
+            )
+            cat.drop(_blocks_table(bid))
 
     @stage("postings", tables=[POSTINGS_TABLE])
     def _publish():
@@ -515,5 +518,9 @@ def build_index(
 
 def _batch_table(batch_id: int) -> str:
     return f"postings__b{batch_id}"
+
+
+def _blocks_table(batch_id: int) -> str:
+    return f"blocks__b{batch_id}"
 
 

@@ -56,10 +56,12 @@ class LocalSearcher:
             for tid, df in zip(tbl["term_id"].to_pylist(), tbl["df"].to_pylist())
         }
 
-    def topk(self, query_text: str, k: int = 10) -> list[tuple[int, float, int]]:
+    def topk(self, query_text: str, k: int = 10, *,
+             match_all: bool = False) -> list[tuple[int, float, int]]:
         """[(doc_id, score, rank)] — bitwise identical to Searcher.topk."""
         idf = self.plan(query_text)
-        if not idf:
+        n_terms = len(set(analyze_query(query_text, mode=self.mode)))
+        if not idf or (match_all and len(idf) < n_terms):
             return []
         tbl = self._postings.to_table(
             filter=pc.field("term_id").isin([int(t) for t in idf]),
@@ -68,7 +70,7 @@ class LocalSearcher:
         if len(pdf) == 0:
             return []
         frames = [
-            shard_topk(g, idf=idf, k=k, avgdl=self.avgdl)
+            shard_topk(g, idf=idf, k=k, avgdl=self.avgdl, match_all=match_all)
             for _, g in pdf.groupby("shard", sort=True)
         ]
         allr = pd.concat(frames, ignore_index=True)

@@ -32,6 +32,14 @@ def test_local_reader_bitwise_matches_spark_path(spark, built):
         assert local_rows == spark_rows, q
 
 
+def test_local_reader_and_mode_matches(spark, built):
+    s = Searcher(spark, built)
+    ls = LocalSearcher(built)
+    for q in ["spark query data", "data table", "data zzzunknown"]:
+        spark_rows = [tuple(r) for r in s.topk(q, 10, match_all=True).collect()]
+        assert ls.topk(q, 10, match_all=True) == spark_rows, q
+
+
 def test_local_reader_latency_is_millisecond_class(built):
     ls = LocalSearcher(built)
     ls.topk("data", 10)  # warm
