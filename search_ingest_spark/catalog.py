@@ -45,6 +45,8 @@ class Catalog:
         self.spark = spark
         self.root = root
         os.makedirs(root, exist_ok=True)
+        self._txn: list[dict] | None = None
+        self._recover_txn()
 
     # -- paths -------------------------------------------------------------
     def _dir(self, name: str) -> str:
@@ -54,6 +56,12 @@ class Catalog:
         return os.path.join(self._dir(name), "_table_meta.json")
 
     def _load_meta(self, name: str) -> dict | None:
+        # a pending (uncommitted) snapshot staged inside the active
+        # transaction shadows the committed one for THIS writer's reads
+        if self._txn is not None:
+            for e in reversed(self._txn):
+                if e["name"] == name:
+                    return e["meta"]
         try:
             with open(self._meta_path(name)) as fh:
                 return json.load(fh)
@@ -65,6 +73,78 @@ class Catalog:
         if meta is None:
             raise FileNotFoundError(f"no such table: {name}")
         return os.path.join(self._dir(name), meta["current"])
+
+    # -- multi-table transactions -------------------------------------------
+    # The Iceberg multi-table-commit analog: snapshot swaps performed
+    # inside begin()/commit() are journaled to one fsynced _txn.json and
+    # applied together; a crash before the journal lands leaves every
+    # table on its previous snapshot, a crash after it is rolled FORWARD
+    # on the next Catalog open (_recover_txn — publishing a journaled
+    # swap is idempotent).  This is what makes the incremental splice's
+    # delta-maintained stats/term_dict replay-safe: replays always see
+    # either the full pre-batch or the full post-batch state, never a
+    # torn mix (streaming/incremental.py).
+
+    def _txn_path(self) -> str:
+        return os.path.join(self.root, "_txn.json")
+
+    def _recover_txn(self) -> None:
+        try:
+            with open(self._txn_path()) as fh:
+                journal = json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return
+        for e in journal.get("entries", []):
+            self._apply_publish(e)
+        os.remove(self._txn_path())
+
+    def begin(self) -> None:
+        if self._txn is not None:
+            raise RuntimeError("transaction already active")
+        self._txn = []
+
+    def rollback(self) -> None:
+        entries, self._txn = (self._txn or []), None
+        for e in entries:
+            shutil.rmtree(
+                os.path.join(self._dir(e["name"]), e["meta"]["current"]),
+                ignore_errors=True,
+            )
+
+    def commit(self) -> None:
+        if self._txn is None:
+            raise RuntimeError("no active transaction")
+        entries, self._txn = self._txn, None
+        if not entries:
+            return
+        tmp = self._txn_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"entries": entries}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._txn_path())  # the commit point
+        for e in entries:
+            self._apply_publish(e)
+        os.remove(self._txn_path())
+
+    def _apply_publish(self, e: dict) -> None:
+        name = e["name"]
+        os.makedirs(self._dir(name), exist_ok=True)
+        tmp = self._meta_path(name) + f".{uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(e["meta"], fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self._meta_path(name))
+        for d in e.get("cleanup", []):
+            shutil.rmtree(os.path.join(self._dir(name), d), ignore_errors=True)
+
+    def _publish(self, name: str, meta: dict, cleanup: list[str]) -> None:
+        entry = {"name": name, "meta": meta, "cleanup": cleanup}
+        if self._txn is not None:
+            self._txn.append(entry)
+            return
+        self._apply_publish(entry)
 
     # -- DDL ----------------------------------------------------------------
     def exists(self, name: str) -> bool:
@@ -131,15 +211,9 @@ class Catalog:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(target)
         meta = {"current": gen, "schema": json.dumps(df.schema.jsonValue())}
-        tmp = self._meta_path(name) + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(meta, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
         prev = self._load_meta(name)
-        os.replace(tmp, self._meta_path(name))
-        if prev is not None and prev["current"] != gen:
-            shutil.rmtree(os.path.join(tdir, prev["current"]), ignore_errors=True)
+        cleanup = [prev["current"]] if prev and prev["current"] != gen else []
+        self._publish(name, meta, cleanup)
 
     def replace_partitions(
         self,
@@ -153,23 +227,44 @@ class Catalog:
         `partition_by`-written table with `df`'s data (which must contain
         only dirty partitions) — the Parquet stand-in for Iceberg's
         dynamic partition overwrite.  Clean partitions are untouched on
-        disk, so an incremental batch costs IO proportional to the dirty
-        set, not the table.  Swap is per-partition-dir rename: atomic per
-        partition; the caller's build-state marks batch completion.
-        """
+        disk (hardlinked, zero data copy), so an incremental batch costs
+        IO proportional to the dirty set, not the table.
+
+        Crash safety matches write(): a FULL new snapshot dir is staged
+        (clean partition dirs hardlinked, dirty ones moved in from the
+        staging write), then published with the same fsynced
+        _table_meta.json pointer swap — a crash mid-call leaves the live
+        snapshot byte-identical; no partition can go missing."""
         cur = self.data_path(name)
-        stage = os.path.join(self._dir(name), f"stage-{uuid.uuid4().hex[:12]}")
+        meta = self._load_meta(name)
+        tdir = self._dir(name)
+        stage = os.path.join(tdir, f"stage-{uuid.uuid4().hex[:12]}")
         df.write.mode("overwrite").partitionBy(partition_col).parquet(stage)
+
+        gen = f"snap-{uuid.uuid4().hex[:12]}"
+        target = os.path.join(tdir, gen)
+        os.makedirs(target)
+        replaced = {f"{partition_col}={v}" for v in dirty_values}
+        replaced.update(f"{partition_col}={v}" for v in (drop_values or []))
+        for entry in os.listdir(cur):
+            if entry in replaced:
+                continue  # superseded (or dropped) by this batch
+            src, dst = os.path.join(cur, entry), os.path.join(target, entry)
+            if os.path.isdir(src):
+                shutil.copytree(src, dst, copy_function=os.link)
+            else:
+                os.link(src, dst)  # e.g. _SUCCESS marker
         for v in dirty_values:
             sub = f"{partition_col}={v}"
-            src, dst = os.path.join(stage, sub), os.path.join(cur, sub)
-            if os.path.exists(dst):
-                shutil.rmtree(dst)
+            src = os.path.join(stage, sub)
             if os.path.exists(src):
-                os.rename(src, dst)
-        for v in drop_values or []:
-            shutil.rmtree(os.path.join(cur, f"{partition_col}={v}"), ignore_errors=True)
+                # a dirty partition absent from `df` (all rows deleted)
+                # simply isn't carried into the new snapshot
+                os.rename(src, os.path.join(target, sub))
         shutil.rmtree(stage, ignore_errors=True)
+
+        new_meta = {"current": gen, "schema": meta["schema"]}
+        self._publish(name, new_meta, [meta["current"]])
 
     def read(self, name: str) -> DataFrame:
         schema = self.get_mapping(name)

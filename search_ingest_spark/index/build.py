@@ -49,7 +49,9 @@ from __future__ import annotations
 import json
 import math
 import os
+import threading
 import time
+import uuid
 from collections.abc import Iterator
 from dataclasses import dataclass
 
@@ -110,7 +112,15 @@ def dense_ids(df: DataFrame, key_col: str, out_col: str, n_buckets: int = 256) -
     ranged = df.repartitionByRange(n_buckets, F.col(key_col)).sortWithinPartitions(key_col)
     with_bucket = ranged.withColumn("_bucket", F.spark_partition_id())
     counts = with_bucket.groupBy("_bucket").agg(F.count("*").alias("_cnt"))
-    w = Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    # the counts table is n_buckets rows BY CONSTRUCTION, so a
+    # single-partition window is the intended physical plan; partition on
+    # a non-foldable constant (pmod(_bucket, 1) == 0) so WindowExec does
+    # not log its moving-all-data warning on every build
+    w = (
+        Window.partitionBy(F.pmod(F.col("_bucket"), F.lit(1)))
+        .orderBy("_bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     offsets = counts.withColumn("_off", F.coalesce(F.sum("_cnt").over(w), F.lit(0)))
     rank_w = Window.partitionBy("_bucket").orderBy(key_col)
     return (
@@ -124,10 +134,12 @@ def dense_ids(df: DataFrame, key_col: str, out_col: str, n_buckets: int = 256) -
 def _input_fingerprint(docs: DataFrame, id_col: str, text_col: str) -> tuple[str, int]:
     """Cheap deterministic input fingerprint + row count in ONE columnar
     scan (lineage for resume idempotence; the count feeds shard sizing)."""
+    # content-sensitive: xxhash64(id, text) — a same-length text edit must
+    # change the fingerprint or resume=True would silently serve stale data
     row = docs.select(
         F.count("*").alias("n"),
         F.expr(f"bit_xor(xxhash64({id_col}))").alias("h1"),
-        F.expr(f"bit_xor(xxhash64(length({text_col})))").alias("h2"),
+        F.expr(f"bit_xor(xxhash64({id_col}, {text_col}))").alias("h2"),
     ).first()
     return f"{row['n']}:{row['h1']}:{row['h2']}", int(row["n"])
 
@@ -146,18 +158,23 @@ class _BuildState:
         except (FileNotFoundError, json.JSONDecodeError):
             data = {"input_fp": input_fp, "stages": {}}
         self.data = data
+        # concurrent stages (doc_lens/term_dict/blocks run in a thread pool)
+        # finish together: serialize the read-modify-write and give each
+        # call its own tmp file so two os.replace never race
+        self._lock = threading.Lock()
 
     def done(self, stage: str) -> bool:
         return stage in self.data["stages"]
 
     def mark(self, stage: str, **meta) -> None:
-        self.data["stages"][stage] = {"ts": time.time(), **meta}
-        tmp = self.path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(self.data, fh)
-            fh.flush()
-            os.fsync(fh.fileno())
-        os.replace(tmp, self.path)
+        with self._lock:
+            self.data["stages"][stage] = {"ts": time.time(), **meta}
+            tmp = f"{self.path}.{uuid.uuid4().hex[:8]}.tmp"
+            with open(tmp, "w") as fh:
+                json.dump(self.data, fh)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.replace(tmp, self.path)
 
 
 # ---------------------------------------------------------------------------
@@ -373,10 +390,27 @@ def build_index(
         dl = agg_src.groupBy("doc_id").agg(
             F.first("dl").alias("dl"), F.first("shard").alias("shard")
         )
-        cat.write(DOC_LENS_TABLE, dl.select("doc_id", "shard", "dl"))
-        st = cat.read(DOC_LENS_TABLE).agg(
-            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-        ).withColumn("n_shards", F.lit(n_shards)).withColumn("analyzer", F.lit(mode))
+        # partitioned by shard so the incremental splice can replace only
+        # dirty shards' doc lengths (repartition first — partitionBy
+        # without it opens a writer per task×shard)
+        cat.write(
+            DOC_LENS_TABLE,
+            dl.select("doc_id", "dl", "shard").repartition(n_part, "shard"),
+            partition_by=["shard"],
+        )
+        # stats carries sum_dl as an exact LONG so incremental batches can
+        # delta-maintain it; avgdl = cast(sum)/cast(count) is bitwise what
+        # F.avg computes (doubles are exact for integer sums < 2^53)
+        st = (
+            cat.read(DOC_LENS_TABLE)
+            .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
+            .withColumn(
+                "avgdl",
+                F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"),
+            )
+            .withColumn("n_shards", F.lit(n_shards))
+            .withColumn("analyzer", F.lit(mode))
+        )
         cat.write(STATS_TABLE, st)
 
     def _term_dict_fn():

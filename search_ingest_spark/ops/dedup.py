@@ -88,22 +88,31 @@ def shingles_col(text_col: str = "text", n: int = 3):
 def ngram_jaccard_pairs(
     df: DataFrame, *, n: int = 3, threshold: float = 0.8,
     id_col: str = "doc_id", text_col: str = "text",
-    max_shingle_df_frac: float = 0.5,
+    max_shingle_df_frac: float = 0.5, max_shingle_df: int = 512,
 ) -> DataFrame:
     """Exact Jaccard-over-shingles similarity join: pairs (a < b) with
     J(a,b) ≥ threshold.  |A∩B| via a shingle-key equi-join (shuffle on
-    shingle), |A∪B| = |A|+|B|-|A∩B|.  Shingles above
-    `max_shingle_df_frac` are dropped on BOTH the join and the set-size
-    side (consistent Jaccard over the filtered universe) — the hot-key
-    (boilerplate) skew defense."""
-    n_docs_df = df.count()
-    cap = int(n_docs_df * max_shingle_df_frac)
+    shingle), |A∪B| = |A|+|B|-|A∩B|.  Shingles above the df cap are
+    dropped on BOTH the join and the set-size side (consistent Jaccard
+    over the filtered universe) — the hot-key (boilerplate) skew defense.
+
+    The cap is min(frac·N, `max_shingle_df`): the ABSOLUTE cap is the one
+    that matters at scale — a fractional cap alone still admits O(N²)
+    join pairs from a single boilerplate shingle (df = 0.5N → N²/8
+    pairs); a few-hundred absolute cap bounds any shingle's pair fan-out
+    by a constant (Lucene's maxDocFreq idea).  N comes from a lazy 1-row
+    aggregate (no eager driver-side count job)."""
+    n_docs_1row = df.agg(F.count("*").alias("_n"))
     sh = df.select(
         F.col(id_col).alias("doc_id"), F.explode(shingles_col(text_col, n)).alias("sh")
     )
     live = (
         sh.groupBy("sh").agg(F.count("*").alias("sdf"))
-        .where(F.col("sdf") <= cap)
+        .crossJoin(F.broadcast(n_docs_1row))
+        .where(F.col("sdf") <= F.least(
+            F.floor(F.col("_n") * F.lit(max_shingle_df_frac)),
+            F.lit(max_shingle_df),
+        ))
     )
     sh = sh.join(live.select("sh"), "sh")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -128,7 +137,7 @@ def ngram_jaccard_pairs(
 def ngram_jaccard_sql(
     table: str = "documents", *, n: int = 3, threshold: float = 0.8,
     id_col: str = "doc_id", text_col: str = "text",
-    max_shingle_df_frac: float = 0.5,
+    max_shingle_df_frac: float = 0.5, max_shingle_df: int = 512,
 ) -> str:
     return f"""
 WITH toks AS (
@@ -144,7 +153,9 @@ sh AS (
 ),
 live AS (
   SELECT sh FROM sh GROUP BY sh
-  HAVING count(*) <= (SELECT count(*) * {max_shingle_df_frac} FROM {table})
+  HAVING count(*) <= least(
+    (SELECT floor(count(*) * {max_shingle_df_frac}) FROM {table}),
+    {max_shingle_df})
 ),
 shf AS (SELECT sh.* FROM sh JOIN live USING (sh)),
 sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),

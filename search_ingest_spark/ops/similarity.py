@@ -43,10 +43,9 @@ def brute_force_topk(
     topk = scored.select("vec_id", "cosine").orderBy(
         F.desc("cosine"), F.asc("vec_id")
     ).limit(k)
-    from pyspark.sql import Window
+    from search_ingest_spark.ranking import ranked_desc
 
-    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return topk.withColumn("rank", F.row_number().over(w))
+    return ranked_desc(topk, "cosine", "vec_id")
 
 
 def brute_force_topk_sql(

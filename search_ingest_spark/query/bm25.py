@@ -152,12 +152,9 @@ def bm25_brute_force(
         per_doc = per_doc.withColumn("score", F.round("score", round_to))
     topk = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     # rank over the already-rounded score → deterministic across engines
-    from pyspark.sql import Window
+    from search_ingest_spark.ranking import ranked_desc
 
-    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-    return topk.withColumn("rank", F.row_number().over(w)).select(
-        "doc_id", "score", "rank"
-    )
+    return ranked_desc(topk, "score", "doc_id")
 
 
 def bm25_oracle_sql(

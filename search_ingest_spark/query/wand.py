@@ -61,20 +61,28 @@ class Searcher:
         self.mode = st["analyzer"]
         self.postings = cat.read(ib.POSTINGS_TABLE)
         self.term_dict = cat.read(ib.TERM_DICT_TABLE)
+        # planning reads the (tiny, term-sorted) dictionary via pyarrow —
+        # row groups pruned by term min/max stats, NO Spark job per query
+        # (the ES analog: the coordinating node's in-memory term lookup)
+        import pyarrow.dataset as ds
+
+        self._dict_ds = ds.dataset(cat.data_path(ib.TERM_DICT_TABLE))
 
     # -- planning -----------------------------------------------------------
     def plan(self, query_text: str) -> dict[int, float]:
         """term_id → idf for the query's terms present in the dictionary."""
+        import pyarrow.compute as pc
+
         terms = sorted(set(analyze_query(query_text, mode=self.mode)))
         if not terms:
             return {}
-        rows = self.term_dict.where(F.col("term").isin(terms)).select(
-            "term_id", "df"
-        ).collect()
+        tbl = self._dict_ds.to_table(
+            columns=["term_id", "df"], filter=pc.field("term").isin(terms)
+        )
         n = self.n_docs
         return {
-            int(r["term_id"]): float(np.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5)))
-            for r in rows
+            int(tid): float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+            for tid, df in zip(tbl["term_id"].to_pylist(), tbl["df"].to_pylist())
         }
 
     # -- execution ----------------------------------------------------------
@@ -91,16 +99,15 @@ class Searcher:
             return self.spark.createDataFrame([], out_schema + ", rank int")
         term_ids = sorted(idf)
         pruned = self.postings.where(F.col("term_id").isin([int(t) for t in term_ids]))
-        scorer = _make_shard_scorer(idf, k, self.avgdl, match_all)
+        scorer = _make_shard_scorer(idf, k, self.avgdl, match_all, round_to)
         per_shard = pruned.groupBy("shard").applyInPandas(scorer, schema=out_schema)
         topk = per_shard
         if round_to is not None:
             topk = topk.withColumn("score", F.round("score", round_to))
         topk = topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        from pyspark.sql import Window
+        from search_ingest_spark.ranking import ranked_desc
 
-        w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
-        return topk.withColumn("rank", F.row_number().over(w))
+        return ranked_desc(topk, "score", "doc_id")
 
 
     # -- batch execution ------------------------------------------------------
@@ -132,7 +139,7 @@ class Searcher:
             tid_col = pdf["term_id"].to_numpy(np.int64)
             for qid, idf in plans.items():
                 sub = pdf[np.isin(tid_col, list(idf))]
-                res = shard_topk(sub, idf=idf, k=k, avgdl=avgdl)
+                res = shard_topk(sub, idf=idf, k=k, avgdl=avgdl, round_to=round_to)
                 res.insert(0, "query_id", np.int32(qid))
                 frames.append(res)
             return pd.concat(frames, ignore_index=True)
@@ -151,11 +158,12 @@ class Searcher:
 
 
 def _make_shard_scorer(idf: dict[int, float], k: int, avgdl: float,
-                       match_all: bool = False):
+                       match_all: bool = False, round_to: int | None = None):
     """Build the per-shard applyInPandas kernel (closure ships idf/k)."""
 
     def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
-        return shard_topk(pdf, idf=idf, k=k, avgdl=avgdl, match_all=match_all)
+        return shard_topk(pdf, idf=idf, k=k, avgdl=avgdl, match_all=match_all,
+                          round_to=round_to)
 
     return scorer
 
@@ -163,6 +171,7 @@ def _make_shard_scorer(idf: dict[int, float], k: int, avgdl: float,
 def shard_topk(
     pdf: pd.DataFrame, *, idf: dict[int, float], k: int, avgdl: float,
     k1: float = K1, b: float = B, match_all: bool = False,
+    round_to: int | None = None,
 ) -> pd.DataFrame:
     """Exact top-k for one shard's query-term postings (block-max pruning).
 
@@ -201,6 +210,12 @@ def shard_topk(
     order = np.argsort(starts, kind="stable")
     bounds = starts[order]
     seg_ub = np.cumsum(deltas[order])
+    # float-cancellation defense: sequential-sum error after i events is
+    # bounded by i * eps * Σ|delta|; inflate each prefix by that bound so
+    # accumulated cancellation across many block boundaries can never
+    # erode a segment UB below the true bound (the prune stays exact)
+    mag = np.cumsum(np.abs(deltas[order]))
+    seg_ub = seg_ub + mag * (np.arange(1, len(seg_ub) + 1) * 2.3e-16)
     # merge duplicate boundaries (keep last cumsum at each boundary)
     uniq_mask = np.concatenate([bounds[1:] != bounds[:-1], [True]])
     seg_lo = bounds[uniq_mask]                      # segment start doc ids
@@ -224,8 +239,15 @@ def shard_topk(
     datas = pdf["data"].to_numpy(object)
     ndocs = pdf["n_docs"].to_numpy(np.int64)
 
+    # When the caller ranks on ROUNDED scores (round_to set), a doc whose
+    # raw score is below the kth raw score by less than one rounding ulp
+    # can still round-tie with it and win on the doc_id tie-break — so
+    # both the prune threshold and the final truncation keep a guard band
+    # of one ulp (10^-round_to) around the kth raw score.
+    guard = 10.0 ** -round_to if round_to is not None else 0.0
+
     def theta() -> float:
-        return heap[0][0] if len(heap) >= k else -np.inf
+        return heap[0][0] - guard if len(heap) >= k else -np.inf
 
     def decode_row(r: int) -> tuple[np.ndarray, np.ndarray]:
         got = decoded.get(r)
@@ -301,7 +323,14 @@ def shard_topk(
     docs_all = np.concatenate(results_docs)
     scores_all = np.concatenate(results_scores)
     # a doc appears in exactly one segment (segments partition doc space)
-    top = np.lexsort((docs_all, -scores_all))[:k]
+    order_all = np.lexsort((docs_all, -scores_all))
+    if round_to is not None and k > 0 and len(order_all) > k:
+        # emit every doc within one rounding ulp of the kth raw score —
+        # the global (rounded) rank stage resolves the ties exactly
+        kth = scores_all[order_all[k - 1]]
+        top = order_all[scores_all[order_all] >= kth - guard]
+    else:
+        top = order_all[:k]
     return pd.DataFrame({
         "doc_id": docs_all[top].astype(np.int64),
         "score": scores_all[top].astype(np.float64),

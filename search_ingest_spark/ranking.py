@@ -1,0 +1,49 @@
+"""Global top-k rank assignment without a global window.
+
+`Window.orderBy(...)` with no partition spec funnels rows through a
+single-partition WindowExec and logs a perf warning on every query.  All
+our uses rank an ALREADY-limited result (k rows, post
+TakeOrderedAndProject), so the scalable formulation is a single no-key
+aggregate: collect the k rows into one array, sort it with an explicit
+comparator (score desc, id asc — identical to the orderBy the limit used),
+posexplode, and rank = pos + 1.  Pure JVM (whole-stage codegen around a
+one-group HashAggregate), no WindowExec, bitwise-identical ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ranked_desc(
+    df: DataFrame, score_col: str, id_col: str, *, rank_col: str = "rank"
+) -> DataFrame:
+    """Append 1-based `rank` ordered by (score desc, id asc).
+
+    Input is expected to be small (a top-k result); the aggregate runs as
+    one group.  Output columns: (id_col, score_col, rank_col) in rank
+    order.
+    """
+
+    def cmp(lft: Column, rgt: Column) -> Column:
+        return (
+            F.when(lft[score_col] > rgt[score_col], F.lit(-1))
+            .when(lft[score_col] < rgt[score_col], F.lit(1))
+            .when(lft[id_col] < rgt[id_col], F.lit(-1))
+            .when(lft[id_col] > rgt[id_col], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col(id_col), F.col(score_col))), cmp
+    )
+    return (
+        df.agg(arr.alias("_ranked"))
+        .select(F.posexplode("_ranked").alias("_pos", "_row"))
+        .select(
+            F.col(f"_row.{id_col}").alias(id_col),
+            F.col(f"_row.{score_col}").alias(score_col),
+            (F.col("_pos") + 1).cast("int").alias(rank_col),
+        )
+    )

@@ -227,14 +227,17 @@ DOC_IDS_SCHEMA = T.StructType(
     [
         T.StructField("url", T.StringType(), False),
         T.StructField("doc_id", T.LongType(), False),
+        # hash-bucket partition key: changefeed batches join/replace only
+        # the buckets containing touched urls (O(batch), not O(corpus))
+        T.StructField("id_bucket", T.IntegerType(), False),
     ]
 )
 
 DOC_LENS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType(), False),
-        T.StructField("shard", T.IntegerType(), False),
         T.StructField("dl", T.IntegerType(), False),
+        T.StructField("shard", T.IntegerType(), False),
     ]
 )
 
@@ -264,6 +267,8 @@ POSTINGS_SCHEMA = T.StructType(
 STATS_SCHEMA = T.StructType(
     [
         T.StructField("n_docs", T.LongType(), False),
+        # exact integer Σdl so incremental batches delta-maintain avgdl
+        T.StructField("sum_dl", T.LongType(), False),
         T.StructField("avgdl", T.DoubleType(), False),
         T.StructField("n_shards", T.IntegerType(), False),
         T.StructField("analyzer", T.StringType(), False),

@@ -16,16 +16,35 @@ Spark shape: a batch `apply_changes(changes)` operator (callable from
    reference's per-event ordering collapsed into batch semantics);
 2. assigns dense doc ids: existing urls keep their id (updates),
    new urls extend the id space (appends), so shard ranges stay dense;
-3. MERGEs the doc store (upsert + tombstone delete);
-4. splices the index **per shard**: only shards containing touched
-   docs are re-tokenized and re-encoded (catalog partition-dir swap);
-   term_dict/df stats are re-aggregated (global exactness — BM25 df/N
-   must reflect the whole corpus, which per-segment deltas à la
-   Lucene would only approximate), with existing term ids kept stable
-   and new terms appended so clean shards' postings stay valid.
+3. replaces only the DIRTY partitions of the doc store (shard-
+   partitioned) and the url→id mapping (hash-bucket-partitioned);
+4. splices the index **per shard** and DELTA-maintains the global
+   stats: doc_lens is spliced per shard; (n_docs, Σdl) and the
+   term_dict df/cf are updated by subtracting the dirty shards' old
+   per-term aggregates and adding the new ones.  Existing term ids are
+   kept stable and new terms appended so clean shards' postings stay
+   valid.  BM25's global exactness is preserved because the deltas are
+   exact integer arithmetic on the same aggregates a full re-agg would
+   compute.
 
-At 100 TB the per-batch cost is O(dirty shards + one tokens-table agg),
-not O(corpus re-index).
+Cost model per batch (the O(dirty) contract, asserted by
+tests/test_incremental.py::test_clean_shards_never_read):
+- reads:  dirty shards' docs/tokens/doc_lens/postings partitions,
+          dirty id-buckets of the url mapping, the (vocabulary-sized)
+          term dictionary, 1-row stats/counters;
+- writes: the same dirty partitions, plus a full term_dict rewrite
+          (dictionary-class table, orders of magnitude smaller than the
+          corpus) and 1-row stats/counters.
+Nothing scans the full tokens/docs/postings tables — there is no
+per-batch O(corpus) term re-aggregation.
+
+Atomicity: every table mutation of a batch is staged inside ONE catalog
+transaction (catalog.begin/commit — the Iceberg multi-table commit
+analog).  A crash leaves either the full pre-batch or full post-batch
+state, so a foreachBatch replay re-derives deltas from a CONSISTENT
+snapshot: replaying an already-committed batch computes old == new →
+delta 0 → no-op (idempotent), and replaying an uncommitted one starts
+from untouched state.
 """
 
 from __future__ import annotations
@@ -42,6 +61,11 @@ from search_ingest_spark.index.build import dense_ids
 
 DOCS_TABLE = "docs"
 DOC_IDS_TABLE = "doc_ids"
+COUNTERS_TABLE = "counters"
+
+# url→id mapping hash-bucket count: a batch touching U urls reads and
+# rewrites ≤ U buckets ≈ U/N_ID_BUCKETS of the mapping, never all of it
+N_ID_BUCKETS = 256
 
 # change-batch schema: (url, warc_ts, html?, text?, lang?, _op)
 OP_UPSERT = "upsert"
@@ -65,6 +89,10 @@ def normalize_pages(pages: DataFrame) -> DataFrame:
         "url", "warc_ts", text.alias("text"),
         *(["lang"] if "lang" in pages.columns else []),
     )
+
+
+def _bucket_col(url_col: str = "url"):
+    return F.pmod(F.xxhash64(url_col), F.lit(N_ID_BUCKETS)).cast("int")
 
 
 @dataclass
@@ -91,16 +119,42 @@ class PageIndexer:
         self.mode = mode
         self.docs_per_shard = docs_per_shard
 
+    def _shard_col(self, id_col: str = "doc_id"):
+        return (F.col(id_col) / F.lit(self.docs_per_shard)).cast("int")
+
     # -- batch backfill (A1) -------------------------------------------------
     def backfill(self, pages: DataFrame) -> ib.BuildInfo:
         docs = latest_per_key(normalize_pages(pages), "url", "warc_ts", ["text"])
         docs = dense_ids(docs, "url", "doc_id")
-        self.cat.write(DOC_IDS_TABLE, docs.select("url", "doc_id"))
-        self.cat.write(DOCS_TABLE, docs.select("doc_id", "url", "warc_ts", "text"))
-        return ib.build_index(
+        docs = docs.withColumn("shard", self._shard_col())
+        n_part = max(1, self.spark.sparkContext.defaultParallelism)
+        self.cat.write(
+            DOC_IDS_TABLE,
+            docs.select("url", "doc_id").withColumn("id_bucket", _bucket_col())
+            .repartition(max(1, min(N_ID_BUCKETS, n_part)), "id_bucket"),
+            partition_by=["id_bucket"],
+        )
+        self.cat.write(
+            DOCS_TABLE,
+            docs.select("doc_id", "url", "warc_ts", "text", "shard")
+            .repartition(n_part, "shard"),
+            partition_by=["shard"],
+        )
+        info = ib.build_index(
             self.spark, self.cat.read(DOCS_TABLE), self.cat,
             mode=self.mode, docs_per_shard=self.docs_per_shard,
         )
+        # dense-append high-water marks (doc ids cover ALL docs, even
+        # token-less ones, so count the mapping — not stats.n_docs)
+        n_ids = self.cat.read(DOC_IDS_TABLE).count()
+        self.cat.write(
+            COUNTERS_TABLE,
+            self.spark.createDataFrame(
+                [(n_ids - 1, info.n_terms - 1)],
+                "max_doc_id long, max_term_id long",
+            ),
+        )
+        return info
 
     def reindex(self, pages: DataFrame) -> ib.BuildInfo:
         """Drop-and-recreate (reference reindex, table.cr:61-76)."""
@@ -130,119 +184,226 @@ class PageIndexer:
         ups = latest.where(F.col("_op") == OP_UPSERT).select("url", "warc_ts", "text")
         dels = latest.where(F.col("_op") == OP_DELETE).select("url")
 
-        doc_ids = cat.read(DOC_IDS_TABLE)
-        docs = cat.read(DOCS_TABLE)
+        # touched id-buckets (O(batch) driver traffic — bucket ids only)
+        dirty_buckets = sorted({
+            r[0]
+            for r in ups.select(_bucket_col().alias("b"))
+            .unionByName(dels.select(_bucket_col().alias("b")))
+            .distinct().collect()
+        })
+        # the url→id join reads ONLY those buckets (partition pruning)
+        doc_ids_sub = cat.read(DOC_IDS_TABLE).where(
+            F.col("id_bucket").isin(dirty_buckets)
+        )
 
         # id assignment: keep existing, extend for new urls (dense append)
-        known = ups.join(doc_ids, "url", "inner")
-        novel = ups.join(doc_ids, "url", "left_anti")
-        base = doc_ids.agg(F.coalesce(F.max("doc_id") + 1, F.lit(0))).first()[0]
+        known = ups.join(doc_ids_sub.select("url", "doc_id"), "url", "inner")
+        novel = ups.join(doc_ids_sub.select("url"), "url", "left_anti")
+        base = int(cat.read(COUNTERS_TABLE).first()["max_doc_id"]) + 1
         novel_ids = dense_ids(novel.select("url"), "url", "_rk0").withColumn(
-            "doc_id", F.col("_rk0") + F.lit(int(base))
+            "doc_id", F.col("_rk0") + F.lit(base)
         ).drop("_rk0")
-        novel = novel.join(novel_ids, "url")
-        upserts = known.unionByName(novel.select(*known.columns))
-        n_up = upserts.count()
-        n_new = n_up - known.count()
+        upserts = (
+            known.withColumn("_new", F.lit(0))
+            .unionByName(
+                novel.join(novel_ids, "url")
+                .select(*known.columns).withColumn("_new", F.lit(1))
+            )
+        )
+        row = upserts.agg(
+            F.count("*").alias("n_up"), F.sum("_new").alias("n_new")
+        ).first()
+        n_up, n_new = int(row["n_up"]), int(row["n_new"] or 0)
+        upserts = upserts.drop("_new")
 
-        del_ids = dels.join(doc_ids, "url").select("doc_id", "url")
+        del_ids = dels.join(doc_ids_sub.select("url", "doc_id"), "url").select(
+            "doc_id", "url"
+        )
         n_del = del_ids.count()
 
-        # Collect the dirty-shard set BEFORE any snapshot swap: these
-        # DataFrames read the PRE-batch snapshots, whose files are
-        # deleted once the tables are rewritten (lazy plans must never
-        # outlive the snapshot they were bound to).
+        # dirty-SHARD ids only cross to the driver (O(dirty shards), not
+        # O(batch docs))
         touched = upserts.select("doc_id").unionByName(del_ids.select("doc_id"))
         dirty = sorted({
-            r[0] // self.docs_per_shard
-            for r in touched.select("doc_id").distinct().collect()
+            r[0] for r in
+            touched.select(self._shard_col().alias("s")).distinct().collect()
         })
+        n_part = max(1, min(len(dirty) or 1,
+                            spark.sparkContext.defaultParallelism))
 
-        # -- doc store MERGE (upsert + tombstone) -----------------------
-        # Each write stages to a new snapshot dir while the old files
-        # still exist, then swaps — so reading a table while rewriting
-        # it is safe; only post-swap reuse of old plans is not.
-        merged = (
-            docs.join(upserts.select("url").union(dels.select("url")).distinct(),
-                      "url", "left_anti")
-            .unionByName(upserts.select("doc_id", "url", "warc_ts", "text"))
-        )
-        cat.write(DOCS_TABLE, merged)
-        cat.write(
-            DOC_IDS_TABLE,
-            doc_ids.join(dels, "url", "left_anti")
-            .unionByName(novel_ids.select("url", "doc_id")),
-        )
+        # ---- one atomic multi-table commit for the whole batch ----------
+        cat.begin()
+        try:
+            # doc store: merge ONLY dirty shards (partition-pruned read)
+            docs_old = cat.read(DOCS_TABLE).where(F.col("shard").isin(dirty))
+            touched_urls = (
+                upserts.select("url").unionByName(dels.select("url")).distinct()
+            )
+            ups_rows = upserts.withColumn("shard", self._shard_col()).select(
+                "doc_id", "url", "warc_ts", "text", "shard"
+            )
+            merged = docs_old.join(touched_urls, "url", "left_anti").unionByName(
+                ups_rows
+            )
+            cat.replace_partitions(
+                DOCS_TABLE, merged.repartition(n_part, "shard"), "shard",
+                dirty_values=dirty,
+            )
+            # url→id mapping: rewrite ONLY the touched buckets
+            upd_ids = (
+                doc_ids_sub.join(dels, "url", "left_anti")
+                .join(ups.select("url"), "url", "left_anti")
+                .select("url", "doc_id", "id_bucket")
+                .unionByName(
+                    upserts.select("url", "doc_id")
+                    .withColumn("id_bucket", _bucket_col())
+                )
+            )
+            cat.replace_partitions(
+                DOC_IDS_TABLE,
+                upd_ids.repartition(max(1, min(len(dirty_buckets), n_part)),
+                                    "id_bucket"),
+                "id_bucket", dirty_values=dirty_buckets,
+            )
 
-        # -- per-shard index splice (fresh reads only) --------------------
-        self._splice_index(dirty)
+            n_new_terms = self._splice_index(dirty)
+
+            old_counters = cat.read(COUNTERS_TABLE).first()
+            cat.write(
+                COUNTERS_TABLE,
+                spark.createDataFrame(
+                    [(
+                        int(old_counters["max_doc_id"]) + n_new,
+                        int(old_counters["max_term_id"]) + n_new_terms,
+                    )],
+                    "max_doc_id long, max_term_id long",
+                ),
+            )
+            cat.commit()
+        except BaseException:
+            cat.rollback()
+            raise
         return ChangeStats(n_up, n_del, n_new, dirty)
 
-    def _splice_index(self, dirty_shards: list[int]) -> None:
-        """Re-tokenize + re-encode only the dirty shards; re-aggregate the
-        global term/doc stats; keep term ids stable."""
-        if not dirty_shards:
-            return
-        spark, cat = self.spark, self.cat
-        from search_ingest_spark.analysis import doc_terms_pandas
-
-        docs = cat.read(DOCS_TABLE)
-        dirty_docs = docs.where(
-            (F.col("doc_id") / self.docs_per_shard).cast("int").isin(dirty_shards)
-        )
-        mode = self.mode
-        new_toks = dirty_docs.select("doc_id", "text").mapInPandas(
-            lambda it: doc_terms_pandas(it, id_col="doc_id", text_col="text", mode=mode),
-            schema="doc_id long, term string, tf int, dl int",
-        ).withColumn("shard", (F.col("doc_id") / F.lit(self.docs_per_shard)).cast("int"))
-
-        # splice tokens table (partitioned by shard); repartition by
-        # shard first so the staged write emits one file per dirty shard
-        n_part = max(1, min(len(dirty_shards),
-                            spark.sparkContext.defaultParallelism))
-        cat.replace_partitions(
-            ib.TOKENS_TABLE, new_toks.repartition(n_part, "shard"), "shard",
-            dirty_values=dirty_shards,
-            drop_values=[],
-        )
-        tokens = cat.read(ib.TOKENS_TABLE)
-
-        # doc_lens + stats: full re-agg (cheap columnar pass)
-        dl = tokens.groupBy("doc_id").agg(
-            F.first("dl").alias("dl"), F.first("shard").alias("shard")
-        )
-        cat.write(ib.DOC_LENS_TABLE, dl.select("doc_id", "shard", "dl"))
-        n_shards_now = int(
-            dl.agg(F.coalesce(F.max("shard"), F.lit(0))).first()[0]
-        ) + 1
-        st = cat.read(ib.DOC_LENS_TABLE).agg(
-            F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
-        ).withColumn("n_shards", F.lit(n_shards_now)).withColumn(
-            "analyzer", F.lit(self.mode)
-        )
-        cat.write(ib.STATS_TABLE, st)
-
-        # term_dict: re-agg df/cf globally; KEEP existing term ids, append new
-        old_dict = cat.read(ib.TERM_DICT_TABLE)
-        fresh = (
+    @staticmethod
+    def _term_agg(tokens: DataFrame, df_name: str, cf_name: str) -> DataFrame:
+        """Skew-proof two-stage per-term (df, cf) aggregation."""
+        return (
             tokens.groupBy(
                 "term", F.pmod(F.xxhash64("doc_id"), F.lit(64)).alias("_salt")
             )
             .agg(F.count("*").alias("pdf"), F.sum("tf").alias("pcf"))
             .groupBy("term")
-            .agg(F.sum("pdf").alias("df"), F.sum("pcf").alias("cf"))
+            .agg(F.sum("pdf").alias(df_name), F.sum("pcf").alias(cf_name))
         )
-        kept = fresh.join(old_dict.select("term", "term_id"), "term", "inner")
-        new_terms = fresh.join(old_dict.select("term"), "term", "left_anti")
-        tbase = int(old_dict.agg(F.coalesce(F.max("term_id") + 1, F.lit(0))).first()[0])
+
+    def _splice_index(self, dirty_shards: list[int]) -> int:
+        """Re-tokenize + re-encode only the dirty shards; DELTA-maintain
+        the global term/doc stats; keep term ids stable.  Returns the
+        number of newly-appended terms.  Must run inside a catalog
+        transaction (reads pre-swap snapshots lazily; the txn keeps them
+        alive until commit)."""
+        if not dirty_shards:
+            return 0
+        spark, cat = self.spark, self.cat
+        from search_ingest_spark.analysis import doc_terms_pandas
+
+        dirty = [int(s) for s in dirty_shards]
+        n_part = max(1, min(len(dirty),
+                            spark.sparkContext.defaultParallelism))
+
+        # OLD dirty-shard aggregates (pre-swap snapshots; partition-pruned)
+        old_term = self._term_agg(
+            cat.read(ib.TOKENS_TABLE).where(F.col("shard").isin(dirty)),
+            "odf", "ocf",
+        )
+        old_dl = (
+            cat.read(ib.DOC_LENS_TABLE).where(F.col("shard").isin(dirty))
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("s")).first()
+        )
+        old_st = cat.read(ib.STATS_TABLE).first()
+
+        # tokenize ONLY the dirty shards' docs (docs is shard-partitioned)
+        mode = self.mode
+        dirty_docs = cat.read(DOCS_TABLE).where(F.col("shard").isin(dirty))
+        new_toks = dirty_docs.select("doc_id", "text").mapInPandas(
+            lambda it: doc_terms_pandas(it, id_col="doc_id", text_col="text", mode=mode),
+            schema="doc_id long, term string, tf int, dl int",
+        ).withColumn("shard", self._shard_col())
+        cat.replace_partitions(
+            ib.TOKENS_TABLE, new_toks.repartition(n_part, "shard"), "shard",
+            dirty_values=dirty,
+        )
+        tokens_new = cat.read(ib.TOKENS_TABLE).where(F.col("shard").isin(dirty))
+
+        # doc_lens: splice dirty shards, then delta-update (n_docs, Σdl)
+        dl_new = tokens_new.groupBy("doc_id").agg(
+            F.first("dl").alias("dl"), F.first("shard").alias("shard")
+        ).select("doc_id", "dl", "shard")
+        cat.replace_partitions(
+            ib.DOC_LENS_TABLE, dl_new.repartition(n_part, "shard"), "shard",
+            dirty_values=dirty,
+        )
+        new_dl = (
+            cat.read(ib.DOC_LENS_TABLE).where(F.col("shard").isin(dirty))
+            .agg(F.count("*").alias("n"), F.sum("dl").alias("s")).first()
+        )
+        n_docs2 = int(old_st["n_docs"]) - int(old_dl["n"]) + int(new_dl["n"])
+        sum_dl2 = (
+            int(old_st["sum_dl"]) - int(old_dl["s"] or 0) + int(new_dl["s"] or 0)
+        )
+        # float(long)/float(long) is the same IEEE double division Spark's
+        # avg performs — bitwise identical to a full rebuild's avgdl
+        avgdl2 = (float(sum_dl2) / float(n_docs2)) if n_docs2 else 0.0
+        n_shards2 = max(int(old_st["n_shards"]), max(dirty) + 1)
+        cat.write(
+            ib.STATS_TABLE,
+            spark.createDataFrame(
+                [(n_docs2, sum_dl2, avgdl2, n_shards2, self.mode)],
+                "n_docs long, sum_dl long, avgdl double, n_shards int, analyzer string",
+            ),
+        )
+
+        # term_dict: delta-maintain df/cf — subtract the dirty shards' old
+        # per-term counts, add the new; KEEP existing term ids, append new.
+        # The dictionary (vocabulary-sized) is the only fully-rewritten
+        # table; the token stream is never re-aggregated.
+        new_term = self._term_agg(tokens_new, "ndf", "ncf")
+        delta = (
+            new_term.join(old_term, "term", "full_outer")
+            .select(
+                "term",
+                (F.coalesce("ndf", F.lit(0)) - F.coalesce("odf", F.lit(0))).alias("ddf"),
+                (F.coalesce("ncf", F.lit(0)) - F.coalesce("ocf", F.lit(0))).alias("dcf"),
+            )
+            .where((F.col("ddf") != 0) | (F.col("dcf") != 0))
+        )
+        old_dict = cat.read(ib.TERM_DICT_TABLE)
+        merged = (
+            old_dict.join(delta, "term", "full_outer")
+            .select(
+                "term", "term_id",
+                (F.coalesce("df", F.lit(0)) + F.coalesce("ddf", F.lit(0))).alias("df2"),
+                (F.coalesce("cf", F.lit(0)) + F.coalesce("dcf", F.lit(0))).alias("cf2"),
+            )
+        )
+        kept = merged.where(F.col("term_id").isNotNull() & (F.col("df2") > 0)).select(
+            "term", "term_id", F.col("df2").alias("df"), F.col("cf2").alias("cf")
+        )
+        new_terms = merged.where(F.col("term_id").isNull() & (F.col("df2") > 0)).select(
+            "term", F.col("df2").alias("df"), F.col("cf2").alias("cf")
+        )
+        tbase = int(cat.read(COUNTERS_TABLE).first()["max_term_id"]) + 1
         new_terms = dense_ids(new_terms, "term", "_rk0").withColumn(
             "term_id", F.col("_rk0") + F.lit(tbase)
         ).drop("_rk0")
+        n_new_terms = new_terms.count()
         cat.write(
             ib.TERM_DICT_TABLE,
             kept.select("term", "term_id", "df", "cf").unionByName(
                 new_terms.select("term", "term_id", "df", "cf")
             ),
+            sort_within_partitions=["term"],
         )
         term_dict = cat.read(ib.TERM_DICT_TABLE)
 
@@ -250,7 +411,7 @@ class PageIndexer:
         # (same flow as the build: encode runs keyed by term string,
         # then join the dense ids onto the much smaller blocks output)
         blocks = (
-            tokens.where(F.col("shard").isin(dirty_shards))
+            tokens_new
             .select("shard", "term", "doc_id", "tf", "dl")
             .repartition(n_part, "shard")
             .sortWithinPartitions("shard", "term", "doc_id")
@@ -261,8 +422,9 @@ class PageIndexer:
             "n_docs", "max_tf", "min_dl", "data",
         ).repartition(n_part, "shard")
         cat.replace_partitions(
-            ib.POSTINGS_TABLE, enc, "shard", dirty_values=dirty_shards,
+            ib.POSTINGS_TABLE, enc, "shard", dirty_values=dirty,
         )
+        return n_new_terms
 
     # -- streaming (A2): foreachBatch wrapper --------------------------------
     def watch(self, stream_df: DataFrame, checkpoint_dir: str, **trigger_kw):

@@ -17,8 +17,10 @@ from search_ingest_spark.index import build as ib
 from search_ingest_spark.query.bm25 import bm25_brute_force
 from search_ingest_spark.query.wand import Searcher
 from search_ingest_spark.streaming.incremental import (
+    N_ID_BUCKETS,
     OP_DELETE,
     OP_UPSERT,
+    DOC_IDS_TABLE,
     DOCS_TABLE,
     PageIndexer,
     latest_per_key,
@@ -132,24 +134,68 @@ class TestApplyChanges:
         _assert_index_matches_corpus(spark, indexer)
 
     def test_only_dirty_shards_touched(self, spark, indexer):
-        # postings partition dirs of clean shards must not be rewritten
+        # clean shards' postings files must not be rewritten: the staged
+        # snapshot swap HARDLINKS them, so the new snapshot's files keep
+        # the same inode (zero data copy); only shard=0 gets new files
         import os
 
-        pdir = indexer.cat.data_path(ib.POSTINGS_TABLE)
-        before = {
-            d: os.path.getmtime(os.path.join(pdir, d))
-            for d in os.listdir(pdir) if d.startswith("shard=")
-        }
+        def shard_inodes():
+            pdir = indexer.cat.data_path(ib.POSTINGS_TABLE)
+            out = {}
+            for d in os.listdir(pdir):
+                if not d.startswith("shard="):
+                    continue
+                sub = os.path.join(pdir, d)
+                out[d] = {
+                    f: os.stat(os.path.join(sub, f)).st_ino
+                    for f in os.listdir(sub) if f.endswith(".parquet")
+                }
+            return out
+
+        before = shard_inodes()
         st = indexer.apply_changes(_changes_df(spark, [
             ("https://t/1", 1000, "edited once common", OP_UPSERT),
         ]))
         assert st.dirty_shards == [0]
-        after = {
-            d: os.path.getmtime(os.path.join(pdir, d))
-            for d in os.listdir(pdir) if d.startswith("shard=")
-        }
+        after = shard_inodes()
         unchanged = [d for d in before if d != "shard=0"]
         assert unchanged and all(before[d] == after[d] for d in unchanged)
+        assert after["shard=0"] != before["shard=0"]
+
+    def test_clean_shards_never_read(self, spark, indexer):
+        # the O(dirty) contract at the IO level: clobber every CLEAN
+        # partition's parquet files with garbage bytes — if the batch
+        # (or its delta-maintained stats/term_dict updates) scanned ANY
+        # clean shard, the job would fail on a corrupt footer.  Only the
+        # dirty shard (0), the touched id-bucket, and the vocabulary-
+        # class term_dict may be read.
+        import os
+
+        cat = indexer.cat
+
+        def clobber(table, keep):
+            d = cat.data_path(table)
+            for part in os.listdir(d):
+                full = os.path.join(d, part)
+                if not os.path.isdir(full) or part == keep:
+                    continue
+                for f in os.listdir(full):
+                    if f.endswith(".parquet"):
+                        with open(os.path.join(full, f), "wb") as fh:
+                            fh.write(b"garbage, not parquet")
+
+        bucket = spark.createDataFrame([("https://t/1",)], "url string").select(
+            F.pmod(F.xxhash64("url"), F.lit(N_ID_BUCKETS)).cast("int").alias("b")
+        ).first()["b"]
+        for t in (ib.TOKENS_TABLE, ib.DOC_LENS_TABLE, ib.POSTINGS_TABLE,
+                  DOCS_TABLE):
+            clobber(t, "shard=0")
+        clobber(DOC_IDS_TABLE, f"id_bucket={bucket}")
+        st = indexer.apply_changes(_changes_df(spark, [
+            ("https://t/1", 1000, "edited once common", OP_UPSERT),
+        ]))
+        assert st.dirty_shards == [0]
+        assert st.upserts == 1 and st.new_docs == 0
 
     def test_new_terms_get_fresh_ids_old_ids_stable(self, spark, indexer):
         old = {
