@@ -214,12 +214,22 @@ def _q_dedup_jaccard(spark, sf_dir):
     )
 
 
-@register("dedup_minhash_lsh")  # approximate candidates → rows-only check
+# LSH/SimHash are recall-approximate ops, but every stage is
+# deterministic given the seed, so the oracle replays the FULL pipeline
+# (md5-prefix hashes, HUGEINT permutation arithmetic, band tuple-equality
+# joins, exact verification) — full rows+schema+hash checks, not
+# rows-only (VERDICT r01 item 5).
+@register(
+    "dedup_minhash_lsh",
+    dedup.minhash_lsh_sql(table=f"({_DUP_UNION_SQL})", n=3, num_perm=64,
+                          bands=16, threshold=0.8, seed=1),
+)
 def _q_dedup_minhash(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_dup_docs(spark, sf_dir), threshold=0.8)
 
 
-@register("dedup_simhash")  # approximate → rows-only check
+@register("dedup_simhash", dedup.simhash_sql(table=f"({_DUP_UNION_SQL})",
+                                             max_hamming=3))
 def _q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(_dup_docs(spark, sf_dir), max_hamming=3)
 
@@ -254,17 +264,79 @@ def _q_ann_brute(spark, sf_dir):
     return similarity.brute_force_topk(_emb(spark, sf_dir), _QVEC, k=10)
 
 
-@register("dedup_embedding_bucketed")  # approximate blocking → rows-only
+# ---------------------------------------------------------------------------
+# IVF-bucketed embedding ops — THE scale path (blocking key = nearest
+# pinned centroid; the self-join shuffles on bucket id, O(Σ bucket²) not
+# O(N²)).  Centroids are pinned literals (ops/ivf_pinned.py) so the
+# DuckDB oracle replicates the bucketing bit-for-bit: these rows get the
+# full rows+schema+hash check even though the op is "approximate" at the
+# recall level.
+# ---------------------------------------------------------------------------
+
+from search_ingest_spark.ops.ivf_pinned import IVF_CENTROIDS  # noqa: E402
+
+_IVF_BUCKET_CTE = similarity.ivf_bucket_sql_with(IVF_CENTROIDS)
+
+_EMB_BUCKETED_SQL = f"""
+WITH {_IVF_BUCKET_CTE}
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_dot_product(x.v, y.v)
+             / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+             4)::DOUBLE AS cosine
+FROM bucketed x JOIN bucketed y ON x.bk = y.bk AND x.vec_id < y.vec_id
+WHERE round(list_dot_product(x.v, y.v)
+            / (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))),
+            4) >= 0.4
+""".strip()
+
+
+@register("dedup_embedding_bucketed", _EMB_BUCKETED_SQL)
 def _q_emb_bucketed(spark, sf_dir):
-    return similarity.bucketed_near_dups(_emb(spark, sf_dir), nlist=8,
-                                         threshold=0.4)
+    import numpy as np
+
+    return similarity.bucketed_near_dups(
+        _emb(spark, sf_dir), threshold=0.4,
+        centroids=np.array(IVF_CENTROIDS, dtype=np.float64),
+    )
 
 
-@register("ann_ivf_topk")  # approximate (bucket pruning) → rows-only check
+def _ivf_probes(qvec, nprobe):
+    import numpy as np
+
+    C = np.array(IVF_CENTROIDS, dtype=np.float64)
+    q = np.asarray(qvec, dtype=np.float64)
+    order = np.argsort(((C - q) ** 2).sum(axis=1), kind="stable")
+    return [int(j) for j in order[:nprobe]]
+
+
+_IVF_PROBES = _ivf_probes(_QVEC, nprobe=3)
+
+_ANN_IVF_SQL = f"""
+WITH {_IVF_BUCKET_CTE},
+q AS (SELECT [{", ".join(repr(float(v)) for v in _QVEC)}]::DOUBLE[] AS qv),
+scored AS (
+  SELECT vec_id,
+         round(list_dot_product(v, qv)
+               / (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))),
+         4)::DOUBLE AS cosine
+  FROM bucketed, q
+  WHERE bk IN ({", ".join(str(p) for p in _IVF_PROBES)})
+),
+topk AS (
+  SELECT vec_id, cosine FROM scored ORDER BY cosine DESC, vec_id ASC LIMIT 10
+)
+SELECT vec_id, cosine,
+       row_number() OVER (ORDER BY cosine DESC, vec_id ASC)::INT AS rank
+FROM topk
+""".strip()
+
+
+@register("ann_ivf_topk", _ANN_IVF_SQL)
 def _q_ann_ivf(spark, sf_dir):
-    emb = _emb(spark, sf_dir)
-    cents = similarity.train_centroids(emb, nlist=8)
-    bucketed = similarity.assign_buckets(emb, cents)
+    import numpy as np
+
+    cents = np.array(IVF_CENTROIDS, dtype=np.float64)
+    bucketed = similarity.assign_buckets(_emb(spark, sf_dir), cents)
     return similarity.ivf_topk(bucketed, cents, _QVEC, k=10, nprobe=3)
 
 

@@ -176,9 +176,16 @@ WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= {threshold}
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH (approximate candidate generation, exact verification)
+#
+# Hashing contract (lets the DuckDB oracle replicate every signature
+# bit-for-bit): shingle/token base hash = first 15 hex digits of md5
+# (60 bits, SQL: ('0x' || substr(md5(s), 1, 15))::BIGINT); permutation
+# hash = ((h * a) mod 2^64 + b) mod 2^64 mod (2^61 - 1), exactly the
+# uint64-wrap arithmetic NumPy performs (SQL replays it in HUGEINT).
 # ---------------------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
+_W64 = 1 << 64
 
 
 def _minhash_params(num_perm: int, seed: int = 1) -> tuple[np.ndarray, np.ndarray]:
@@ -226,12 +233,13 @@ def minhash_signatures(
 
 
 def hash_shingle(s: str) -> int:
-    """Deterministic 61-bit shingle hash (FNV-1a, seed-free)."""
-    h = 0xCBF29CE484222325
-    for ch in s.encode():
-        h ^= ch
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h % _MERSENNE
+    """Deterministic 60-bit shingle hash: first 15 hex digits of md5 —
+    chosen over FNV because every SQL engine can reproduce it
+    (('0x' || substr(md5(s), 1, 15))::BIGINT in DuckDB), which is what
+    makes the LSH pipeline exactly oracle-checkable."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
 
 
 def minhash_lsh_pairs(
@@ -243,7 +251,13 @@ def minhash_lsh_pairs(
 
     bands=16 × rows=4 at t=0.8 → P(candidate) = 1-(1-J^4)^16 ≈ 0.9986 at
     J=0.8 (high recall); precision is exact because candidates are
-    verified with the true Jaccard before emission."""
+    verified with the true Jaccard before emission.
+
+    The band key is the STRUCT of the band's signature rows (an
+    equi-join on (band, key)) rather than a hash of them — identical
+    candidate set to what SQL tuple-equality produces, so the whole
+    operator is oracle-checkable; at scale the shuffle key is 4 longs
+    instead of 1, a negligible width difference."""
     rows_per_band = num_perm // bands
     sig = minhash_signatures(df, n=n, num_perm=num_perm, seed=seed,
                              id_col=id_col, text_col=text_col)
@@ -251,17 +265,16 @@ def minhash_lsh_pairs(
         "doc_id",
         F.posexplode(
             F.array(*[
-                F.xxhash64(
-                    F.lit(bi),
-                    *[F.element_at("sig", bi * rows_per_band + r + 1)
-                      for r in range(rows_per_band)],
-                )
+                F.struct(*[
+                    F.element_at("sig", bi * rows_per_band + r + 1).alias(f"k{r}")
+                    for r in range(rows_per_band)
+                ])
                 for bi in range(bands)
             ])
-        ).alias("band", "bucket"),
+        ).alias("band", "key"),
     )
     cand = (
-        banded.alias("x").join(banded.alias("y"), ["band", "bucket"])
+        banded.alias("x").join(banded.alias("y"), ["band", "key"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
@@ -298,19 +311,89 @@ def minhash_lsh_pairs(
     )
 
 
+def minhash_lsh_sql(
+    table: str = "documents", *, n: int = 3, num_perm: int = 64,
+    bands: int = 16, threshold: float = 0.8, id_col: str = "doc_id",
+    text_col: str = "text", seed: int = 1,
+) -> str:
+    """DuckDB oracle replaying the ENTIRE MinHash+LSH pipeline —
+    signatures (HUGEINT replay of the uint64-wrap permutation hashes),
+    banded candidate join (tuple equality == the Spark struct key), and
+    exact-Jaccard verification — bit-for-bit against minhash_lsh_pairs."""
+    a, b = _minhash_params(num_perm, seed)
+    rpb = num_perm // bands
+    sig_exprs = ",\n         ".join(
+        f"min(((h::HUGEINT * {int(a[j])}) % {_W64} + {int(b[j])}) % {_W64}"
+        f" % {_MERSENNE})::BIGINT"
+        for j in range(num_perm)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id, regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}') AS t
+  FROM {table}
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= {n}
+    THEN list_transform(range(0, len(t) - {n} + 1),
+                        i -> array_to_string(t[i+1:i+{n}], ' '))
+    ELSE [array_to_string(t, ' ')] END)) AS sh
+  FROM toks
+),
+hs AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh),
+sigs AS (
+  SELECT doc_id,
+         [{sig_exprs}] AS sig
+  FROM hs GROUP BY doc_id
+),
+bnd AS (
+  SELECT doc_id, band, sig[band*{rpb}+1 : band*{rpb}+{rpb}] AS key
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, {bands})) AS band)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM bnd x JOIN bnd y ON x.band = y.band AND x.key = y.key
+  WHERE x.doc_id < y.doc_id
+),
+cdocs AS (SELECT a AS doc_id FROM cand UNION SELECT b FROM cand),
+shf AS (SELECT * FROM sh WHERE doc_id IN (SELECT doc_id FROM cdocs)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shf GROUP BY doc_id),
+inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+  FROM shf x JOIN shf y USING (sh)
+  WHERE x.doc_id < y.doc_id
+  GROUP BY 1, 2
+),
+verified AS (
+  SELECT a, b,
+         round(inter / (sa.sz + sb.sz - inter), 4)::DOUBLE AS jaccard
+  FROM inter
+  JOIN cand USING (a, b)
+  JOIN sizes sa ON sa.doc_id = a
+  JOIN sizes sb ON sb.doc_id = b
+)
+SELECT a, b, jaccard FROM verified WHERE jaccard >= {threshold}
+""".strip()
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
 
 
+SIMHASH_BITS = 60  # md5-prefix token hash width (SQL-reproducible)
+
+
 def simhash_signatures(
     df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text",
 ) -> DataFrame:
-    """64-bit SimHash over the token stream (tf-weighted bit votes),
-    vectorized per Arrow batch."""
+    """60-bit SimHash over the token stream (tf-weighted bit votes),
+    vectorized per Arrow batch.  60 bits (not 64) because the per-token
+    base hash is the same md5-prefix used everywhere else in this
+    module — exactly reproducible in the DuckDB oracle (simhash_sql)."""
     import re as _re
 
     tok_re = _re.compile(TOKEN_PATTERN)
+    shifts = np.arange(SIMHASH_BITS, dtype=np.int64)
 
     def kernel(it):
         for batch in it:
@@ -320,13 +403,13 @@ def simhash_signatures(
                 if not toks:
                     ids.append(doc_id); sh.append(0); continue
                 uniq, counts = np.unique(toks, return_counts=True)
-                hv = np.fromiter((_hash64(t) for t in uniq), dtype=np.uint64,
+                hv = np.fromiter((hash_shingle(t) for t in uniq), dtype=np.int64,
                                  count=len(uniq))
-                bits = ((hv[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int64)
+                bits = ((hv[:, None] >> shifts) & 1)
                 votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
-                val = int(((votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+                val = int(((votes > 0).astype(np.int64) << shifts).sum())
                 ids.append(doc_id)
-                sh.append(val - (1 << 64) if val >= (1 << 63) else val)
+                sh.append(val)
             yield pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
                                 "simhash": pd.array(sh, dtype="int64")})
 
@@ -335,26 +418,18 @@ def simhash_signatures(
     )
 
 
-def _hash64(s: str) -> int:
-    h = 0xCBF29CE484222325
-    for ch in s.encode():
-        h ^= ch
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
-
-
 def simhash_pairs(
     df: DataFrame, *, max_hamming: int = 3, id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming, found via
-    4×16-bit band bucketing (pigeonhole: ≤3 differing bits → at least
+    4×15-bit band bucketing (pigeonhole: ≤3 differing bits → at least
     one of 4 bands identical) then exact popcount verification."""
     sig = simhash_signatures(df, id_col=id_col, text_col=text_col)
     bands = sig.select(
         "doc_id", "simhash",
         F.posexplode(F.array(*[
-            F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+            F.shiftrightunsigned(F.col("simhash"), 15 * i).bitwiseAND(F.lit(0x7FFF))
             for i in range(4)
         ])).alias("band", "key"),
     )
@@ -368,10 +443,56 @@ def simhash_pairs(
         .distinct()
     )
     return (
-        cand.withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("int"),
+        )
         .where(F.col("hamming") <= max_hamming)
         .select("a", "b", "hamming")
     )
+
+
+def simhash_sql(
+    table: str = "documents", *, max_hamming: int = 3,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> str:
+    """DuckDB oracle replaying the SimHash pipeline bit-for-bit: same
+    md5-prefix token hash, same tf-weighted bit votes (ties → bit 0),
+    same 4×15-bit pigeonhole bands, same popcount verification."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}')) AS term
+  FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*) AS c FROM toks GROUP BY 1, 2),
+th AS (SELECT doc_id, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h, c FROM tf),
+votes AS (
+  SELECT doc_id, i, sum(c * (2 * ((h >> i) & 1) - 1)) AS v
+  FROM th CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS i)
+  GROUP BY doc_id, i
+),
+sigraw AS (
+  SELECT doc_id,
+         sum(CASE WHEN v > 0 THEN 1::BIGINT << i ELSE 0 END)::BIGINT AS sh
+  FROM votes GROUP BY doc_id
+),
+sigs AS (
+  SELECT corpus.{id_col} AS doc_id, coalesce(sigraw.sh, 0) AS sh
+  FROM {table} AS corpus LEFT JOIN sigraw ON corpus.{id_col} = sigraw.doc_id
+),
+bnd AS (
+  SELECT doc_id, sh, band, (sh >> (15 * band)) & 32767 AS key
+  FROM sigs CROSS JOIN (SELECT unnest(range(0, 4)) AS band)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b, x.sh AS ha, y.sh AS hb
+  FROM bnd x JOIN bnd y ON x.band = y.band AND x.key = y.key
+  WHERE x.doc_id < y.doc_id
+)
+SELECT a, b, bit_count(xor(ha, hb))::INT AS hamming
+FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+""".strip()
 
 
 # ---------------------------------------------------------------------------

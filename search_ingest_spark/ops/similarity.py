@@ -17,6 +17,7 @@ on samples.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -81,13 +82,19 @@ FROM topk
 
 
 def train_centroids(
-    emb: DataFrame, nlist: int = 16, *, vec_col: str = "embedding",
-    sample: int = 2048, iters: int = 10, seed: int = 1,
+    emb: DataFrame, nlist: int = 16, *, id_col: str = "vec_id",
+    vec_col: str = "embedding", sample: int = 2048, iters: int = 10,
+    seed: int = 1,
 ) -> np.ndarray:
     """Deterministic mini k-means on a driver-side sample (centroid
     training is inherently tiny relative to the corpus; the heavy part —
-    assignment — stays distributed)."""
-    rows = emb.select(vec_col).limit(sample).collect()
+    assignment — stays distributed).
+
+    The sample is ORDER-DETERMINISTIC: TakeOrdered by `id_col` — a bare
+    limit() over a multi-file table returns whichever files' tasks finish
+    first, which would make the bucketing (and every IVF result
+    downstream) nondeterministic across runs."""
+    rows = emb.orderBy(id_col).limit(sample).select(vec_col).collect()
     X = np.array([r[0] for r in rows], dtype=np.float64)
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(nlist, len(X)), replace=False)]
@@ -104,25 +111,64 @@ def train_centroids(
 def assign_buckets(
     emb: DataFrame, centroids: np.ndarray, *, vec_col: str = "embedding",
 ) -> DataFrame:
-    """Nearest-centroid bucket id per vector — JVM-side argmin over
-    per-centroid distance expressions (nlist is small; the expression
-    tree stays codegen-friendly)."""
-    dists = [
-        F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                F.array(*[F.lit(float(c)).cast("float") for c in cent]),
-                lambda a, b: ((a - b) * (a - b)).cast("double"),
-            ),
-            F.lit(0.0), lambda acc, v: acc + v,
-        )
-        for cent in centroids
-    ]
-    best = F.least(*dists)
-    bucket = F.lit(-1)
-    for j in reversed(range(len(dists))):
-        bucket = F.when(dists[j] == best, F.lit(j)).otherwise(bucket)
-    return emb.withColumn("ivf_bucket", bucket)
+    """Nearest-centroid bucket id per vector — an Arrow-vectorized
+    pandas_udf with the centroid matrix broadcast in the closure.
+
+    (The previous formulation built one Catalyst fold expression per
+    centroid, which blows up codegen beyond nlist≈tens; the kernel is a
+    flat (batch × nlist) NumPy computation that works for nlist in the
+    thousands.)
+
+    Float contract (lets a SQL oracle replicate the bucketing exactly):
+    inputs upcast float32→float64; the squared distance accumulates
+    DIMENSION-BY-DIMENSION in a left fold (not numpy's pairwise sum);
+    argmin breaks ties on the LOWEST bucket id — all bitwise identical
+    to `list_reduce(list_transform(...))` + `list_position(l, list_min)`
+    in DuckDB (see ivf_bucket_sql_expr).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        X = np.array(vs.tolist(), dtype=np.float64)
+        acc = np.zeros((X.shape[0], C.shape[0]), dtype=np.float64)
+        for d in range(C.shape[1]):
+            diff = X[:, d, None] - C[None, :, d]
+            acc += diff * diff
+        return pd.Series(np.argmin(acc, axis=1).astype(np.int32))
+
+    return emb.withColumn("ivf_bucket", _assign(F.col(vec_col)))
+
+
+def ivf_bucket_sql_with(
+    centroids: np.ndarray, *, table: str = "embeddings",
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> str:
+    """DuckDB CTE chain ending in a relation `bucketed(vec_id, v, bk)`
+    with the same bucket id as assign_buckets (same float64 left-fold
+    distance, same first-min tie-break).  Compose as:
+    ``WITH {this}, more AS (... FROM bucketed ...) SELECT ...``"""
+    C = np.asarray(centroids, dtype=np.float64)
+    dim = C.shape[1]
+    cents = ", ".join(
+        "[%s]::DOUBLE[]" % ", ".join(repr(float(x)) for x in row) for row in C
+    )
+    return f"""cents(cl) AS (SELECT [{cents}]),
+dists AS (
+  SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v,
+         list_transform(cl, c ->
+           list_reduce(list_transform(range(1, {dim + 1}),
+                                      i -> (v[i] - c[i]) * (v[i] - c[i])),
+                       (a, b) -> a + b)) AS dl
+  FROM {table}, cents
+),
+bucketed AS (
+  SELECT vec_id, v, (list_position(dl, list_min(dl)) - 1)::INT AS bk FROM dists
+)"""
 
 
 def bucketed_near_dups(
