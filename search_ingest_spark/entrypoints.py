@@ -388,6 +388,95 @@ def _q_fanout(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# A2+A10/A11/A13-A15 combined: the reference's CORE loop — a changefeed
+# batch on a child table upserts/deletes the child doc in its own index
+# AND the routed replica in every parent index (table.cr:25-46,
+# elastic.cr:259-283, elastic.cr:452-464).  The query backfills a
+# customer(parent)/orders(child) pair, applies a deterministic change
+# batch (orders %7 upserted with doubled totalprice, %11 deleted; upsert
+# wins where both), and returns the PARENT index's final contents.
+# ---------------------------------------------------------------------------
+
+_TM_CACHE: dict[str, object] = {}
+
+
+def _replicated_customer_index(spark: SparkSession, sf_dir: str):
+    from search_ingest_spark.schema import FieldSpec, ParentRelation, TableSchema
+    from search_ingest_spark.tables import TableManager
+    import pyspark.sql.types as T
+    from search_ingest_spark.catalog import Catalog
+
+    key = os.path.abspath(sf_dir)
+    got = _TM_CACHE.get(key)
+    if got is not None:
+        return got
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").cast("long").alias("id"),
+        F.col("o_custkey").cast("string").alias("custkey"),
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+    )
+    schemas = {
+        "customer": TableSchema("customer", [
+            FieldSpec("id", T.LongType(), nullable=False),
+            FieldSpec("name", T.StringType()),
+            FieldSpec("acctbal", T.DoubleType()),
+        ]),
+        "orders": TableSchema("orders", [
+            FieldSpec("id", T.LongType(), nullable=False),
+            FieldSpec("custkey", T.StringType()),
+            FieldSpec("totalprice", T.DoubleType()),
+        ], parents=[ParentRelation("customer", "customer", "custkey")]),
+    }
+    mgr = TableManager(spark, Catalog(spark, tempfile.mkdtemp(prefix="sis_tm_")),
+                       schemas)
+    mgr.backfill_all({"customer": cust, "orders": orders})
+    batch = (
+        orders.where(F.col("id") % 7 == 0)
+        .withColumn("totalprice", F.col("totalprice") * 2)
+        .withColumn("_op", F.lit("upsert"))
+        .unionByName(
+            orders.where(F.col("id") % 11 == 0).withColumn("_op", F.lit("delete"))
+        )
+    )
+    mgr.apply_changes("orders", batch)
+    _TM_CACHE[key] = mgr
+    return mgr
+
+
+@register(
+    "ingest_parent_replication",
+    """
+SELECT c_custkey::BIGINT AS id, 'customer' AS _document_type,
+       c_custkey::VARCHAR AS _routing, NULL::VARCHAR AS join_parent,
+       c_acctbal::DOUBLE AS acctbal, NULL::DOUBLE AS totalprice
+FROM customer
+UNION ALL
+SELECT o_orderkey::BIGINT, 'orders', o_custkey::VARCHAR, o_custkey::VARCHAR,
+       NULL::DOUBLE,
+       (CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 2
+             ELSE o_totalprice END)::DOUBLE
+FROM orders
+WHERE o_custkey IS NOT NULL
+  AND NOT (o_orderkey % 11 = 0 AND o_orderkey % 7 != 0)
+""".strip(),
+)
+def _q_parent_replication(spark, sf_dir):
+    from search_ingest_spark.tables import _doc_table
+
+    mgr = _replicated_customer_index(spark, sf_dir)
+    return mgr.cat.read(_doc_table("customer")).select(
+        "id", "_document_type", "_routing",
+        F.col("_join_field.parent").alias("join_parent"),
+        "acctbal", "totalprice",
+    )
+
+
 @register(
     "ingest_upsert_latest",  # A13/A14: last-writer-wins upsert per key
     """

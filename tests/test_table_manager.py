@@ -96,6 +96,127 @@ class TestBackfill:
         assert all(r["_routing"] == r["id"] for r in own)
 
 
+def _coffee_changes(spark, rows):
+    """rows: (id, temperature, programmer_id, op[, seq])"""
+    if rows and len(rows[0]) == 5:
+        return spark.createDataFrame(
+            rows,
+            "id string, temperature int, programmer_id string, _op string,"
+            " seq long",
+        )
+    return spark.createDataFrame(
+        rows, "id string, temperature int, programmer_id string, _op string"
+    )
+
+
+class TestApplyChanges:
+    """Mirror of the reference's spec/table_spec.cr:14-45 lifecycle:
+    Created → document exists in own index AND parent index (routed);
+    Updated → replica mutated in both; Deleted → removed from both."""
+
+    def test_created_event_replicates_to_parent(self, spark, mgr):
+        mgr.initialise(_sources(spark))
+        res = mgr.apply_changes(
+            "beverage_coffee",
+            _coffee_changes(spark, [("c5", 95, "p2", "upsert")]),
+        )
+        assert set(res) == {"beverage_coffee", "programmer"}
+        own = mgr.cat.read(_doc_table("beverage_coffee"))
+        assert own.where(F.col("id") == "c5").count() == 1
+        rep = mgr.cat.read(_doc_table("programmer")).where(
+            (F.col("_document_type") == "beverage_coffee") & (F.col("id") == "c5")
+        ).collect()
+        assert len(rep) == 1
+        assert rep[0]["_routing"] == "p2"
+        assert rep[0]["_join_field"]["parent"] == "p2"
+
+    def test_updated_event_mutates_replica(self, spark, mgr):
+        mgr.initialise(_sources(spark))
+        mgr.apply_changes(
+            "beverage_coffee",
+            _coffee_changes(spark, [("c1", 10, "p1", "upsert")]),
+        )
+        for idx in ("beverage_coffee", "programmer"):
+            rows = mgr.cat.read(_doc_table(idx)).where(
+                (F.col("id") == "c1")
+                & (F.col("_document_type") == "beverage_coffee")
+            ).collect()
+            assert len(rows) == 1 and rows[0]["temperature"] == 10, idx
+
+    def test_deleted_event_removes_from_both_indices(self, spark, mgr):
+        mgr.initialise(_sources(spark))
+        mgr.apply_changes(
+            "beverage_coffee",
+            _coffee_changes(spark, [("c2", 70, "p1", "delete")]),
+        )
+        assert mgr.cat.read(_doc_table("beverage_coffee")).where(
+            F.col("id") == "c2").count() == 0
+        assert mgr.cat.read(_doc_table("programmer")).where(
+            (F.col("id") == "c2")
+            & (F.col("_document_type") == "beverage_coffee")
+        ).count() == 0
+        # the parent doc itself is untouched
+        assert mgr.cat.read(_doc_table("programmer")).where(
+            F.col("id") == "p1").count() == 1
+
+    def test_null_fk_upsert_not_replicated(self, spark, mgr):
+        mgr.initialise(_sources(spark))
+        mgr.apply_changes(
+            "beverage_coffee",
+            _coffee_changes(spark, [("c6", 42, None, "upsert")]),
+        )
+        assert mgr.cat.read(_doc_table("beverage_coffee")).where(
+            F.col("id") == "c6").count() == 1
+        assert mgr.cat.read(_doc_table("programmer")).where(
+            F.col("id") == "c6").count() == 0
+
+    def test_last_writer_wins_with_order_col(self, spark, mgr):
+        mgr.initialise(_sources(spark))
+        mgr.apply_changes(
+            "beverage_coffee",
+            _coffee_changes(spark, [
+                ("c1", 99, "p1", "upsert", 1),
+                ("c1", 11, "p1", "delete", 2),
+                ("c3", 33, "p2", "delete", 1),
+                ("c3", 44, "p2", "upsert", 2),
+            ]),
+            order_col="seq",
+        )
+        own = mgr.cat.read(_doc_table("beverage_coffee"))
+        assert own.where(F.col("id") == "c1").count() == 0     # delete won
+        c3 = own.where(F.col("id") == "c3").collect()
+        assert len(c3) == 1 and c3[0]["temperature"] == 44     # upsert won
+
+    def test_untouched_buckets_not_rewritten(self, spark, mgr):
+        import os
+
+        mgr.initialise(_sources(spark))
+
+        def inodes(tbl):
+            d = mgr.cat.data_path(tbl)
+            out = {}
+            for part in os.listdir(d):
+                sub = os.path.join(d, part)
+                if os.path.isdir(sub):
+                    out[part] = {
+                        f: os.stat(os.path.join(sub, f)).st_ino
+                        for f in os.listdir(sub) if f.endswith(".parquet")
+                    }
+            return out
+
+        before = inodes(_doc_table("programmer"))
+        mgr.apply_changes(
+            "beverage_coffee",
+            _coffee_changes(spark, [("c1", 10, "p1", "upsert")]),
+        )
+        after = inodes(_doc_table("programmer"))
+        dirty = spark.createDataFrame([("p1",)], "r string").select(
+            F.pmod(F.xxhash64("r"), F.lit(mgr.n_routing_buckets)).cast("int")
+        ).first()[0]
+        clean = [p for p in before if p != f"_rbucket={dirty}"]
+        assert all(before[p] == after[p] for p in clean)
+
+
 class TestConsistency:
     def test_boot_fixes_wrong_schema(self, spark, mgr):
         # table_manager_spec.cr:9-48 — wrong mapping applied → manager
