@@ -169,6 +169,26 @@ def equivalent_schema(a: T.StructType, b: T.StructType) -> bool:
     return fa == fb
 
 
+def schema_diff(
+    current: T.StructType, expected: T.StructType
+) -> list[tuple[str, str]]:
+    """The consistency check as DATA: per-field [(name, status)] with
+    status ∈ {missing, extra, type_mismatch} — what the reference's
+    boolean `equivalent_schema?` (schemas.cr:88-118) would report if it
+    explained itself; drives reindex decisions and the A23 driver query."""
+    cur = {f.name: f.dataType for f in current.fields}
+    exp = {f.name: f.dataType for f in expected.fields}
+    out: list[tuple[str, str]] = []
+    for name in sorted(exp.keys() | cur.keys()):
+        if name not in cur:
+            out.append((name, "missing"))
+        elif name not in exp:
+            out.append((name, "extra"))
+        elif cur[name] != exp[name]:
+            out.append((name, "type_mismatch"))
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Denormalizing fan-out — the reference's only join-like operator
 # (elastic.cr:259-283): each child row is REPLICATED into every parent
