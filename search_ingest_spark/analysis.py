@@ -124,6 +124,64 @@ def analyze(text: str) -> tuple[list[str], int]:
     return out, len(base)
 
 
+def analyze_pos(text: str) -> list[tuple[str, int]]:
+    """Position-preserving analyzer: [(term, position)].  Stacked
+    (preserve_original) tokens share their base token's position —
+    exactly how Lucene records the ES mapping's
+    `asciifolding(preserve_original: true)` stack (schemas.cr:62-77),
+    which is what makes `match_phrase` work across folded/original
+    forms."""
+    if not text:
+        return []
+    if text.isascii():
+        return list(
+            (t, i) for i, t in enumerate(_TOKEN_RE.findall(text.lower()))
+        )
+    out: list[tuple[str, int]] = []
+    for i, tok in enumerate(standard_tokens(text)):
+        low = tok.lower()
+        folded = fold_ascii(low)
+        out.append((folded, i))
+        if folded != low:
+            out.append((low, i))
+    return out
+
+
+def doc_positions_pandas(
+    it: Iterator[pd.DataFrame],
+    *,
+    id_col: str,
+    text_col: str,
+    mode: str = "standard",
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: rows(id, text) → rows(doc_id, term,
+    positions array<int>).  Positions are doc-local, so — like the tf/dl
+    kernel — this stage needs NO shuffle before the per-shard sort."""
+    simple_re = re.compile(r"[a-z0-9]+")
+    for batch in it:
+        ids: list = []
+        terms: list[str] = []
+        poss: list[list[int]] = []
+        for doc_id, text in zip(batch[id_col].values, batch[text_col].values):
+            if text is None:
+                continue
+            if mode == "simple":
+                pairs = enumerate(simple_re.findall(text.lower()))
+                pairs = [(t, i) for i, t in pairs]
+            else:
+                pairs = analyze_pos(text)
+            agg: dict[str, list[int]] = {}
+            for t, p in pairs:
+                agg.setdefault(t, []).append(p)
+            ids.extend([doc_id] * len(agg))
+            terms.extend(agg.keys())
+            poss.extend(agg.values())
+        yield pd.DataFrame(
+            {"doc_id": pd.array(ids, dtype="int64"), "term": terms,
+             "positions": poss}
+        )
+
+
 # ---------------------------------------------------------------------------
 # Text extraction (reference analog: the doc's `text` IS the row content,
 # elastic.cr:230 serializes the row verbatim; input_hint demands a

@@ -76,20 +76,30 @@ for _name, _qtext in _BM25_QUERIES.items():
 _INDEX_CACHE: dict[str, object] = {}
 
 
-def _searcher(spark: SparkSession, sf_dir: str):
-    """Build (once per sf_dir per process) the compressed index for the
-    documents table and return a Searcher."""
+def _index_cat(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir per process) the compressed index —
+    including the positional component — for the documents table."""
     from search_ingest_spark.catalog import Catalog
     from search_ingest_spark.index.build import build_index
-    from search_ingest_spark.query.wand import Searcher
 
     key = os.path.abspath(sf_dir)
     got = _INDEX_CACHE.get(key)
     if got is None:
         root = tempfile.mkdtemp(prefix="sis_idx_")
         cat = Catalog(spark, root)
-        build_index(spark, _docs(spark, sf_dir), cat, mode="simple")
-        got = _INDEX_CACHE[key] = Searcher(spark, cat)
+        build_index(spark, _docs(spark, sf_dir), cat, mode="simple",
+                    with_positions=True)
+        got = _INDEX_CACHE[key] = cat
+    return got
+
+
+def _searcher(spark: SparkSession, sf_dir: str):
+    from search_ingest_spark.query.wand import Searcher
+
+    key = "searcher:" + os.path.abspath(sf_dir)
+    got = _INDEX_CACHE.get(key)
+    if got is None:
+        got = _INDEX_CACHE[key] = Searcher(spark, _index_cat(spark, sf_dir))
     return got
 
 
@@ -120,6 +130,21 @@ def _q_wand_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _searcher(spark, sf_dir).topk(
         "spark query data", 10, round_to=4, match_all=True
     )
+
+
+# B-side phrase capability (positions recorded at build time, like every
+# Lucene text field): exact match_phrase top-k served from the index,
+# oracle recomputes positions + slot matching + the slot-idf-sum BM25
+# score from raw text.
+from search_ingest_spark.query.phrase import PhraseSearcher, phrase_oracle_sql  # noqa: E402
+
+_PHRASE_TEXT = "table hash"
+
+
+@register("bm25_phrase_topk", phrase_oracle_sql(_PHRASE_TEXT, k=10))
+def _q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _index_cat(spark, sf_dir)
+    return PhraseSearcher(spark, cat).topk(_PHRASE_TEXT, 10, round_to=4)
 
 
 _BATCH_QUERIES = {0: "data", 1: "spark query data", 2: "customer window batch"}

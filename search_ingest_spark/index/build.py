@@ -69,6 +69,7 @@ TERM_DICT_TABLE = "term_dict"
 DOC_LENS_TABLE = "doc_lens"
 STATS_TABLE = "stats"
 POSTINGS_TABLE = "postings"
+POSITIONS_TABLE = "positions"
 MANIFEST_TABLE = "build_manifest"
 
 _STATE_FILE = "build_state.json"
@@ -298,6 +299,7 @@ def build_index(
     docs_per_shard: int | None = None,
     shard_batches: int = 1,
     resume: bool = True,
+    with_positions: bool = False,
 ) -> BuildInfo:
     """Build the full index table set into `cat`.
 
@@ -463,10 +465,34 @@ def build_index(
             stage(name, tables=tables, alt_tables=alt)(fn)
         return run_it
 
+    def _positions_fn():
+        # phrase/proximity support (ES `standard` analyzer records
+        # positions; preserve_original stacks tokens at one position,
+        # schemas.cr:62-77): per-(term, doc) position lists, shard-
+        # partitioned and term-sorted within files so a phrase query's
+        # scan prunes to its terms' row groups — the same layout
+        # contract as the postings table.  Doc-local → zero shuffle
+        # before the shard exchange.
+        from search_ingest_spark.analysis import doc_positions_pandas
+
+        pos = docs.select(id_col, text_col).mapInPandas(
+            lambda it: doc_positions_pandas(
+                it, id_col=id_col, text_col=text_col, mode=mode
+            ),
+            schema="doc_id long, term string, positions array<int>",
+        ).withColumn("shard", (F.col("doc_id") / F.lit(docs_per_shard)).cast("int"))
+        cat.write(
+            POSITIONS_TABLE, pos.repartition(n_part, "shard"),
+            partition_by=["shard"],
+            sort_within_partitions=["shard", "term", "doc_id"],
+        )
+
     jobs = [
         _stage_job("doc_lens", [DOC_LENS_TABLE, STATS_TABLE], None, _doc_lens_fn),
         _stage_job("term_dict", [TERM_DICT_TABLE], None, _term_dict_fn),
     ]
+    if with_positions:
+        jobs.append(_stage_job("positions", [POSITIONS_TABLE], None, _positions_fn))
     for bid, lo, hi in bounds:
         jobs.append(_stage_job(
             f"blocks_batch_{bid}", [_blocks_table(bid)],

@@ -1,0 +1,191 @@
+"""Phrase (match_phrase) top-k over the positional index.
+
+Capability analog: any ES index built by the reference answers
+`match_phrase` because Lucene records positions for every `text` field
+(`/root/reference/src/search-ingest/schemas.cr:62-77`).  This module is
+the Spark-native equivalent over the `positions` table written by
+`build_index(with_positions=True)`.
+
+Semantics (Lucene exact PhraseQuery, slop=0):
+- a phrase occurrence at base position p requires slot i's term at
+  position p+i for EVERY slot (repeated terms are distinct slots);
+- phrase_freq(d) = number of bases;
+- score(d) = (Σ_slots idf(term_slot)) * tfnorm(phrase_freq, dl) under
+  BM25 (k1=1.2, b=0.75) — the phrase scored as one synthetic term whose
+  idf is the slot-idf sum, Lucene's PhraseQuery weight.
+
+Execution shape (scales like a WAND term query):
+1. plan on the driver: analyze the phrase, slot table, per-term idf from
+   the pyarrow-pruned term_dict read (no Spark job);
+2. ONE scan of the positions table pruned to the phrase's terms
+   (PushedFilters on `term`, term-sorted files → row-group pruning);
+3. explode positions → (doc, base=pos-slot) → count distinct slots ==
+   n_slots → phrase_freq per doc; shuffle volume is bounded by the
+   phrase terms' postings, never the corpus;
+4. join doc_lens ONLY for matched docs, score, TakeOrdered top-k.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from search_ingest_spark.catalog import Catalog
+from search_ingest_spark.index import build as ib
+from search_ingest_spark.query.bm25 import B, K1, analyze_query
+from search_ingest_spark.ranking import ranked_desc
+
+
+class PhraseSearcher:
+    """Phrase query handle over a catalog built with_positions=True."""
+
+    def __init__(self, spark: SparkSession, cat: Catalog) -> None:
+        self.spark = spark
+        self.cat = cat
+        st = cat.read(ib.STATS_TABLE).first()
+        self.n_docs = int(st["n_docs"])
+        self.avgdl = float(st["avgdl"])
+        self.mode = st["analyzer"]
+        import pyarrow.dataset as ds
+
+        self._dict_ds = ds.dataset(cat.data_path(ib.TERM_DICT_TABLE))
+
+    def _idf(self, terms: list[str]) -> dict[str, float]:
+        import pyarrow.compute as pc
+
+        tbl = self._dict_ds.to_table(
+            columns=["term", "df"],
+            filter=pc.field("term").isin(sorted(set(terms))),
+        )
+        n = self.n_docs
+        return {
+            t: float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+            for t, df in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist())
+        }
+
+    def topk(
+        self, phrase_text: str, k: int = 10, *, round_to: int | None = None,
+    ) -> DataFrame:
+        """(doc_id, score, rank) for exact-phrase matches.
+
+        The query is analyzed POSITION-AWARE: under the standard
+        analyzer a folded token and its preserved original occupy the
+        same slot (query-side synonym stack, like ES's match_phrase on a
+        preserve_original field) — a slot matches if ANY of its forms is
+        at the right position.  Slot idf uses the slot's first indexed
+        form (the folded primary)."""
+        out_schema = "doc_id long, score double, rank int"
+        if self.mode == "simple":
+            pairs = [(t, i) for i, t in
+                     enumerate(analyze_query(phrase_text, mode="simple"))]
+        else:
+            from search_ingest_spark.analysis import analyze_pos
+
+            pairs = analyze_pos(phrase_text)
+        if not pairs:
+            return self.spark.createDataFrame([], out_schema)
+        n_slots = 1 + max(p for _, p in pairs)
+        slot_terms: dict[int, list[str]] = {}
+        for t, p in pairs:
+            slot_terms.setdefault(p, []).append(t)
+        idf = self._idf([t for t, _ in pairs])
+        idf_sum = 0.0
+        for p in range(n_slots):
+            indexed = [t for t in slot_terms.get(p, []) if t in idf]
+            if not indexed:
+                # a slot none of whose forms is indexed matches nothing
+                return self.spark.createDataFrame([], out_schema)
+            idf_sum += idf[indexed[0]]
+
+        slot_df = self.spark.createDataFrame(
+            [(t, p) for p, ts in sorted(slot_terms.items())
+             for t in ts if t in idf],
+            "term string, slot int",
+        )
+        slots = sorted({t for t, _ in pairs if t in idf})
+        pos = self.cat.read(ib.POSITIONS_TABLE).where(
+            F.col("term").isin(slots)
+        )
+        x = (
+            pos.select("term", "doc_id", F.explode("positions").alias("pos"))
+            .join(F.broadcast(slot_df), "term")
+            .select("doc_id", (F.col("pos") - F.col("slot")).alias("base"), "slot")
+        )
+        bases = (
+            x.groupBy("doc_id", "base")
+            .agg(F.countDistinct("slot").alias("_ns"))
+            .where(F.col("_ns") == n_slots)
+        )
+        pfreq = bases.groupBy("doc_id").agg(F.count("*").alias("pfreq"))
+        dl = self.cat.read(ib.DOC_LENS_TABLE).select("doc_id", "dl")
+        scored = pfreq.join(dl, "doc_id").select(
+            "doc_id",
+            (
+                F.lit(idf_sum)
+                * (F.col("pfreq") * (K1 + 1.0))
+                / (F.col("pfreq") + K1 * (1.0 - B + B * F.col("dl") / F.lit(self.avgdl)))
+            ).alias("score"),
+        )
+        if round_to is not None:
+            scored = scored.withColumn("score", F.round("score", round_to))
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return ranked_desc(topk, "score", "doc_id")
+
+
+def phrase_oracle_sql(
+    phrase_text: str, k: int = 10, *, table: str = "documents",
+    id_col: str = "doc_id", text_col: str = "text", round_to: int = 4,
+) -> str:
+    """DuckDB oracle computing the identical phrase top-k from RAW text
+    with the simple analyzer — position extraction, slot matching,
+    phrase_freq, and the slot-idf-sum BM25 score."""
+    slots = analyze_query(phrase_text, mode="simple")
+    nslots = len(slots)
+    slot_vals = ", ".join(
+        f"('{t.replace(chr(39), chr(39) * 2)}', {i})" for i, t in enumerate(slots)
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         regexp_extract_all(lower({text_col}), '[a-z0-9]+') AS t
+  FROM {table}
+),
+dl AS (SELECT doc_id, len(t)::INT AS dl FROM toks WHERE len(t) > 0),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+pos AS (
+  SELECT doc_id, p::INT - 1 AS pos, t[p] AS term
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM toks)
+),
+slots(term, slot) AS (VALUES {slot_vals}),
+dfreq AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM pos
+  WHERE term IN (SELECT term FROM slots) GROUP BY term
+),
+idfsum AS (
+  SELECT sum(ln(1.0 + (stats.n_docs - df + 0.5) / (df + 0.5))) AS s
+  FROM slots JOIN dfreq USING (term) CROSS JOIN stats
+),
+x AS (
+  SELECT doc_id, pos - slot AS base, slot FROM pos JOIN slots USING (term)
+),
+pf AS (
+  SELECT doc_id, count(*)::BIGINT AS pfreq FROM (
+    SELECT doc_id, base FROM x GROUP BY doc_id, base
+    HAVING count(DISTINCT slot) = {nslots}
+  ) GROUP BY doc_id
+),
+scores AS (
+  SELECT pf.doc_id,
+         idfsum.s * (pf.pfreq * ({K1} + 1.0))
+         / (pf.pfreq + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS raw
+  FROM pf JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN idfsum
+),
+topk AS (
+  SELECT doc_id, round(raw, {round_to})::DOUBLE AS score FROM scores
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM topk
+""".strip()

@@ -112,12 +112,13 @@ class PageIndexer:
 
     def __init__(
         self, spark: SparkSession, cat: Catalog, *, mode: str = "standard",
-        docs_per_shard: int = 100_000,
+        docs_per_shard: int = 100_000, with_positions: bool = False,
     ) -> None:
         self.spark = spark
         self.cat = cat
         self.mode = mode
         self.docs_per_shard = docs_per_shard
+        self.with_positions = with_positions
 
     def _shard_col(self, id_col: str = "doc_id"):
         return (F.col(id_col) / F.lit(self.docs_per_shard)).cast("int")
@@ -143,6 +144,7 @@ class PageIndexer:
         info = ib.build_index(
             self.spark, self.cat.read(DOCS_TABLE), self.cat,
             mode=self.mode, docs_per_shard=self.docs_per_shard,
+            with_positions=self.with_positions,
         )
         # dense-append high-water marks (doc ids cover ALL docs, even
         # token-less ones, so count the mapping — not stats.n_docs)
@@ -424,6 +426,24 @@ class PageIndexer:
         cat.replace_partitions(
             ib.POSTINGS_TABLE, enc, "shard", dirty_values=dirty,
         )
+
+        # positional component (if the build enabled it): same dirty-
+        # shard splice as postings
+        if cat.exists(ib.POSITIONS_TABLE):
+            from search_ingest_spark.analysis import doc_positions_pandas
+
+            pos_new = dirty_docs.select("doc_id", "text").mapInPandas(
+                lambda it: doc_positions_pandas(
+                    it, id_col="doc_id", text_col="text", mode=mode
+                ),
+                schema="doc_id long, term string, positions array<int>",
+            ).withColumn("shard", self._shard_col())
+            cat.replace_partitions(
+                ib.POSITIONS_TABLE,
+                pos_new.repartition(n_part, "shard")
+                .sortWithinPartitions("shard", "term", "doc_id"),
+                "shard", dirty_values=dirty,
+            )
         return n_new_terms
 
     # -- streaming (A2): foreachBatch wrapper --------------------------------

@@ -1,0 +1,103 @@
+"""Phrase-query tests (B-side match_phrase over the positional index).
+
+Reference parity target: any ES index the reference creates answers
+match_phrase because Lucene records positions for text fields
+(schemas.cr:62-77) — including across asciifolding preserve_original
+stacks (folded and original token share a position)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_ingest_spark.catalog import Catalog
+from search_ingest_spark.index.build import build_index
+from search_ingest_spark.query.phrase import PhraseSearcher
+from search_ingest_spark.streaming.incremental import OP_UPSERT, PageIndexer
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+
+
+def _build(spark, tmp_path, rows, mode="simple"):
+    cat = Catalog(spark, str(tmp_path / "pidx"))
+    build_index(spark, _docs(spark, rows), cat, mode=mode, with_positions=True)
+    return PhraseSearcher(spark, cat)
+
+
+class TestPhraseMatching:
+    def test_exact_adjacency_required(self, spark, tmp_path):
+        ps = _build(spark, tmp_path, [
+            "alpha beta gamma",     # matches "alpha beta"
+            "beta alpha gamma",     # reversed → no match
+            "alpha x beta",         # gap → no match
+            "alpha beta alpha beta",  # two occurrences
+        ])
+        got = ps.topk("alpha beta", 10, round_to=4).collect()
+        ids = {r["doc_id"] for r in got}
+        assert ids == {0, 3}
+        by_id = {r["doc_id"]: r for r in got}
+        # doc 3 has pfreq 2 → higher tf-norm, despite longer dl? verify order
+        assert by_id[3]["rank"] == 1 and by_id[0]["rank"] == 2
+
+    def test_repeated_term_phrase(self, spark, tmp_path):
+        ps = _build(spark, tmp_path, [
+            "a b a b",   # "a b a" occurs at base 0
+            "a b c",     # no
+            "b a b a",   # "a b a" at base 1
+        ])
+        ids = {r["doc_id"] for r in ps.topk("a b a", 10).collect()}
+        assert ids == {0, 2}
+
+    def test_missing_term_matches_nothing(self, spark, tmp_path):
+        ps = _build(spark, tmp_path, ["alpha beta gamma"])
+        assert ps.topk("alpha zzz", 10).collect() == []
+
+    def test_standard_analyzer_folding_stack(self, spark, tmp_path):
+        # "Café racer": folded 'cafe' and original 'café' share position
+        # 0, so BOTH phrase forms match (the ES preserve_original
+        # contract)
+        ps = _build(spark, tmp_path, ["Café racer story", "cafe racer story"],
+                    mode="standard")
+        # index side: doc 0 stacks cafe+café at position 0; query side:
+        # 'café' analyzes to the same stack — either query form matches
+        # BOTH docs (ES synonym-stack phrase semantics)
+        for q in ("cafe racer", "café racer"):
+            ids = {r["doc_id"] for r in ps.topk(q, 10).collect()}
+            assert ids == {0, 1}, q
+
+
+class TestPhraseIncremental:
+    def test_splice_updates_positions(self, spark, tmp_path):
+        TS0 = dt.datetime(2026, 1, 1)
+
+        def pages(rows):
+            return spark.createDataFrame(
+                [(u, TS0 + dt.timedelta(seconds=o), None, t, "en")
+                 for u, o, t in rows],
+                "url string, warc_ts timestamp, html binary, text string,"
+                " lang string",
+            )
+
+        cat = Catalog(spark, str(tmp_path / "pinc"))
+        ix = PageIndexer(spark, cat, mode="simple", docs_per_shard=4,
+                         with_positions=True)
+        ix.backfill(pages([
+            (f"https://p/{i}", i, f"filler common w{i}") for i in range(8)
+        ]))
+        ps = PhraseSearcher(spark, cat)
+        assert ps.topk("magic phrase", 10).collect() == []
+        ix.apply_changes(spark.createDataFrame(
+            [("https://p/2", TS0 + dt.timedelta(seconds=999), None,
+              "magic phrase appears here", "en", OP_UPSERT)],
+            "url string, warc_ts timestamp, html binary, text string,"
+            " lang string, _op string",
+        ))
+        ps2 = PhraseSearcher(spark, cat)
+        got = ps2.topk("magic phrase", 10).collect()
+        assert len(got) == 1 and got[0]["rank"] == 1
