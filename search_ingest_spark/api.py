@@ -31,6 +31,7 @@ class ServiceState:
     load_complete: bool = False
     last_error: str | None = None
     started_at: float = field(default_factory=time.time)
+    failed_healthcheck: bool = False
 
 
 class SearchIngestService:
@@ -83,6 +84,25 @@ class SearchIngestService:
         except Exception as exc:  # noqa: BLE001 — health probe maps any failure
             self.state.last_error = str(exc)
             return False
+
+    def health_probe(self, pages: DataFrame | None = None) -> bool:
+        """The reference's self-healing health route (api.cr:74-90): a
+        probe after a FAILED one triggers a backfill to repair any state
+        missed while unhealthy, then clears the failure latch.  `pages`
+        is the corpus source for the repair backfill (the reference
+        re-reads PostgreSQL); with pages=None the latch still clears but
+        no repair runs."""
+        if not self.state.load_complete:
+            return True
+        if not self.healthy():
+            self.state.failed_healthcheck = True
+            return False
+        if self.state.failed_healthcheck:
+            self.state.failed_healthcheck = False
+            if pages is not None:
+                # repair: health restored after a failure window
+                self.backfill(pages)
+        return True
 
     # -- GET /version ------------------------------------------------------------
     def version(self) -> dict:

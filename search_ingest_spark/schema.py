@@ -31,6 +31,11 @@ VALID_OVERRIDE_TYPES = {
     "float", "double", "date", "ip", "geo_point", "object", "completion",
 }
 
+GEO_POINT_TYPE = T.StructType([
+    T.StructField("lat", T.DoubleType(), True),
+    T.StructField("lon", T.DoubleType(), True),
+])
+
 _SPARK_TYPE_FOR_OVERRIDE: dict[str, T.DataType] = {
     "text": T.StringType(),
     "keyword": T.StringType(),
@@ -42,10 +47,12 @@ _SPARK_TYPE_FOR_OVERRIDE: dict[str, T.DataType] = {
     "float": T.FloatType(),
     "double": T.DoubleType(),
     "date": T.TimestampType(),
-    # ip / geo_point / completion / object keep their raw representation
+    # typed ES specials (schemas.cr:211-227): geo_point → (lat, lon)
+    # struct (ES object form), completion → suggestion-input array,
+    # ip → canonical string (validated at mapping time)
     "ip": T.StringType(),
-    "geo_point": T.StringType(),
-    "completion": T.StringType(),
+    "geo_point": GEO_POINT_TYPE,
+    "completion": T.ArrayType(T.StringType()),
     "object": T.StringType(),
 }
 
@@ -125,13 +132,52 @@ class TableSchema:
         way into the parquet scan."""
         cols: list[Column] = []
         for f in self.index_fields():
-            cols.append(F.col(f.name).cast(f.resolved_type).alias(f.name))
+            cols.append(_convert_field(f))
             if f.es_subfield is not None:
                 # multi-field: same source indexed twice (schemas.cr:309-323)
                 cols.append(F.col(f.name).alias(f"{f.name}__{f.es_subfield}"))
         cols.append(F.lit(self.name).alias("_document_type"))
         cols.extend(F.col(c) for c in extra_cols)
         return df.select(*cols)
+
+
+_IP_RE = (
+    r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
+    r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$|^[0-9a-f:]+$"
+)
+
+
+def _convert_field(f: FieldSpec) -> Column:
+    """Field conversion for apply_mapping — plain cast for scalar types;
+    structured conversions for the ES specials (schemas.cr:211-227)."""
+    col = F.col(f.name)
+    if f.es_type == "geo_point":
+        # accept "lat,lon" strings or an existing (lat, lon) struct
+        if isinstance(f.dtype, T.StringType):
+            parts = F.split(col, ",")
+            return F.when(
+                col.isNotNull() & (F.size(parts) == 2),
+                F.struct(
+                    F.trim(parts[0]).cast("double").alias("lat"),
+                    F.trim(parts[1]).cast("double").alias("lon"),
+                ),
+            ).otherwise(F.lit(None).cast(GEO_POINT_TYPE)).alias(f.name)
+        return col.cast(GEO_POINT_TYPE).alias(f.name)
+    if f.es_type == "completion":
+        # ES completion input list: wrap a scalar suggestion, pass arrays
+        if isinstance(f.dtype, T.ArrayType):
+            return col.cast(T.ArrayType(T.StringType())).alias(f.name)
+        return F.when(
+            col.isNotNull(), F.array(col.cast("string"))
+        ).otherwise(F.lit(None).cast(T.ArrayType(T.StringType()))).alias(f.name)
+    if f.es_type == "ip":
+        # canonical lowercase, nulled when not ipv4/ipv6-shaped (ES
+        # rejects malformed ips at index time; we tombstone the value)
+        low = F.lower(F.trim(col.cast("string")))
+        return F.when(low.rlike(_IP_RE), low).otherwise(
+            F.lit(None).cast("string")
+        ).alias(f.name)
+    return col.cast(f.resolved_type).alias(f.name)
 
 
 # ---------------------------------------------------------------------------

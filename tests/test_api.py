@@ -87,3 +87,27 @@ def test_cli_end_to_end(spark, tmp_path):
     hits = json.loads(r2.stdout.strip().splitlines()[-1])["hits"]
     assert len(hits) == 5
     assert hits[0]["rank"] == 1
+
+
+def test_health_recovery_triggers_backfill(spark, svc, monkeypatch):
+    # api.cr:74-90: first healthy probe AFTER a failed one spawns a
+    # repair backfill and clears the failure latch
+    svc.backfill(_pages(spark))
+    calls = []
+    orig = svc.backfill
+    monkeypatch.setattr(svc, "backfill", lambda p: calls.append(1) or orig(p))
+    # healthy probe with no prior failure: no repair
+    assert svc.health_probe(_pages(spark)) is True
+    assert calls == []
+    # simulate a failed probe (catalog read blows up)
+    monkeypatch.setattr(svc, "healthy", lambda: False)
+    assert svc.health_probe(_pages(spark)) is False
+    assert svc.state.failed_healthcheck is True
+    # health restored -> repair backfill fires once, latch clears
+    monkeypatch.undo()
+    monkeypatch.setattr(svc, "backfill", lambda p: calls.append(1) or orig(p))
+    assert svc.health_probe(_pages(spark)) is True
+    assert calls == [1]
+    assert svc.state.failed_healthcheck is False
+    assert svc.health_probe(_pages(spark)) is True
+    assert calls == [1]  # no repeat without a new failure

@@ -155,3 +155,55 @@ def test_subfield_materializes_both(spark):
                                ["id", "breaks", "status"])
     out = schemas["broke"].apply_mapping(df)
     assert "breaks" in out.columns and "breaks__keyword" in out.columns
+
+
+class TestTypedSpecials:
+    """ip / geo_point / completion no longer degrade to plain strings
+    (schemas.cr:211-227 type table)."""
+
+    def test_geo_point_parses_latlon_string(self, spark):
+        from search_ingest_spark.schema import FieldSpec, TableSchema
+        import pyspark.sql.types as T
+
+        ts = TableSchema("loc", [
+            FieldSpec("id", T.StringType(), nullable=False),
+            FieldSpec("pos", T.StringType(), es_type="geo_point"),
+        ])
+        df = spark.createDataFrame(
+            [("a", "51.5, -0.12"), ("b", "bogus"), ("c", None)],
+            "id string, pos string",
+        )
+        rows = {r["id"]: r["pos"] for r in ts.apply_mapping(df).collect()}
+        assert rows["a"]["lat"] == 51.5 and rows["a"]["lon"] == -0.12
+        assert rows["b"] is None and rows["c"] is None
+
+    def test_completion_wraps_scalar_into_input_array(self, spark):
+        from search_ingest_spark.schema import FieldSpec, TableSchema
+        import pyspark.sql.types as T
+
+        ts = TableSchema("sugg", [
+            FieldSpec("id", T.StringType(), nullable=False),
+            FieldSpec("name", T.StringType(), es_type="completion"),
+        ])
+        df = spark.createDataFrame([("a", "hello"), ("b", None)],
+                                   "id string, name string")
+        rows = {r["id"]: r["name"] for r in ts.apply_mapping(df).collect()}
+        assert rows["a"] == ["hello"] and rows["b"] is None
+
+    def test_ip_canonicalized_and_validated(self, spark):
+        from search_ingest_spark.schema import FieldSpec, TableSchema
+        import pyspark.sql.types as T
+
+        ts = TableSchema("net", [
+            FieldSpec("id", T.StringType(), nullable=False),
+            FieldSpec("addr", T.StringType(), es_type="ip"),
+        ])
+        df = spark.createDataFrame(
+            [("a", "192.168.0.1"), ("b", "2001:DB8::1"), ("c", "999.1.1.1"),
+             ("d", "not-an-ip")],
+            "id string, addr string",
+        )
+        rows = {r["id"]: r["addr"] for r in ts.apply_mapping(df).collect()}
+        assert rows["a"] == "192.168.0.1"
+        assert rows["b"] == "2001:db8::1"
+        assert rows["c"] is None and rows["d"] is None
