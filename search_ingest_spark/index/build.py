@@ -5,22 +5,28 @@ ES, which builds the actual index internally
 (`/root/reference/src/search-ingest/table.cr:80-127`).  Here the build
 is a native Spark pipeline (north rule):
 
-  docs ──mapInPandas──► (doc_id, term, tf, dl, shard)           [stage tokens]
+  docs ──mapInPandas──► (doc_id, term, tf, dl, shard)
         (doc-local tf/dl: the tokenize kernel needs NO shuffle)
-       ──repartition(shard).sortWithin(shard,term,doc)──persist──
-       ──write tokens table (partitioned by shard)──            [same stage]
+       ──repartition(shard).sortWithin(shard,term,doc)──persist (CACHE,
+        never a committed table — see below)
   sorted tokens ──two-stage salted agg──► term_dict              [stage term_dict]
-  sorted tokens ──agg──► doc_lens, stats(N, avgdl)               [stage doc_lens]
+  sorted tokens ──agg──► doc_lens, stats(N, Σdl, avgdl)          [stage doc_lens]
         (the two aggs run CONCURRENTLY over the cached sort)
   sorted tokens ──mapInPandas block encoder (term-keyed)──►
         blocks ⋈ term_dict(term→id) ──► postings                 [stage postings]
   postings ──per-shard agg──► build_manifest (lineage + metrics) [stage manifest]
 
 Scale design notes
-- **ONE shuffle of the raw token stream.**  The repartition+sort by
-  (shard, term, doc_id) in the tokens stage is the build's only
-  full-volume exchange: the checkpointed tokens table, both stats
-  aggregations, and the block encoder all consume it.  The encoder
+- **ONE shuffle of the raw token stream, ZERO persistence of it.**  The
+  repartition+sort by (shard, term, doc_id) is the build's only
+  full-volume exchange; both stats aggregations and the block encoder
+  consume it from the executor cache (memory-and-disk, ephemeral like
+  shuffle files).  Committing the raw token stream as a table would
+  double every build's write volume at corpus scale — Lucene persists
+  postings, not token streams.  Everything a later incremental splice
+  needs is recoverable from COLUMNS of the postings table: per-block
+  (n_docs, sum_tf) aggregates give each dirty shard's exact per-term
+  (df, cf) without decoding a single block.  The encoder
   emits blocks keyed by term STRING, and the dense term ids are joined
   onto the blocks output — which is 10-100x smaller than raw postings —
   instead of re-shuffling the token stream through a term_id join.
@@ -64,7 +70,6 @@ from search_ingest_spark.analysis import doc_terms_pandas
 from search_ingest_spark.catalog import Catalog
 from search_ingest_spark.index.codec import BLOCK_SIZE, encode_blocks_bulk
 
-TOKENS_TABLE = "tokens"
 TERM_DICT_TABLE = "term_dict"
 DOC_LENS_TABLE = "doc_lens"
 STATS_TABLE = "stats"
@@ -182,17 +187,26 @@ class _BuildState:
 # the block encoder (mapInPandas kernel over shard-sorted token runs)
 # ---------------------------------------------------------------------------
 
+# Block metadata includes per-block aggregates (n_docs = block df
+# contribution, sum_tf = block cf contribution): the incremental splice
+# recovers a dirty shard's exact per-term (df, cf) from a COLUMNAR scan
+# of these — no raw token stream is ever persisted (see build_index).
 POSTINGS_OUT_SCHEMA = (
     "term_id long, shard int, block_id int, first_doc_id long, last_doc_id long,"
-    " n_docs int, max_tf int, min_dl int, data binary"
+    " n_docs int, max_tf int, sum_tf long, min_dl int, data binary"
 )
 
 # encoder emits the term STRING; term ids are joined onto the (10-100x
 # smaller) blocks output afterwards, so raw postings never shuffle twice
 POSTINGS_ENC_SCHEMA = (
     "term string, shard int, block_id int, first_doc_id long, last_doc_id long,"
-    " n_docs int, max_tf int, min_dl int, data binary"
+    " n_docs int, max_tf int, sum_tf long, min_dl int, data binary"
 )
+
+POSTINGS_COLS = [
+    "term_id", "shard", "block_id", "first_doc_id", "last_doc_id",
+    "n_docs", "max_tf", "sum_tf", "min_dl", "data",
+]
 
 
 def _empty_postings_pdf() -> pd.DataFrame:
@@ -205,6 +219,7 @@ def _empty_postings_pdf() -> pd.DataFrame:
             "last_doc_id": pd.array([], dtype="int64"),
             "n_docs": pd.array([], dtype="int32"),
             "max_tf": pd.array([], dtype="int32"),
+            "sum_tf": pd.array([], dtype="int64"),
             "min_dl": pd.array([], dtype="int32"),
             "data": pd.Series([], dtype=object),
         }
@@ -261,6 +276,7 @@ def _encode_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "last_doc_id": doc[block_ends - 1],
             "n_docs": (block_ends - block_starts).astype(np.int32),
             "max_tf": np.maximum.reduceat(tf, block_starts).astype(np.int32),
+            "sum_tf": np.add.reduceat(tf, block_starts).astype(np.int64),
             "min_dl": np.minimum.reduceat(dl, block_starts).astype(np.int32),
             "data": blobs,
         })
@@ -350,46 +366,55 @@ def build_index(
         state.mark("_layout")
     n_shards = max(1, math.ceil(n_total / docs_per_shard))
 
-    # -- stage: tokens (the heavy scan; ONE shuffle, checkpointed) ----------
+    # -- the shard-sorted token exchange (ONE shuffle, NEVER persisted as
+    # a table) ---------------------------------------------------------------
+    # The raw token stream is corpus-sized; committing it to storage
+    # would double every build's write volume (Lucene persists postings,
+    # not token streams).  Instead the exchange lives as a cached
+    # DataFrame: computed lazily the first time any stage needs it
+    # (a fully-resumed build never tokenizes at all), shared by ALL
+    # consumers — doc_lens, term_dict, and the block encoder.  Per-term
+    # (df, cf) recovery for incremental splices comes from the postings'
+    # columnar (n_docs, sum_tf) block aggregates instead of a tokens
+    # table.  Spark's block manager serializes per-partition cache
+    # fills, so the concurrent stage threads never duplicate the
+    # tokenize work.
     n_part = max(1, min(n_shards, spark.sparkContext.defaultParallelism * 2))
-    sorted_tokens: DataFrame | None = None  # shard-sorted handle, fresh builds
+    _srt_lock = threading.Lock()
+    _srt: dict[str, DataFrame] = {}
 
-    @stage("tokens", tables=[TOKENS_TABLE])
-    def _tokens():
-        nonlocal sorted_tokens
-        src_docs = docs.select(id_col, text_col)
-        toks = src_docs.mapInPandas(
-            lambda it: doc_terms_pandas(it, id_col=id_col, text_col=text_col, mode=mode),
-            schema="doc_id long, term string, tf int, dl int",
-        )
-        toks = toks.withColumn(
-            "shard", (F.col("doc_id") / F.lit(docs_per_shard)).cast("int")
-        )
-        # THE build shuffle: repartition+sortWithinPartitions by
-        # (shard, term, doc_id).  Everything downstream — the tokens
-        # checkpoint, doc_lens, term_dict, and the block encoder —
-        # consumes this one exchange; the encoder needs no second
-        # shuffle because term ids are joined onto the (far smaller)
-        # encoded-blocks output instead of the raw postings.
-        srt = (
-            toks.repartition(n_part, "shard")
-            .sortWithinPartitions("shard", "term", "doc_id")
-            .persist()
-        )
-        cat.write(TOKENS_TABLE, srt, partition_by=["shard"])
-        sorted_tokens = srt
-
-    tokens = cat.read(TOKENS_TABLE)
+    def sorted_tokens() -> DataFrame:
+        with _srt_lock:
+            got = _srt.get("df")
+            if got is None:
+                toks = docs.select(id_col, text_col).mapInPandas(
+                    lambda it: doc_terms_pandas(
+                        it, id_col=id_col, text_col=text_col, mode=mode
+                    ),
+                    schema="doc_id long, term string, tf int, dl int",
+                ).withColumn(
+                    "shard", (F.col("doc_id") / F.lit(docs_per_shard)).cast("int")
+                )
+                # THE build shuffle: repartition+sortWithinPartitions by
+                # (shard, term, doc_id).  Everything downstream consumes
+                # this one exchange; the encoder needs no second shuffle
+                # because term ids are joined onto the (far smaller)
+                # encoded-blocks output instead of the raw postings.
+                got = _srt["df"] = (
+                    toks.repartition(n_part, "shard")
+                    .sortWithinPartitions("shard", "term", "doc_id")
+                    .persist()
+                )
+            return got
 
     # doc_lens+stats, term_dict, and the block ENCODE are all independent
     # consumers of the one shard-sorted exchange — run them concurrently
     # (the reference's per-table Promise.map fan-out, table_manager.cr:75-93).
     # The encoder is term-STRING-keyed, so only the tiny blocks→term_id
     # join afterwards needs term_dict; the expensive encode never waits.
-    agg_src = sorted_tokens if sorted_tokens is not None else tokens
 
     def _doc_lens_fn():
-        dl = agg_src.groupBy("doc_id").agg(
+        dl = sorted_tokens().groupBy("doc_id").agg(
             F.first("dl").alias("dl"), F.first("shard").alias("shard")
         )
         # partitioned by shard so the incremental splice can replace only
@@ -419,7 +444,8 @@ def build_index(
         # skew-proof two-stage agg: partial (term, salt) counts — no
         # reducer sees a full stopword; then a tiny re-agg per term
         partial = (
-            agg_src.groupBy("term", F.pmod(F.xxhash64("doc_id"), F.lit(64)).alias("_salt"))
+            sorted_tokens()
+            .groupBy("term", F.pmod(F.xxhash64("doc_id"), F.lit(64)).alias("_salt"))
             .agg(F.count("*").alias("pdf"), F.sum("tf").alias("pcf"))
         )
         td = partial.groupBy("term").agg(
@@ -438,19 +464,9 @@ def build_index(
     ]
 
     def _encode_batch(batch_id: int, shard_lo: int, shard_hi: int) -> None:
-        if sorted_tokens is not None:
-            # already partitioned+sorted by the tokens-stage exchange
-            src_runs = sorted_tokens.where(
-                (F.col("shard") >= shard_lo) & (F.col("shard") < shard_hi)
-            )
-        else:
-            # resume path: tokens read back from the checkpoint lost
-            # their physical ordering — re-establish it
-            src_runs = tokens.where(
-                (F.col("shard") >= shard_lo) & (F.col("shard") < shard_hi)
-            ).repartition(
-                max(1, min(shard_hi - shard_lo, n_part)), "shard"
-            ).sortWithinPartitions("shard", "term", "doc_id")
+        src_runs = sorted_tokens().where(
+            (F.col("shard") >= shard_lo) & (F.col("shard") < shard_hi)
+        )
         blocks = src_runs.select("shard", "term", "doc_id", "tf", "dl").mapInPandas(
             _encode_partition, schema=POSTINGS_ENC_SCHEMA,
         )
@@ -515,8 +531,7 @@ def build_index(
         def _join_batch(bid=bid, lo=lo, hi=hi):
             blocks = cat.read(_blocks_table(bid))
             enc = blocks.join(term_dict.select("term", "term_id"), "term").select(
-                "term_id", "shard", "block_id", "first_doc_id", "last_doc_id",
-                "n_docs", "max_tf", "min_dl", "data",
+                *POSTINGS_COLS
             ).repartition(max(1, min(hi - lo, n_part)), "shard")
             cat.write(
                 _batch_table(bid), enc,
@@ -541,8 +556,8 @@ def build_index(
             for b, _, _ in bounds:
                 cat.drop(_batch_table(b))
 
-    if sorted_tokens is not None:
-        sorted_tokens.unpersist()
+    if "df" in _srt:
+        _srt["df"].unpersist()
 
     # -- stage: manifest (per-shard lineage + metrics, north rule) ----------
     @stage("manifest", tables=[MANIFEST_TABLE])

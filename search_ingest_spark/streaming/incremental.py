@@ -29,14 +29,16 @@ Spark shape: a batch `apply_changes(changes)` operator (callable from
 
 Cost model per batch (the O(dirty) contract, asserted by
 tests/test_incremental.py::test_clean_shards_never_read):
-- reads:  dirty shards' docs/tokens/doc_lens/postings partitions,
-          dirty id-buckets of the url mapping, the (vocabulary-sized)
-          term dictionary, 1-row stats/counters;
+- reads:  dirty shards' docs/doc_lens/postings partitions (the old
+          per-term df/cf comes from the postings' columnar block
+          aggregates — no token stream exists on disk), dirty
+          id-buckets of the url mapping, the (vocabulary-sized) term
+          dictionary, 1-row stats/counters;
 - writes: the same dirty partitions, plus a full term_dict rewrite
           (dictionary-class table, orders of magnitude smaller than the
           corpus) and 1-row stats/counters.
-Nothing scans the full tokens/docs/postings tables — there is no
-per-batch O(corpus) term re-aggregation.
+Nothing scans the full docs/postings tables — there is no per-batch
+O(corpus) term re-aggregation.
 
 Atomicity: every table mutation of a batch is staged inside ONE catalog
 transaction (catalog.begin/commit — the Iceberg multi-table commit
@@ -314,10 +316,15 @@ class PageIndexer:
         n_part = max(1, min(len(dirty),
                             spark.sparkContext.defaultParallelism))
 
-        # OLD dirty-shard aggregates (pre-swap snapshots; partition-pruned)
-        old_term = self._term_agg(
-            cat.read(ib.TOKENS_TABLE).where(F.col("shard").isin(dirty)),
-            "odf", "ocf",
+        # OLD dirty-shard per-term aggregates — a COLUMNAR scan of the
+        # dirty postings partitions: each block row carries its df
+        # contribution (n_docs) and cf contribution (sum_tf), so the
+        # exact old (df, cf) per term needs no token stream and no
+        # block decoding (pre-swap snapshot; partition-pruned)
+        old_term = (
+            cat.read(ib.POSTINGS_TABLE).where(F.col("shard").isin(dirty))
+            .groupBy("term_id")
+            .agg(F.sum("n_docs").alias("odf"), F.sum("sum_tf").alias("ocf"))
         )
         old_dl = (
             cat.read(ib.DOC_LENS_TABLE).where(F.col("shard").isin(dirty))
@@ -325,18 +332,15 @@ class PageIndexer:
         )
         old_st = cat.read(ib.STATS_TABLE).first()
 
-        # tokenize ONLY the dirty shards' docs (docs is shard-partitioned)
+        # tokenize ONLY the dirty shards' docs (docs is shard-partitioned);
+        # the dirty token stream is cached, not persisted (same contract
+        # as the batch build: postings are the only committed token data)
         mode = self.mode
         dirty_docs = cat.read(DOCS_TABLE).where(F.col("shard").isin(dirty))
-        new_toks = dirty_docs.select("doc_id", "text").mapInPandas(
+        tokens_new = dirty_docs.select("doc_id", "text").mapInPandas(
             lambda it: doc_terms_pandas(it, id_col="doc_id", text_col="text", mode=mode),
             schema="doc_id long, term string, tf int, dl int",
-        ).withColumn("shard", self._shard_col())
-        cat.replace_partitions(
-            ib.TOKENS_TABLE, new_toks.repartition(n_part, "shard"), "shard",
-            dirty_values=dirty,
-        )
-        tokens_new = cat.read(ib.TOKENS_TABLE).where(F.col("shard").isin(dirty))
+        ).withColumn("shard", self._shard_col()).persist()
 
         # doc_lens: splice dirty shards, then delta-update (n_docs, Σdl)
         dl_new = tokens_new.groupBy("doc_id").agg(
@@ -371,22 +375,21 @@ class PageIndexer:
         # The dictionary (vocabulary-sized) is the only fully-rewritten
         # table; the token stream is never re-aggregated.
         new_term = self._term_agg(tokens_new, "ndf", "ncf")
-        delta = (
-            new_term.join(old_term, "term", "full_outer")
-            .select(
-                "term",
-                (F.coalesce("ndf", F.lit(0)) - F.coalesce("odf", F.lit(0))).alias("ddf"),
-                (F.coalesce("ncf", F.lit(0)) - F.coalesce("ocf", F.lit(0))).alias("dcf"),
-            )
-            .where((F.col("ddf") != 0) | (F.col("dcf") != 0))
-        )
         old_dict = cat.read(ib.TERM_DICT_TABLE)
+        # subtract the dirty shards' old counts (term_id-keyed, from the
+        # postings columns) ...
+        base = old_dict.join(old_term, "term_id", "left").select(
+            "term", "term_id",
+            (F.col("df") - F.coalesce("odf", F.lit(0))).alias("dfb"),
+            (F.col("cf") - F.coalesce("ocf", F.lit(0))).alias("cfb"),
+        )
+        # ... then add the fresh tokenization's counts (term-keyed)
         merged = (
-            old_dict.join(delta, "term", "full_outer")
+            base.join(new_term, "term", "full_outer")
             .select(
                 "term", "term_id",
-                (F.coalesce("df", F.lit(0)) + F.coalesce("ddf", F.lit(0))).alias("df2"),
-                (F.coalesce("cf", F.lit(0)) + F.coalesce("dcf", F.lit(0))).alias("cf2"),
+                (F.coalesce("dfb", F.lit(0)) + F.coalesce("ndf", F.lit(0))).alias("df2"),
+                (F.coalesce("cfb", F.lit(0)) + F.coalesce("ncf", F.lit(0))).alias("cf2"),
             )
         )
         kept = merged.where(F.col("term_id").isNotNull() & (F.col("df2") > 0)).select(
@@ -420,8 +423,7 @@ class PageIndexer:
             .mapInPandas(ib._encode_partition, schema=ib.POSTINGS_ENC_SCHEMA)
         )
         enc = blocks.join(term_dict.select("term", "term_id"), "term").select(
-            "term_id", "shard", "block_id", "first_doc_id", "last_doc_id",
-            "n_docs", "max_tf", "min_dl", "data",
+            *ib.POSTINGS_COLS
         ).repartition(n_part, "shard")
         cat.replace_partitions(
             ib.POSTINGS_TABLE, enc, "shard", dirty_values=dirty,
@@ -444,6 +446,7 @@ class PageIndexer:
                 .sortWithinPartitions("shard", "term", "doc_id"),
                 "shard", dirty_values=dirty,
             )
+        tokens_new.unpersist()
         return n_new_terms
 
     # -- streaming (A2): foreachBatch wrapper --------------------------------

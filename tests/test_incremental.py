@@ -187,8 +187,7 @@ class TestApplyChanges:
         bucket = spark.createDataFrame([("https://t/1",)], "url string").select(
             F.pmod(F.xxhash64("url"), F.lit(N_ID_BUCKETS)).cast("int").alias("b")
         ).first()["b"]
-        for t in (ib.TOKENS_TABLE, ib.DOC_LENS_TABLE, ib.POSTINGS_TABLE,
-                  DOCS_TABLE):
+        for t in (ib.DOC_LENS_TABLE, ib.POSTINGS_TABLE, DOCS_TABLE):
             clobber(t, "shard=0")
         clobber(DOC_IDS_TABLE, f"id_bucket={bucket}")
         st = indexer.apply_changes(_changes_df(spark, [

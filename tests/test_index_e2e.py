@@ -34,13 +34,16 @@ class TestBuild:
         assert info.n_docs == 500
         assert info.n_shards == 10
         assert info.n_terms > 0
-        assert "tokens" in info.stages_run
+        assert "doc_lens" in info.stages_run
 
     def test_all_tables_exist(self, doc_index):
         cat, _ = doc_index
-        for t in [ib.TOKENS_TABLE, ib.DOC_LENS_TABLE, ib.STATS_TABLE,
+        for t in [ib.DOC_LENS_TABLE, ib.STATS_TABLE,
                   ib.TERM_DICT_TABLE, ib.POSTINGS_TABLE, ib.MANIFEST_TABLE]:
             assert cat.exists(t), t
+        # the raw token stream is deliberately NOT a committed table
+        # (postings columns carry everything a splice needs)
+        assert not cat.exists("tokens")
 
     def test_term_dict_dense_sorted_ids(self, doc_index):
         cat, info = doc_index
@@ -196,7 +199,7 @@ class TestResume:
         smaller = documents_correct.limit(300)
         info = ib.build_index(spark, smaller, cat, mode="simple",
                               docs_per_shard=100)
-        assert "tokens" in info.stages_run  # fingerprint mismatch → rebuild
+        assert "doc_lens" in info.stages_run  # fingerprint mismatch → rebuild
         assert info.n_docs == 300
 
     def test_interrupted_publish_resumes_incrementally(
@@ -221,7 +224,7 @@ class TestResume:
 
         info = ib.build_index(spark, documents_correct, cat, mode="simple",
                               docs_per_shard=50, shard_batches=3)
-        assert "tokens" in info.stages_skipped
+        assert "doc_lens" in info.stages_skipped
         assert all(f"postings_batch_{i}" in info.stages_skipped for i in range(3))
         assert "postings" in info.stages_run
 
