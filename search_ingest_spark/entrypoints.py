@@ -132,6 +132,92 @@ def _q_wand_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ES bool query: match + filter context.  The filter masks candidates
+# but must NOT change df/avgdl (ES scores with whole-index statistics);
+# both sides compute stats over the full corpus and apply the lang
+# filter only to the ranked candidates.
+@register(
+    "bm25_topk_filtered",
+    bm25.bm25_oracle_sql("spark query data", k=10, filter_where="lang = 'fr'"),
+)
+def _q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    return bm25.bm25_brute_force(
+        docs, "spark query data", k=10, mode="simple", round_to=4,
+        candidate_filter=docs.where(F.col("lang") == "fr").select("doc_id"),
+    )
+
+
+# ES terms aggregation (facets) over a match query's hit set: every doc
+# containing ≥1 query term, counted per source.
+@register(
+    "search_facets_by_source",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+hits AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark', 'query', 'data')
+)
+SELECT d.source, count(*)::BIGINT AS n_hits
+FROM documents d JOIN hits USING (doc_id)
+GROUP BY d.source
+""".strip(),
+)
+def _q_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    terms = sorted(set(bm25.analyze_query("spark query data", mode="simple")))
+    hits = (
+        bm25.doc_terms(docs, mode="simple")
+        .where(F.col("term").isin(terms))
+        .select("doc_id").distinct()
+    )
+    return (
+        docs.join(hits, "doc_id")
+        .groupBy("source").agg(F.count("*").alias("n_hits"))
+    )
+
+
+# Multimodal pipeline on the hash path: payloads synthesized from text
+# bytes, run through the REAL Arrow feature-extraction kernel (with the
+# documented deterministic fake decode — no image libs in container);
+# the oracle recomputes sha256 + the 8-dim digest features in SQL.
+def _mm_feat_sql(j: int) -> str:
+    bs = " + ".join(
+        f"('0x' || substr(h, {2 * (j + 8 * r) + 1}, 2))::INT" for r in range(4)
+    )
+    return f"round((((({bs}) / 4.0) / 255.0)::FLOAT)::DOUBLE, 4) AS f{j}"
+
+
+@register(
+    "multimodal_features",
+    f"""
+WITH h AS (SELECT doc_id, sha256(text) AS h, octet_length(encode(text)) AS nb
+           FROM documents)
+SELECT doc_id, nb::INT AS n_bytes, h AS sha256,
+       {", ".join(_mm_feat_sql(j) for j in range(8))}
+FROM h
+""".strip(),
+)
+def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_ingest_spark.ops.multimodal import extract_features
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = extract_features(media, fake=True)
+    return out.select(
+        F.col("media_id").alias("doc_id"),
+        F.col("n_bytes"),
+        "sha256",
+        *[F.round(F.element_at("feat", j + 1).cast("double"), 4).alias(f"f{j}")
+          for j in range(8)],
+    )
+
+
 # B-side phrase capability (positions recorded at build time, like every
 # Lucene text field): exact match_phrase top-k served from the index,
 # oracle recomputes positions + slot matching + the slot-idf-sum BM25

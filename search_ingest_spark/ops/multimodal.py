@@ -49,8 +49,13 @@ def decode_image(payload: bytes, *, fake: bool = False) -> np.ndarray:
             "container; pass fake=True for the deterministic stub"
         )
     digest = hashlib.sha256(payload or b"").digest()
-    return (np.frombuffer(digest[:32], dtype=np.uint8)
-            .astype(np.float32).reshape(4, 8).mean(axis=0) / 255.0)
+    # float64 mean then a single float32 cast: feat[j] =
+    # f32((d[j]+d[8+j]+d[16+j]+d[24+j]) / 4 / 255) — exact integer sums
+    # in f64, so any engine doing the same double arithmetic + one
+    # narrowing cast reproduces the value bit-for-bit (the driver
+    # oracle does, in SQL)
+    d = np.frombuffer(digest, dtype=np.uint8).astype(np.float64)
+    return (d.reshape(4, 8).mean(axis=0) / 255.0).astype(np.float32)
 
 
 def extract_features(media: DataFrame, *, fake: bool = True) -> DataFrame:

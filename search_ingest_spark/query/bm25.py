@@ -81,6 +81,7 @@ def bm25_brute_force(
     deterministic_sum: bool = False,
     driver_idf: bool = False,
     match_all: bool = False,
+    candidate_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k over raw docs, no index. Returns
     (doc_id, score double, rank int) ordered by (score desc, doc_id asc).
@@ -90,6 +91,10 @@ def bm25_brute_force(
     rank-identity assertions against the WAND fast path (Spark's default
     agg order is nondeterministic; SURVEY §4 item 4).
     `round_to` rounds scores for cross-engine (DuckDB) hash comparison.
+    `candidate_filter` (a doc_id DataFrame) restricts the RESULT set
+    without touching df/avgdl — ES filter-context semantics: a bool
+    query's `filter` clause masks candidates but never changes the
+    corpus statistics the match clause scores with.
     """
     toks = tokens if tokens is not None else doc_terms(docs, id_col=id_col, text_col=text_col, mode=mode)
     terms = analyze_query(query_text, mode=mode)
@@ -147,6 +152,11 @@ def bm25_brute_force(
         # conjunctive (AND): the doc must contain every analyzed term
         per_doc = per_doc.where(F.col("_nmatch") == len(uniq_terms))
     per_doc = per_doc.drop("_nmatch")
+    if candidate_filter is not None:
+        # left-semi on doc_id; AQE picks broadcast vs shuffle by size
+        per_doc = per_doc.join(
+            candidate_filter.select("doc_id"), "doc_id", "left_semi"
+        )
 
     if round_to is not None:
         per_doc = per_doc.withColumn("score", F.round("score", round_to))
@@ -166,6 +176,7 @@ def bm25_oracle_sql(
     text_col: str = "text",
     round_to: int = 4,
     match_all: bool = False,
+    filter_where: str | None = None,
 ) -> str:
     """DuckDB SQL computing the identical BM25 top-k with the simple
     analyzer (`regexp_extract_all(lower(text),'[a-z0-9]+')` ==
@@ -174,6 +185,10 @@ def bm25_oracle_sql(
     uniq = sorted(set(terms))
     term_list = ", ".join("('" + t.replace("'", "''") + "')" for t in uniq)
     having = f"\n  HAVING count(*) = {len(uniq)}" if match_all else ""
+    cand = (
+        f"\n  WHERE doc_id IN (SELECT {id_col} FROM {table} WHERE {filter_where})"
+        if filter_where else ""
+    )
     return f"""
 WITH toks AS (
   SELECT {id_col} AS doc_id,
@@ -200,7 +215,7 @@ scores AS (
 ),
 topk AS (
   SELECT doc_id, round(score_raw, {round_to})::DOUBLE AS score
-  FROM scores
+  FROM scores{cand}
   ORDER BY score DESC, doc_id ASC
   LIMIT {k}
 )

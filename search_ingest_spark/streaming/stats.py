@@ -1,0 +1,93 @@
+"""Streaming ingest statistics + stateful operators.
+
+The reference exposes no ingest metrics beyond logs; a web-scale
+crawler feed needs (a) windowed ingest-rate observability and (b) a
+cross-batch first-seen gate so re-crawled urls don't re-enter expensive
+downstream stages (the streaming complement of the batch dedup family
+in ops/dedup.py).
+
+Spark shapes:
+- :func:`ingest_rate` — event-time windowed counts per source with a
+  watermark: classic Structured Streaming windowed aggregation; late
+  rows beyond the watermark are dropped, state is bounded by
+  (watermark / window) windows per source.
+- :func:`first_seen` — `applyInPandasWithState` keyed by url: emits a
+  url's FIRST occurrence only, across micro-batches; the per-key state
+  is a single seen-flag with an optional processing-time timeout so
+  state for dead urls expires (at 10^12 urls the state store is the
+  scaling constraint — the timeout is the knob).  This is the custom
+  stateful operator pattern (the built-in dropDuplicates() keeps rows
+  with no expiry control and can't carry per-key metadata).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def ingest_rate(
+    events: DataFrame, *, ts_col: str = "warc_ts", key_col: str = "source",
+    window: str = "1 minute", watermark: str = "2 minutes",
+) -> DataFrame:
+    """(window_start, window_end, key, n_docs) — event-time windowed
+    ingest counts with late-data handling."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("_w"), F.col(key_col))
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            F.col(key_col), "n_docs",
+        )
+    )
+
+
+FIRST_SEEN_OUT = "url string, first_ts timestamp, n_dups_in_batch int"
+_FIRST_SEEN_STATE = "seen boolean"
+
+
+def _first_seen_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    batches = [pdf for pdf in pdfs if len(pdf)]
+    n = sum(len(b) for b in batches)
+    if state.exists or not batches:
+        # url already emitted in an earlier batch → swallow duplicates
+        yield pd.DataFrame({"url": [], "first_ts": [], "n_dups_in_batch": []})
+        return
+    state.update((True,))
+    allb = pd.concat(batches, ignore_index=True)
+    first = allb.sort_values("warc_ts").iloc[0]
+    yield pd.DataFrame({
+        "url": [key[0]],
+        "first_ts": [first["warc_ts"]],
+        "n_dups_in_batch": pd.array([n - 1], dtype="int32"),
+    })
+
+
+def first_seen(
+    pages: DataFrame, *, timeout: str = GroupStateTimeout.NoTimeout
+) -> DataFrame:
+    """Streaming first-occurrence gate keyed by url (see module doc).
+
+    Input: a STREAMING DataFrame with (url, warc_ts, ...); output one
+    row per url the first time it is ever seen, with the batch-local
+    duplicate count (observability for crawl-dup ratios)."""
+    return (
+        pages.select("url", "warc_ts")
+        .groupBy("url")
+        .applyInPandasWithState(
+            _first_seen_fn,
+            outputStructType=FIRST_SEEN_OUT,
+            stateStructType=_FIRST_SEEN_STATE,
+            outputMode="append",
+            timeoutConf=timeout,
+        )
+    )

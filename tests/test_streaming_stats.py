@@ -1,0 +1,103 @@
+"""Structured Streaming operators: windowed ingest rate (watermark) and
+the applyInPandasWithState first-seen gate (cross-batch keyed state)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from search_ingest_spark.streaming.stats import first_seen, ingest_rate
+
+TS0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+PAGES_DDL = ("url string, warc_ts timestamp, source string")
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(rows, PAGES_DDL).coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+@pytest.fixture()
+def src_dir(spark, tmp_path):
+    p = str(tmp_path / "stream_src")
+    # batch 1: three urls, one duplicated within the batch
+    _write_batch(spark, p, [
+        ("u/a", TS0 + dt.timedelta(seconds=5), "s1"),
+        ("u/a", TS0 + dt.timedelta(seconds=1), "s1"),   # earlier crawl of a
+        ("u/b", TS0 + dt.timedelta(seconds=30), "s1"),
+        ("u/c", TS0 + dt.timedelta(seconds=70), "s2"),
+    ])
+    # batch 2 (separate file → separate micro-batch): re-crawls + new url
+    _write_batch(spark, p, [
+        ("u/a", TS0 + dt.timedelta(seconds=90), "s1"),  # dup across batches
+        ("u/d", TS0 + dt.timedelta(seconds=95), "s2"),
+    ])
+    return p
+
+
+def _run_stream(spark, out_df, tmp_path, name, mode="append"):
+    q = (
+        out_df.writeStream.format("memory").queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"select * from {name}")
+
+
+class TestFirstSeen:
+    def test_cross_batch_dedup(self, spark, tmp_path, src_dir):
+        stream = (
+            spark.readStream.schema(PAGES_DDL)
+            .option("maxFilesPerTrigger", 1)   # force one file per batch
+            .parquet(src_dir)
+        )
+        out = _run_stream(spark, first_seen(stream), tmp_path, "fs_out")
+        rows = {r["url"]: r for r in out.collect()}
+        # u/a emitted ONCE (despite 3 occurrences over 2 batches), with
+        # its earliest timestamp and 1 batch-local duplicate
+        assert set(rows) == {"u/a", "u/b", "u/c", "u/d"}
+        assert rows["u/a"]["first_ts"] == TS0 + dt.timedelta(seconds=1)
+        assert rows["u/a"]["n_dups_in_batch"] == 1
+        assert rows["u/d"]["n_dups_in_batch"] == 0
+
+    def test_state_survives_into_later_batches(self, spark, tmp_path, src_dir):
+        # append a third file re-crawling u/b: a fresh run over all
+        # three files (still one file per trigger) must emit u/b once
+        _write_batch(spark, src_dir, [
+            ("u/b", TS0 + dt.timedelta(seconds=300), "s1"),
+        ])
+        stream = (
+            spark.readStream.schema(PAGES_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = _run_stream(spark, first_seen(stream), tmp_path, "fs_out2")
+        assert out.where(F.col("url") == "u/b").count() == 1
+
+
+class TestIngestRate:
+    def test_windowed_counts(self, spark, tmp_path, src_dir):
+        stream = spark.readStream.schema(PAGES_DDL).parquet(src_dir)
+        # complete mode: append would withhold windows the watermark has
+        # not closed yet (correct late-data behavior; here we want to
+        # see every window the bounded run produced)
+        out = _run_stream(
+            spark, ingest_rate(stream, window="1 minute"), tmp_path, "ir_out",
+            mode="complete",
+        )
+        got = {
+            (r["window_start"], r["source"]): r["n_docs"] for r in out.collect()
+        }
+        w0 = TS0  # 12:00:00 window
+        w1 = TS0 + dt.timedelta(minutes=1)
+        assert got[(w0, "s1")] == 3          # a, a, b
+        assert got[(w1, "s2")] == 2          # c (70s), d (95s)
+        assert got[(w1, "s1")] == 1          # a re-crawl at 90s
