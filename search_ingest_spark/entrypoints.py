@@ -88,7 +88,7 @@ def _index_cat(spark: SparkSession, sf_dir: str):
         root = tempfile.mkdtemp(prefix="sis_idx_")
         cat = Catalog(spark, root)
         build_index(spark, _docs(spark, sf_dir), cat, mode="simple",
-                    with_positions=True)
+                    with_positions=True, attr_cols=["lang", "source"])
         got = _INDEX_CACHE[key] = cat
     return got
 
@@ -129,6 +129,19 @@ def _q_wand_and(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive (AND) top-k: docs must contain every query term."""
     return _searcher(spark, sf_dir).topk(
         "spark query data", 10, round_to=4, match_all=True
+    )
+
+
+@register(
+    "bm25_wand_topk_filtered",
+    bm25.bm25_oracle_sql("table hash fast", k=10, filter_where="lang = 'es'"),
+)
+def _q_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-context bool query on the INDEX path: per-shard postings
+    cogrouped with the shard's qualifying doc ids from the doc_attrs
+    table (whole-index stats, masked candidates — ES semantics)."""
+    return _searcher(spark, sf_dir).topk(
+        "table hash fast", 10, round_to=4, attr_filter={"lang": "es"}
     )
 
 

@@ -75,6 +75,7 @@ DOC_LENS_TABLE = "doc_lens"
 STATS_TABLE = "stats"
 POSTINGS_TABLE = "postings"
 POSITIONS_TABLE = "positions"
+DOC_ATTRS_TABLE = "doc_attrs"
 MANIFEST_TABLE = "build_manifest"
 
 _STATE_FILE = "build_state.json"
@@ -316,6 +317,7 @@ def build_index(
     shard_batches: int = 1,
     resume: bool = True,
     with_positions: bool = False,
+    attr_cols: list[str] | None = None,
 ) -> BuildInfo:
     """Build the full index table set into `cat`.
 
@@ -503,12 +505,28 @@ def build_index(
             sort_within_partitions=["shard", "term", "doc_id"],
         )
 
+    def _doc_attrs_fn():
+        # filterable per-doc attributes, shard-partitioned and
+        # doc-sorted: the query-side filter mask (the Lucene
+        # filter-bitset analog) — a filtered WAND query cogroups these
+        # with the postings per shard (query/wand.py).  Column-pruned
+        # scan: only id + attr columns leave the parquet reader.
+        a = docs.select(
+            F.col(id_col).alias("doc_id"), *[F.col(c) for c in attr_cols]
+        ).withColumn("shard", (F.col("doc_id") / F.lit(docs_per_shard)).cast("int"))
+        cat.write(
+            DOC_ATTRS_TABLE, a.repartition(n_part, "shard"),
+            partition_by=["shard"], sort_within_partitions=["doc_id"],
+        )
+
     jobs = [
         _stage_job("doc_lens", [DOC_LENS_TABLE, STATS_TABLE], None, _doc_lens_fn),
         _stage_job("term_dict", [TERM_DICT_TABLE], None, _term_dict_fn),
     ]
     if with_positions:
         jobs.append(_stage_job("positions", [POSITIONS_TABLE], None, _positions_fn))
+    if attr_cols:
+        jobs.append(_stage_job("doc_attrs", [DOC_ATTRS_TABLE], None, _doc_attrs_fn))
     for bid, lo, hi in bounds:
         jobs.append(_stage_job(
             f"blocks_batch_{bid}", [_blocks_table(bid)],

@@ -87,11 +87,20 @@ class Searcher:
 
     # -- execution ----------------------------------------------------------
     def topk(self, query_text: str, k: int = 10, *, round_to: int | None = None,
-             match_all: bool = False) -> DataFrame:
+             match_all: bool = False,
+             attr_filter: dict | None = None) -> DataFrame:
         """(doc_id, score, rank) — rank-identical to the brute-force oracle.
 
         `match_all=True` = conjunctive (AND) query.  A query with terms
-        missing from the dictionary can match nothing under AND."""
+        missing from the dictionary can match nothing under AND.
+
+        `attr_filter` = {attr: value} equality filters over the
+        doc_attrs table (built with attr_cols=[...]) — ES bool-query
+        filter context on the INDEX path: per shard, the postings
+        cogroup with the shard's qualifying doc ids (the Lucene
+        filter-bitset analog; the attrs scan is partition-pruned and
+        predicate-pushed) and the scorer masks candidates before
+        truncation.  df/avgdl are untouched, exactly like ES."""
         idf = self.plan(query_text)
         out_schema = "doc_id long, score double"
         n_query_terms = len(set(analyze_query(query_text, mode=self.mode)))
@@ -99,8 +108,34 @@ class Searcher:
             return self.spark.createDataFrame([], out_schema + ", rank int")
         term_ids = sorted(idf)
         pruned = self.postings.where(F.col("term_id").isin([int(t) for t in term_ids]))
-        scorer = _make_shard_scorer(idf, k, self.avgdl, match_all, round_to)
-        per_shard = pruned.groupBy("shard").applyInPandas(scorer, schema=out_schema)
+        if attr_filter:
+            attrs = self.cat.read(ib.DOC_ATTRS_TABLE)
+            for c, v in attr_filter.items():
+                attrs = attrs.where(F.col(c) == v)
+            avgdl, _idf = self.avgdl, idf
+
+            def co_scorer(post_pdf: pd.DataFrame,
+                          allow_pdf: pd.DataFrame) -> pd.DataFrame:
+                if len(post_pdf) == 0 or len(allow_pdf) == 0:
+                    return pd.DataFrame({
+                        "doc_id": pd.array([], dtype="int64"),
+                        "score": pd.array([], dtype="float64"),
+                    })
+                allowed = np.sort(allow_pdf["doc_id"].to_numpy(np.int64))
+                return shard_topk(post_pdf, idf=_idf, k=k, avgdl=avgdl,
+                                  match_all=match_all, round_to=round_to,
+                                  allowed=allowed)
+
+            per_shard = (
+                pruned.groupBy("shard")
+                .cogroup(attrs.select("shard", "doc_id").groupBy("shard"))
+                .applyInPandas(co_scorer, schema=out_schema)
+            )
+        else:
+            scorer = _make_shard_scorer(idf, k, self.avgdl, match_all, round_to)
+            per_shard = pruned.groupBy("shard").applyInPandas(
+                scorer, schema=out_schema
+            )
         topk = per_shard
         if round_to is not None:
             topk = topk.withColumn("score", F.round("score", round_to))
@@ -171,7 +206,7 @@ def _make_shard_scorer(idf: dict[int, float], k: int, avgdl: float,
 def shard_topk(
     pdf: pd.DataFrame, *, idf: dict[int, float], k: int, avgdl: float,
     k1: float = K1, b: float = B, match_all: bool = False,
-    round_to: int | None = None,
+    round_to: int | None = None, allowed: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Exact top-k for one shard's query-term postings (block-max pruning).
 
@@ -181,7 +216,7 @@ def shard_topk(
 
     Pure function over the postings rows of ONE shard — unit-testable
     without Spark."""
-    if len(pdf) == 0:
+    if len(pdf) == 0 or (allowed is not None and len(allowed) == 0):
         return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
                              "score": pd.array([], dtype="float64")})
     term_ids = sorted(idf)
@@ -281,6 +316,11 @@ def shard_topk(
             while j < len(rows) and first[rows[j]] <= hi:
                 d, c = decode_row(int(rows[j]))
                 m = (d >= lo) & (d <= hi)
+                if allowed is not None and m.any():
+                    # filter mask: membership in the sorted allowed set
+                    pos = np.searchsorted(allowed, d)
+                    pos = np.minimum(pos, len(allowed) - 1)
+                    m &= allowed[pos] == d
                 if m.any():
                     seg_docs.append(d[m])
                     seg_contrib.append(c[m])

@@ -117,3 +117,69 @@ class TestResumeLayoutStability:
             documents_smoke, "data table", 10, mode="simple",
             deterministic_sum=True, driver_idf=True).collect()]
         assert fast == slow
+
+
+class TestCatalogTransactions:
+    """Multi-table commit semantics: all-or-nothing visibility, crash
+    roll-forward from the journal, rollback cleanup."""
+
+    def _mk(self, spark, tmp_path, name="txcat"):
+        from search_ingest_spark.catalog import Catalog
+
+        return Catalog(spark, str(tmp_path / name))
+
+    def test_staged_writes_invisible_until_commit(self, spark, tmp_path):
+        from search_ingest_spark.catalog import Catalog
+
+        cat = self._mk(spark, tmp_path)
+        cat.write("t1", spark.createDataFrame([(1,)], "v int"))
+        cat.begin()
+        cat.write("t1", spark.createDataFrame([(2,)], "v int"))
+        cat.write("t2", spark.createDataFrame([(3,)], "v int"))
+        # the writer's own reads see pending state...
+        assert cat.read("t1").first()["v"] == 2
+        # ...but a second reader over the same root sees the OLD state
+        other = Catalog(spark, cat.root)
+        assert other.read("t1").first()["v"] == 1
+        assert not other.exists("t2")
+        cat.commit()
+        fresh = Catalog(spark, cat.root)
+        assert fresh.read("t1").first()["v"] == 2
+        assert fresh.read("t2").first()["v"] == 3
+
+    def test_rollback_discards_staged_state(self, spark, tmp_path):
+        from search_ingest_spark.catalog import Catalog
+
+        cat = self._mk(spark, tmp_path)
+        cat.write("t1", spark.createDataFrame([(1,)], "v int"))
+        cat.begin()
+        cat.write("t1", spark.createDataFrame([(2,)], "v int"))
+        cat.rollback()
+        assert cat.read("t1").first()["v"] == 1
+        assert Catalog(spark, cat.root).read("t1").first()["v"] == 1
+
+    def test_crash_after_journal_rolls_forward(self, spark, tmp_path, monkeypatch):
+        """Crash between the journal fsync and the meta swaps: the next
+        Catalog open must complete the commit (no torn multi-table
+        state)."""
+        import os
+
+        from search_ingest_spark.catalog import Catalog
+
+        cat = self._mk(spark, tmp_path)
+        cat.write("t1", spark.createDataFrame([(1,)], "v int"))
+        cat.begin()
+        cat.write("t1", spark.createDataFrame([(2,)], "v int"))
+        cat.write("t2", spark.createDataFrame([(3,)], "v int"))
+        # simulate the crash: journal lands, publishes never run
+        monkeypatch.setattr(Catalog, "_apply_publish",
+                            lambda self, e: (_ for _ in ()).throw(
+                                RuntimeError("crash")))
+        with pytest.raises(RuntimeError):
+            cat.commit()
+        monkeypatch.undo()
+        assert os.path.exists(os.path.join(cat.root, "_txn.json"))
+        recovered = Catalog(spark, cat.root)  # roll-forward on open
+        assert not os.path.exists(os.path.join(cat.root, "_txn.json"))
+        assert recovered.read("t1").first()["v"] == 2
+        assert recovered.read("t2").first()["v"] == 3

@@ -281,3 +281,50 @@ class TestShardKernel:
                                        "n_docs": [], "data": []}),
                          idf={}, k=10, avgdl=10.0)
         assert len(out) == 0
+
+
+class TestFilteredWand:
+    """Filter-context queries on the index path: per-shard cogroup with
+    the doc_attrs table; must be bitwise-identical to the brute-force
+    path with the same candidate filter (whole-index stats)."""
+
+    @pytest.fixture(scope="class")
+    def attr_index(self, spark, documents_correct, tmp_path_factory):
+        cat = Catalog(spark, str(tmp_path_factory.mktemp("idx_attr")))
+        ib.build_index(spark, documents_correct, cat, mode="simple",
+                       docs_per_shard=50, attr_cols=["lang", "source"])
+        return cat
+
+    @pytest.mark.parametrize("lang", ["fr", "es", "en"])
+    def test_filtered_bitwise_equals_oracle(
+        self, spark, documents_correct, attr_index, lang
+    ):
+        s = Searcher(spark, attr_index)
+        fast = [tuple(r) for r in s.topk(
+            "spark query data", 10, attr_filter={"lang": lang}
+        ).collect()]
+        slow = [tuple(r) for r in bm25_brute_force(
+            documents_correct, "spark query data", 10, mode="simple",
+            deterministic_sum=True, driver_idf=True,
+            candidate_filter=documents_correct.where(
+                F.col("lang") == lang).select("doc_id"),
+        ).collect()]
+        assert fast == slow and len(fast) > 0
+
+    def test_two_attr_filters_conjoin(self, spark, documents_correct, attr_index):
+        s = Searcher(spark, attr_index)
+        fast = [tuple(r) for r in s.topk(
+            "data table", 10, attr_filter={"lang": "en", "source": "src3"}
+        ).collect()]
+        slow = [tuple(r) for r in bm25_brute_force(
+            documents_correct, "data table", 10, mode="simple",
+            deterministic_sum=True, driver_idf=True,
+            candidate_filter=documents_correct.where(
+                (F.col("lang") == "en") & (F.col("source") == "src3")
+            ).select("doc_id"),
+        ).collect()]
+        assert fast == slow and len(fast) > 0
+
+    def test_no_matching_attr_is_empty(self, spark, attr_index):
+        s = Searcher(spark, attr_index)
+        assert s.topk("data", 10, attr_filter={"lang": "xx"}).count() == 0
