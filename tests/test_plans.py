@@ -29,7 +29,8 @@ def optimized_of(df) -> str:
 @pytest.fixture(scope="module")
 def doc_index(spark, documents_smoke, tmp_path_factory):
     cat = Catalog(spark, str(tmp_path_factory.mktemp("planidx")))
-    ib.build_index(spark, documents_smoke, cat, mode="simple", docs_per_shard=16)
+    ib.build_index(spark, documents_smoke, cat, mode="simple", docs_per_shard=16,
+                   with_positions=True, attr_cols=["lang", "source"])
     return cat
 
 
@@ -70,6 +71,28 @@ class TestQueryPlans:
         s = Searcher(spark, doc_index)
         plan = plan_of(s.topk("data table", 10))
         assert "FlatMapGroupsInPandas" in plan  # per-shard scorer kernel
+
+    def test_positions_scan_pushes_term_filter(self, spark, doc_index):
+        # a phrase query must read only its terms' row groups
+        pos = doc_index.read(ib.POSITIONS_TABLE).where(
+            F.col("term").isin(["data", "table"])
+        )
+        plan = plan_of(pos)
+        assert "PushedFilters: [In(term" in plan, plan
+
+    def test_attr_filter_pushes_predicate_and_prunes_columns(self, spark, doc_index):
+        attrs = doc_index.read(ib.DOC_ATTRS_TABLE).where(
+            F.col("lang") == "fr"
+        ).select("shard", "doc_id")
+        plan = plan_of(attrs)
+        assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,fr)]" in plan, plan
+        # source column never leaves the reader
+        assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan, plan
+
+    def test_filtered_wand_cogroups_postings_with_attrs(self, spark, doc_index):
+        s = Searcher(spark, doc_index)
+        plan = plan_of(s.topk("data table", 10, attr_filter={"lang": "fr"}))
+        assert "FlatMapCoGroupsInPandas" in plan  # postings ⋈ filter mask
 
 
 class TestSelfReplicationGuard:
