@@ -57,8 +57,13 @@ class LocalSearcher:
         }
 
     def topk(self, query_text: str, k: int = 10, *,
-             match_all: bool = False) -> list[tuple[int, float, int]]:
-        """[(doc_id, score, rank)] — bitwise identical to Searcher.topk."""
+             match_all: bool = False,
+             attr_filter: dict | None = None) -> list[tuple[int, float, int]]:
+        """[(doc_id, score, rank)] — bitwise identical to Searcher.topk.
+
+        `attr_filter` mirrors the Spark path's filter context: the
+        doc_attrs dataset is read with the predicate pushed into the
+        parquet scan; the scorer masks candidates per shard."""
         idf = self.plan(query_text)
         n_terms = len(set(analyze_query(query_text, mode=self.mode)))
         if not idf or (match_all and len(idf) < n_terms):
@@ -69,10 +74,30 @@ class LocalSearcher:
         pdf = tbl.to_pandas()
         if len(pdf) == 0:
             return []
-        frames = [
-            shard_topk(g, idf=idf, k=k, avgdl=self.avgdl, match_all=match_all)
-            for _, g in pdf.groupby("shard", sort=True)
-        ]
+        allowed_by_shard: dict[int, np.ndarray] | None = None
+        if attr_filter:
+            cond = None
+            for c, v in attr_filter.items():
+                e = pc.field(c) == v
+                cond = e if cond is None else cond & e
+            attrs = ds.dataset(
+                self.cat.data_path(ib.DOC_ATTRS_TABLE), partitioning="hive"
+            ).to_table(columns=["shard", "doc_id"], filter=cond).to_pandas()
+            allowed_by_shard = {
+                int(s): np.sort(g["doc_id"].to_numpy(np.int64))
+                for s, g in attrs.groupby("shard", sort=True)
+            }
+        frames = []
+        for s, g in pdf.groupby("shard", sort=True):
+            allowed = None
+            if allowed_by_shard is not None:
+                allowed = allowed_by_shard.get(int(s))
+                if allowed is None or len(allowed) == 0:
+                    continue
+            frames.append(shard_topk(g, idf=idf, k=k, avgdl=self.avgdl,
+                                     match_all=match_all, allowed=allowed))
+        if not frames:
+            return []
         allr = pd.concat(frames, ignore_index=True)
         order = np.lexsort((allr["doc_id"].to_numpy(), -allr["score"].to_numpy()))[:k]
         out = allr.iloc[order]
@@ -80,3 +105,77 @@ class LocalSearcher:
             (int(d), float(s), i + 1)
             for i, (d, s) in enumerate(zip(out["doc_id"], out["score"]))
         ]
+
+    def phrase_topk(self, phrase_text: str, k: int = 10,
+                    ) -> list[tuple[int, float, int]]:
+        """Spark-free match_phrase over the positions table — same slot
+        semantics as query/phrase.PhraseSearcher (synonym stacks share a
+        slot), identical scores (slot-idf-sum BM25)."""
+        from search_ingest_spark.analysis import analyze_pos
+        from search_ingest_spark.query.bm25 import B, K1
+
+        if self.mode == "simple":
+            pairs = [(t, i) for i, t in
+                     enumerate(analyze_query(phrase_text, mode="simple"))]
+        else:
+            pairs = analyze_pos(phrase_text)
+        if not pairs:
+            return []
+        n_slots = 1 + max(p for _, p in pairs)
+        slot_terms: dict[int, list[str]] = {}
+        for t, p in pairs:
+            slot_terms.setdefault(p, []).append(t)
+        terms = sorted({t for t, _ in pairs})
+        dict_tbl = self._dict.to_table(
+            columns=["term", "df"], filter=pc.field("term").isin(terms)
+        )
+        idf = {
+            t: float(np.log(1.0 + (self.n_docs - df + 0.5) / (df + 0.5)))
+            for t, df in zip(dict_tbl["term"].to_pylist(),
+                             dict_tbl["df"].to_pylist())
+        }
+        idf_sum = 0.0
+        for p in range(n_slots):
+            indexed = [t for t in slot_terms.get(p, []) if t in idf]
+            if not indexed:
+                return []
+            idf_sum += idf[indexed[0]]
+
+        pos = ds.dataset(
+            self.cat.data_path(ib.POSITIONS_TABLE), partitioning="hive"
+        ).to_table(
+            columns=["term", "doc_id", "positions"],
+            filter=pc.field("term").isin([t for t in terms if t in idf]),
+        ).to_pandas()
+        if len(pos) == 0:
+            return []
+        # explode → (doc, base) → per-(doc, base) distinct slot count
+        bases: dict[tuple[int, int], set] = {}
+        term_slots: dict[str, list[int]] = {}
+        for t, p in pairs:
+            if t in idf:
+                term_slots.setdefault(t, []).append(p)
+        for term, doc, poss in zip(pos["term"], pos["doc_id"], pos["positions"]):
+            for slot in term_slots[term]:
+                for pp in poss:
+                    bases.setdefault((int(doc), int(pp) - slot), set()).add(slot)
+        pfreq: dict[int, int] = {}
+        for (doc, _base), slots_hit in bases.items():
+            if len(slots_hit) == n_slots:
+                pfreq[doc] = pfreq.get(doc, 0) + 1
+        if not pfreq:
+            return []
+        dls = ds.dataset(
+            self.cat.data_path(ib.DOC_LENS_TABLE), partitioning="hive"
+        ).to_table(columns=["doc_id", "dl"],
+                   filter=pc.field("doc_id").isin(list(pfreq))).to_pandas()
+        dl_map = dict(zip(dls["doc_id"].astype(int), dls["dl"].astype(int)))
+        scored = []
+        for doc, pf in pfreq.items():
+            dl = dl_map[doc]
+            s = idf_sum * (pf * (K1 + 1.0)) / (
+                pf + K1 * (1.0 - B + B * dl / self.avgdl)
+            )
+            scored.append((doc, s))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        return [(d, s, i + 1) for i, (d, s) in enumerate(scored[:k])]

@@ -50,3 +50,42 @@ def test_local_reader_latency_is_millisecond_class(built):
     per_query = (time.time() - t0) / n
     # the point of the serving path: no per-query Spark job scheduling
     assert per_query < 0.25, per_query
+
+
+class TestLocalFilteredAndPhrase:
+    @pytest.fixture(scope="class")
+    def rich_index(self, spark, documents_correct, tmp_path_factory):
+        cat = Catalog(spark, str(tmp_path_factory.mktemp("idx_rich")))
+        ib.build_index(spark, documents_correct, cat, mode="simple",
+                       docs_per_shard=50, with_positions=True,
+                       attr_cols=["lang", "source"])
+        return cat
+
+    def test_filtered_matches_spark_path_bitwise(
+        self, spark, rich_index
+    ):
+        from search_ingest_spark.query.wand import Searcher
+
+        s = Searcher(spark, rich_index)
+        ls = LocalSearcher(rich_index)
+        for lang in ("fr", "es"):
+            spark_side = [tuple(r) for r in s.topk(
+                "spark query data", 10, attr_filter={"lang": lang}
+            ).collect()]
+            local_side = ls.topk("spark query data", 10,
+                                 attr_filter={"lang": lang})
+            assert local_side == spark_side, lang
+
+    def test_filtered_no_match_empty(self, rich_index):
+        assert LocalSearcher(rich_index).topk(
+            "data", 10, attr_filter={"lang": "xx"}) == []
+
+    def test_phrase_matches_spark_path_bitwise(self, spark, rich_index):
+        from search_ingest_spark.query.phrase import PhraseSearcher
+
+        ps = PhraseSearcher(spark, rich_index)
+        ls = LocalSearcher(rich_index)
+        for q in ("table hash", "part filter"):
+            spark_side = [tuple(r) for r in ps.topk(q, 10).collect()]
+            local_side = ls.phrase_topk(q, 10)
+            assert local_side == spark_side, q
