@@ -157,11 +157,13 @@ class _BuildState:
     def __init__(self, cat: Catalog, input_fp: str) -> None:
         self.path = os.path.join(cat.root, _STATE_FILE)
         self.input_fp = input_fp
+        self.reset = False  # True when prior state was for DIFFERENT input
         try:
             with open(self.path) as fh:
                 data = json.load(fh)
             if data.get("input_fp") != input_fp:
                 data = {"input_fp": input_fp, "stages": {}}
+                self.reset = True
         except (FileNotFoundError, json.JSONDecodeError):
             data = {"input_fp": input_fp, "stages": {}}
         self.data = data
@@ -330,6 +332,15 @@ def build_index(
     skipped: list[str] = []
     fp, n_total = _input_fingerprint(docs, id_col, text_col)
     state = _BuildState(cat, fp) if resume else _BuildState(cat, f"nores-{time.time()}")
+
+    # input changed but an OPTIONAL component isn't requested this time:
+    # its table from the previous build is stale — drop it, or filtered/
+    # phrase queries would silently serve the old corpus
+    if state.reset or not resume:
+        for flag, table in ((with_positions, POSITIONS_TABLE),
+                            (bool(attr_cols), DOC_ATTRS_TABLE)):
+            if not flag and cat.exists(table):
+                cat.drop(table)
 
     def stage(name: str, tables: list[str] | None = None,
               alt_tables: list[list[str]] | None = None):

@@ -446,6 +446,11 @@ class PageIndexer:
                 .sortWithinPartitions("shard", "term", "doc_id"),
                 "shard", dirty_values=dirty,
             )
+        # the url-keyed incremental pipeline carries no filterable attr
+        # columns; a stale filter table is worse than none — drop it
+        # (a batch rebuild with attr_cols recreates it)
+        if cat.exists(ib.DOC_ATTRS_TABLE):
+            cat.drop(ib.DOC_ATTRS_TABLE)
         tokens_new.unpersist()
         return n_new_terms
 
