@@ -161,6 +161,65 @@ def _q_bm25_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ES _search response parity: hits carry their _source fields — top-k
+# joined back to the doc store (a broadcast of k rows, never a shuffle
+# of the corpus).
+@register(
+    "bm25_search_with_source",
+    f"""
+SELECT t.doc_id, t.score, t.rank, d.lang, d.source
+FROM ({bm25.bm25_oracle_sql("spark query data", k=10)}) t
+JOIN documents d USING (doc_id)
+""".strip(),
+)
+def _q_search_with_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    top = bm25.bm25_brute_force(docs, "spark query data", 10, mode="simple",
+                                round_to=4)
+    return F.broadcast(top).join(docs.select("doc_id", "lang", "source"),
+                                 "doc_id").select(
+        "doc_id", "score", "rank", "lang", "source"
+    )
+
+
+# ES highlighting (deterministic rule: an 80-char window around the
+# first occurrence of the first query term, or the text head if absent).
+@register(
+    "bm25_search_highlight",
+    f"""
+SELECT t.doc_id, t.score, t.rank,
+       substr(d.text, greatest(1, strpos(lower(d.text), 'data') - 30), 80)
+         AS snippet
+FROM ({bm25.bm25_oracle_sql("data table", k=10)}) t
+JOIN documents d USING (doc_id)
+""".strip(),
+)
+def _q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    top = bm25.bm25_brute_force(docs, "data table", 10, mode="simple",
+                                round_to=4)
+    snippet = F.substring(
+        F.col("text"),
+        F.greatest(F.lit(1), F.locate("data", F.lower("text")) - 30),
+        80,
+    )
+    return F.broadcast(top).join(docs.select("doc_id", "text"), "doc_id").select(
+        "doc_id", "score", "rank", snippet.alias("snippet")
+    )
+
+
+# ES from/size pagination: page 2 of the ranking (from=10, size=10).
+@register(
+    "bm25_topk_paged",
+    f"SELECT * FROM ({bm25.bm25_oracle_sql('spark query data', k=20)}) "
+    "WHERE rank > 10",
+)
+def _q_paged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    top = bm25.bm25_brute_force(_docs(spark, sf_dir), "spark query data", 20,
+                                mode="simple", round_to=4)
+    return top.where(F.col("rank") > 10)
+
+
 # ES terms aggregation (facets) over a match query's hit set: every doc
 # containing ≥1 query term, counted per source.
 @register(
