@@ -147,41 +147,6 @@ def analyze_pos(text: str) -> list[tuple[str, int]]:
     return out
 
 
-def doc_positions_pandas(
-    it: Iterator[pd.DataFrame],
-    *,
-    id_col: str,
-    text_col: str,
-    mode: str = "standard",
-) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: rows(id, text) → rows(doc_id, term,
-    positions array<int>).  Positions are doc-local, so — like the tf/dl
-    kernel — this stage needs NO shuffle before the per-shard sort."""
-    simple_re = re.compile(r"[a-z0-9]+")
-    for batch in it:
-        ids: list = []
-        terms: list[str] = []
-        poss: list[list[int]] = []
-        for doc_id, text in zip(batch[id_col].values, batch[text_col].values):
-            if text is None:
-                continue
-            if mode == "simple":
-                pairs = enumerate(simple_re.findall(text.lower()))
-                pairs = [(t, i) for i, t in pairs]
-            else:
-                pairs = analyze_pos(text)
-            agg: dict[str, list[int]] = {}
-            for t, p in pairs:
-                agg.setdefault(t, []).append(p)
-            ids.extend([doc_id] * len(agg))
-            terms.extend(agg.keys())
-            poss.extend(agg.values())
-        yield pd.DataFrame(
-            {"doc_id": pd.array(ids, dtype="int64"), "term": terms,
-             "positions": poss}
-        )
-
-
 # ---------------------------------------------------------------------------
 # Text extraction (reference analog: the doc's `text` IS the row content,
 # elastic.cr:230 serializes the row verbatim; input_hint demands a
@@ -238,12 +203,17 @@ def doc_terms_pandas(
     id_col: str,
     text_col: str,
     mode: str = "standard",
+    with_positions: bool = False,
 ) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: rows(id, text, …) → rows(doc_id, term, tf, dl).
+    """mapInPandas kernel: rows(id, text, …) → rows(doc_id, term, tf, dl
+    [, positions]).
 
     tf and dl are doc-local, so this stage needs NO shuffle: term
     frequencies are fully aggregated before anything hits the exchange.
     `mode`: "standard" (full analyzer) | "simple" (ASCII regex analyzer).
+    `with_positions=True` adds each (doc, term)'s position list in the
+    SAME pass — a positions-enabled build tokenizes and shuffles once,
+    not twice (the positions table is a projection of the one exchange).
     """
     simple_re = re.compile(r"[a-z0-9]+")
     for batch in it:
@@ -251,8 +221,26 @@ def doc_terms_pandas(
         terms: list[str] = []
         tfs: list[int] = []
         dls: list[int] = []
+        poss: list[list[int]] = []
         for doc_id, text in zip(batch[id_col].values, batch[text_col].values):
             if text is None:
+                continue
+            if with_positions:
+                if mode == "simple":
+                    pairs = [(t, i) for i, t in
+                             enumerate(simple_re.findall(text.lower()))]
+                    dl = len(pairs)
+                else:
+                    pairs = analyze_pos(text)
+                    dl = 1 + pairs[-1][1] if pairs else 0
+                agg: dict[str, list[int]] = {}
+                for t, p in pairs:
+                    agg.setdefault(t, []).append(p)
+                ids.extend([doc_id] * len(agg))
+                terms.extend(agg.keys())
+                tfs.extend(len(v) for v in agg.values())
+                dls.extend([dl] * len(agg))
+                poss.extend(agg.values())
                 continue
             if mode == "simple":
                 toks = simple_re.findall(text.lower())
@@ -266,7 +254,9 @@ def doc_terms_pandas(
             terms.extend(counts.keys())
             tfs.extend(counts.values())
             dls.extend([dl] * len(counts))
-        yield pd.DataFrame(
-            {"doc_id": pd.array(ids, dtype="int64"), "term": terms,
-             "tf": pd.array(tfs, dtype="int32"), "dl": pd.array(dls, dtype="int32")}
-        )
+        out = {"doc_id": pd.array(ids, dtype="int64"), "term": terms,
+               "tf": pd.array(tfs, dtype="int32"),
+               "dl": pd.array(dls, dtype="int32")}
+        if with_positions:
+            out["positions"] = poss
+        yield pd.DataFrame(out)

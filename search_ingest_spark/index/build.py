@@ -400,11 +400,18 @@ def build_index(
         with _srt_lock:
             got = _srt.get("df")
             if got is None:
+                # with_positions: the SAME kernel emits each (doc, term)'s
+                # position list, so positions ride this one exchange — a
+                # positions-enabled build tokenizes and shuffles ONCE
+                schema = "doc_id long, term string, tf int, dl int"
+                if with_positions:
+                    schema += ", positions array<int>"
                 toks = docs.select(id_col, text_col).mapInPandas(
                     lambda it: doc_terms_pandas(
-                        it, id_col=id_col, text_col=text_col, mode=mode
+                        it, id_col=id_col, text_col=text_col, mode=mode,
+                        with_positions=with_positions,
                     ),
-                    schema="doc_id long, term string, tf int, dl int",
+                    schema=schema,
                 ).withColumn(
                     "shard", (F.col("doc_id") / F.lit(docs_per_shard)).cast("int")
                 )
@@ -500,21 +507,11 @@ def build_index(
         # schemas.cr:62-77): per-(term, doc) position lists, shard-
         # partitioned and term-sorted within files so a phrase query's
         # scan prunes to its terms' row groups — the same layout
-        # contract as the postings table.  Doc-local → zero shuffle
-        # before the shard exchange.
-        from search_ingest_spark.analysis import doc_positions_pandas
-
-        pos = docs.select(id_col, text_col).mapInPandas(
-            lambda it: doc_positions_pandas(
-                it, id_col=id_col, text_col=text_col, mode=mode
-            ),
-            schema="doc_id long, term string, positions array<int>",
-        ).withColumn("shard", (F.col("doc_id") / F.lit(docs_per_shard)).cast("int"))
-        cat.write(
-            POSITIONS_TABLE, pos.repartition(n_part, "shard"),
-            partition_by=["shard"],
-            sort_within_partitions=["shard", "term", "doc_id"],
-        )
+        # contract as the postings table.  A pure PROJECTION of the one
+        # shard-sorted exchange: no extra tokenize pass, no extra
+        # shuffle, already sorted.
+        pos = sorted_tokens().select("doc_id", "term", "positions", "shard")
+        cat.write(POSITIONS_TABLE, pos, partition_by=["shard"])
 
     def _doc_attrs_fn():
         # filterable per-doc attributes, shard-partitioned and

@@ -334,12 +334,19 @@ class PageIndexer:
 
         # tokenize ONLY the dirty shards' docs (docs is shard-partitioned);
         # the dirty token stream is cached, not persisted (same contract
-        # as the batch build: postings are the only committed token data)
+        # as the batch build: postings are the only committed token
+        # data).  When the index carries positions, the SAME pass emits
+        # them (no second tokenize).
         mode = self.mode
+        has_pos = cat.exists(ib.POSITIONS_TABLE)
+        tok_schema = "doc_id long, term string, tf int, dl int"
+        if has_pos:
+            tok_schema += ", positions array<int>"
         dirty_docs = cat.read(DOCS_TABLE).where(F.col("shard").isin(dirty))
         tokens_new = dirty_docs.select("doc_id", "text").mapInPandas(
-            lambda it: doc_terms_pandas(it, id_col="doc_id", text_col="text", mode=mode),
-            schema="doc_id long, term string, tf int, dl int",
+            lambda it: doc_terms_pandas(it, id_col="doc_id", text_col="text",
+                                        mode=mode, with_positions=has_pos),
+            schema=tok_schema,
         ).withColumn("shard", self._shard_col()).persist()
 
         # doc_lens: splice dirty shards, then delta-update (n_docs, Σdl)
@@ -429,17 +436,10 @@ class PageIndexer:
             ib.POSTINGS_TABLE, enc, "shard", dirty_values=dirty,
         )
 
-        # positional component (if the build enabled it): same dirty-
-        # shard splice as postings
-        if cat.exists(ib.POSITIONS_TABLE):
-            from search_ingest_spark.analysis import doc_positions_pandas
-
-            pos_new = dirty_docs.select("doc_id", "text").mapInPandas(
-                lambda it: doc_positions_pandas(
-                    it, id_col="doc_id", text_col="text", mode=mode
-                ),
-                schema="doc_id long, term string, positions array<int>",
-            ).withColumn("shard", self._shard_col())
+        # positional component (if the build enabled it): a projection
+        # of the already-tokenized dirty stream, spliced per shard
+        if has_pos:
+            pos_new = tokens_new.select("doc_id", "term", "positions", "shard")
             cat.replace_partitions(
                 ib.POSITIONS_TABLE,
                 pos_new.repartition(n_part, "shard")
