@@ -771,6 +771,98 @@ def _q_extract_html(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# A2/A13-A15 end to end ON THE INDEX: backfill a url-keyed corpus, apply
+# one changefeed batch (updates %13 — including %221 delete-then-upsert
+# LWW conflicts — deletes %17, five appended urls), then answer a BM25
+# top-k from the SPLICED index.  The oracle recomputes BM25 over the
+# post-change corpus from scratch in SQL — a full value-hash check that
+# the O(dirty) splice (delta-maintained stats/term_dict, partition
+# swaps) leaves the index exactly equal to a rebuild.  Dense ids are
+# assigned in url sort order and appends get lexically-larger urls, so
+# (score desc, doc_id asc) == (score desc, url asc) on both sides.
+# ---------------------------------------------------------------------------
+
+_INC_CACHE: dict[str, object] = {}
+
+_INC_CORPUS_SQL = """
+SELECT 'doc://' || doc_id AS url,
+       CASE WHEN doc_id % 13 = 0 THEN text || ' refreshed spark data content'
+            ELSE text END AS text
+FROM documents
+WHERE NOT (doc_id % 17 = 0 AND doc_id % 13 <> 0)
+UNION ALL
+SELECT 'doc://zzz/new' || i, 'brand new page about spark data batch ' || i
+FROM (SELECT unnest(range(0, 5)) AS i)
+""".strip()
+
+
+def _incremental_catalog(spark: SparkSession, sf_dir: str):
+    import datetime as _dt
+
+    from search_ingest_spark.catalog import Catalog
+    from search_ingest_spark.streaming.incremental import PageIndexer
+
+    key = os.path.abspath(sf_dir)
+    got = _INC_CACHE.get(key)
+    if got is not None:
+        return got
+    ts0 = _dt.datetime(2026, 1, 1)
+    ts_del = _dt.datetime(2026, 1, 2)
+    ts_up = _dt.datetime(2026, 1, 3)
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    url = F.concat(F.lit("doc://"), F.col("doc_id").cast("string"))
+
+    def page_cols(u, ts, text):
+        return [
+            u.alias("url"), F.lit(ts).cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"), text.alias("text"),
+            F.lit("en").alias("lang"),
+        ]
+
+    pages = docs.select(*page_cols(url, ts0, F.col("text")))
+    cat = Catalog(spark, tempfile.mkdtemp(prefix="sis_inc_"))
+    ix = PageIndexer(spark, cat, mode="simple", docs_per_shard=64)
+    ix.backfill(pages)
+    ups = docs.where(F.col("doc_id") % 13 == 0).select(
+        *page_cols(url, ts_up,
+                   F.concat(F.col("text"), F.lit(" refreshed spark data content")))
+    ).withColumn("_op", F.lit("upsert"))
+    dels = docs.where(F.col("doc_id") % 17 == 0).select(
+        *page_cols(url, ts_del, F.col("text"))
+    ).withColumn("_op", F.lit("delete"))
+    news = spark.range(5).select(
+        *page_cols(
+            F.concat(F.lit("doc://zzz/new"), F.col("id").cast("string")), ts_up,
+            F.concat(F.lit("brand new page about spark data batch "),
+                     F.col("id").cast("string")),
+        )
+    ).withColumn("_op", F.lit("upsert"))
+    ix.apply_changes(ups.unionByName(dels).unionByName(news))
+    _INC_CACHE[key] = (cat, ix)
+    return cat, ix
+
+
+@register(
+    "incremental_topk_after_changes",
+    "SELECT doc_id AS url, score, rank FROM ("
+    + bm25.bm25_oracle_sql("spark data", k=10, table=f"({_INC_CORPUS_SQL})",
+                           id_col="url")
+    + ")",
+)
+def _q_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_ingest_spark.query.wand import Searcher
+    from search_ingest_spark.streaming.incremental import DOC_IDS_TABLE
+
+    cat, _ix = _incremental_catalog(spark, sf_dir)
+    top = Searcher(spark, cat).topk("spark data", 10, round_to=4)
+    ids = cat.read(DOC_IDS_TABLE).select("doc_id", "url")
+    return (
+        F.broadcast(top).join(ids, "doc_id")
+        .select("url", "score", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
 # A2+A10/A11/A13-A15 combined: the reference's CORE loop — a changefeed
 # batch on a child table upserts/deletes the child doc in its own index
 # AND the routed replica in every parent index (table.cr:25-46,
