@@ -50,10 +50,22 @@ from pyspark.sql.types import ArrayType, IntegerType, StringType
 # ---------------------------------------------------------------------------
 
 # Order matters: number-with-separators first so "3.14" wins over "3".
-# \w covers Unicode letters, digits, underscore (UAX#29 ExtendNumLet).
+# CJK follows Lucene StandardTokenizer's UAX#29 behavior: Han and
+# Hiragana characters do not chain (one token per ideograph/kana — what
+# makes CJK search work at all without a segmenter), Katakana DOES
+# chain into runs (WB13), and CJK never merges with adjacent Latin
+# ("東京tower" → 東, 京, tower).  Everything else: \w runs (Unicode
+# letters/digits/underscore ≈ ALetter+ExtendNumLet) joined by
+# MidNumLet apostrophes.
+_HAN = "㐀-䶿一-鿿豈-﫿"
+_HIRA = "぀-ゟ"
+_KATA = "゠-ヿㇰ-ㇿ"
 _TOKEN_RE = re.compile(
-    r"\d+(?:[.,]\d+)+"          # numeric runs joined by MidNum . or ,
-    r"|\w+(?:['’]\w+)*",   # word runs joined by MidNumLet apostrophes
+    r"\d+(?:[.,]\d+)+"                # numeric runs joined by MidNum . or ,
+    rf"|[{_KATA}]+"                   # katakana runs chain (incl. ー)
+    rf"|[{_HAN}{_HIRA}]"              # han/hiragana: one token per char
+    rf"|[^\W{_HAN}{_HIRA}{_KATA}]+"   # word runs (CJK excluded) ...
+    rf"(?:['’][^\W{_HAN}{_HIRA}{_KATA}]+)*",  # ... apostrophe-joined
     re.UNICODE,
 )
 

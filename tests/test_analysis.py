@@ -115,3 +115,40 @@ def test_analyze_total_and_deterministic(text):
     terms, n = t1
     assert len(terms) >= n  # stacking only adds
     assert all(t == t.lower() for t in terms)
+
+
+class TestCJKSegmentation:
+    """Lucene StandardTokenizer parity on CJK: Han/Hiragana emit one
+    token per character, Katakana chains into runs, and CJK never
+    merges with adjacent Latin."""
+
+    def test_han_unigrams(self):
+        from search_ingest_spark.analysis import standard_tokens
+
+        assert standard_tokens("漢字検索") == ["漢", "字", "検", "索"]
+
+    def test_katakana_runs_chain(self):
+        from search_ingest_spark.analysis import standard_tokens
+
+        assert standard_tokens("データベース処理") == [
+            "データベース", "処", "理"
+        ]
+
+    def test_hiragana_single_chars(self):
+        from search_ingest_spark.analysis import standard_tokens
+
+        assert standard_tokens("これは") == ["こ", "れ", "は"]
+
+    def test_cjk_latin_boundary(self):
+        from search_ingest_spark.analysis import standard_tokens
+
+        assert standard_tokens("東京tower spark漢") == [
+            "東", "京", "tower", "spark", "漢"
+        ]
+
+    def test_mixed_sentence_analyze(self):
+        from search_ingest_spark.analysis import analyze
+
+        terms, n_pos = analyze("Spark处理数据 3.14")
+        assert terms == ["spark", "处", "理", "数", "据", "3.14"]
+        assert n_pos == 6
