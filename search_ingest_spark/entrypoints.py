@@ -290,6 +290,37 @@ def _q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Video frame-sample planning: the explode that fans a video row out to
+# per-frame decode work items (durations synthesized deterministically
+# from n_chars; the decode itself is the documented stub).
+@register(
+    "multimodal_frame_plan",
+    """
+WITH media AS (
+  SELECT doc_id AS media_id, ((n_chars % 20) + 1) * 1000 AS duration_ms
+  FROM documents
+)
+SELECT media_id, unnest(range(0, greatest((duration_ms / 1000)::INT, 1)))::INT
+         AS frame_idx,
+       unnest(range(0, greatest((duration_ms / 1000)::INT, 1)))::INT * 1000
+         AS ts_ms
+FROM media
+""".strip(),
+)
+def _q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_ingest_spark.ops.multimodal import frame_sample_plan
+
+    media = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        ((F.col("n_chars") % 20 + 1) * 1000).cast("int").alias("duration_ms"),
+    )
+    return frame_sample_plan(media, every_ms=1000).select(
+        "media_id", F.col("frame_idx").cast("int").alias("frame_idx"),
+        F.col("ts_ms").cast("int").alias("ts_ms"),
+    )
+
+
 # B-side phrase capability (positions recorded at build time, like every
 # Lucene text field): exact match_phrase top-k served from the index,
 # oracle recomputes positions + slot matching + the slot-idf-sum BM25
