@@ -486,6 +486,24 @@ def _q_dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(_dup_docs(spark, sf_dir), max_hamming=3)
 
 
+# Duplicate CLUSTERS (connected components over the exact-Jaccard
+# pairs): transitive chains collapse to one group with a canonical
+# min-id keeper — the form a dedup pipeline actually consumes.
+_JACCARD_PAIRS_SQL = dedup.ngram_jaccard_sql(
+    table=f"({_DUP_UNION_SQL})", n=3, threshold=0.8,
+)
+
+
+@register(
+    "dedup_duplicate_clusters",
+    dedup.duplicate_clusters_sql(_JACCARD_PAIRS_SQL),
+)
+def _q_dedup_clusters(spark, sf_dir):
+    pairs = dedup.ngram_jaccard_pairs(_dup_docs(spark, sf_dir), n=3,
+                                      threshold=0.8)
+    return dedup.duplicate_clusters(pairs)
+
+
 _EMB_NEAR_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT x.vec_id AS a, y.vec_id AS b,

@@ -496,6 +496,93 @@ FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def duplicate_clusters(pairs: DataFrame) -> DataFrame:
+    """(member, cluster_id) — connected components over an undirected
+    pair list (a, b), cluster_id = the component's min doc id.  This is
+    what a dedup pipeline actually consumes: transitive chains a~b~c
+    are ONE duplicate group with one canonical keeper, which pairwise
+    output alone doesn't give you.
+
+    Iterative min-label propagation WITH pointer jumping: each round a
+    node takes the min of (its label, its neighbors' labels, its
+    label's label) — the second step halves chain distances, so
+    convergence is O(log diameter) rounds instead of O(diameter).
+    Every round's result is localCheckpoint-ed: iterative Spark loops
+    MUST truncate lineage or plan analysis cost compounds per round.
+    The loop is driver-controlled with a changed-row count per round,
+    the standard Spark iterative-algorithm shape (AQE re-plans each
+    round's joins).
+    """
+    edges = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionByName(pairs.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node")).distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    while True:
+        nbr = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u").agg(F.min("label").alias("nlabel"))
+        )
+        l1 = (
+            labels.join(nbr, labels.node == nbr.u, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label")))
+                .alias("label"),
+            )
+        )
+        # pointer jump: label ← label(label).  Labels are always node
+        # ids present in `labels`, so the lookup join is total.
+        lmap = l1.select(F.col("node").alias("mnode"),
+                         F.col("label").alias("mlabel"))
+        new_labels = (
+            l1.join(lmap, l1.label == lmap.mnode)
+            .select("node", F.least("label", "mlabel").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("member"),
+                         F.col("label").alias("cluster_id"))
+
+
+def duplicate_clusters_sql(pairs_sql: str) -> str:
+    """DuckDB oracle: transitive closure via a recursive CTE, component
+    id = min reachable node (including self)."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT a AS u, b AS v FROM pairs
+  UNION SELECT b, a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS member, least(u, min(v)) AS cluster_id
+FROM reach GROUP BY u
+""".strip()
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-duplicates (exact)
 # ---------------------------------------------------------------------------
 

@@ -132,3 +132,29 @@ class TestMultimodal:
         want = {v["media_id"]: max(v["duration_ms"] // 1000, 1) for v in vids}
         assert {r["media_id"]: r["count"] for r in got} == want
         assert plan.where("ts_ms != frame_idx * 1000").count() == 0
+
+
+class TestDuplicateClusters:
+    def test_transitive_chain_one_cluster(self, spark):
+        from search_ingest_spark.ops.dedup import duplicate_clusters
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+            "a long, b long",
+        )
+        got = {r["member"]: r["cluster_id"]
+               for r in duplicate_clusters(pairs).collect()}
+        assert {got[i] for i in (1, 2, 3, 4)} == {1}
+        assert got[10] == got[11] == 10
+        assert got[20] == got[21] == got[22] == 20
+
+    def test_long_chain_converges(self, spark):
+        from search_ingest_spark.ops.dedup import duplicate_clusters
+
+        n = 24
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "a long, b long"
+        )
+        got = duplicate_clusters(pairs).collect()
+        assert len(got) == n + 1
+        assert all(r["cluster_id"] == 0 for r in got)
