@@ -324,6 +324,33 @@ def query_phase(tmp: str, scaling: dict | None) -> dict:
     textstats.quality_score(docs).count()
     queries["text_quality"] = round(time.time() - t0, 3)
 
+    # incremental changefeed batch on the O(dirty) path: backfill a
+    # url-keyed corpus once, then time ONE 50-doc upsert batch end to
+    # end (docs merge, id mapping, doc_lens/stats/term_dict deltas,
+    # postings splice, atomic commit)
+    from search_ingest_spark.streaming.incremental import OP_UPSERT, PageIndexer
+    from pyspark.sql import functions as _F
+
+    pages = docs.select(
+        _F.concat(_F.lit("doc://"), _F.col("doc_id").cast("string")).alias("url"),
+        _F.lit("2026-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
+        _F.lit(None).cast("binary").alias("html"),
+        "text", _F.lit("en").alias("lang"),
+    )
+    cat_inc = Catalog(spark, os.path.join(tmp, "idx_inc"))
+    ix = PageIndexer(spark, cat_inc, mode="simple", docs_per_shard=1000)
+    ix.backfill(pages)
+    batch = pages.where(
+        _F.regexp_extract("url", r"(\d+)$", 1).cast("long") % 100 == 7
+    ).withColumn("warc_ts", _F.lit("2026-01-02 00:00:00").cast("timestamp")) \
+     .withColumn("text", _F.concat(_F.col("text"), _F.lit(" updated"))) \
+     .withColumn("_op", _F.lit(OP_UPSERT))
+    t0 = time.time()
+    st = ix.apply_changes(batch)
+    queries["incremental_batch_sec"] = round(time.time() - t0, 3)
+    queries["incremental_batch_docs"] = st.upserts
+    queries["incremental_dirty_shards"] = len(st.dirty_shards)
+
     # query latency against the big scaling-corpus index, if present
     if scaling and scaling.get("_index_dir"):
         big = Searcher(spark, Catalog(spark, scaling["_index_dir"]))

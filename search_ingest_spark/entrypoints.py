@@ -414,6 +414,11 @@ def _q_fingerprint(spark, sf_dir):
     return textstats.fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp_md5")
 
 
+@register("text_bigram_logprob", textstats.bigram_logprob_sql())
+def _q_bigram_lm(spark, sf_dir):
+    return textstats.bigram_logprob(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Deduplication — the documents table has no true dups, so the exact-dup
 # entries run on documents ∪ (documents ⊕ id+100000): a deterministic

@@ -162,3 +162,82 @@ SELECT {id_col} AS doc_id,
            AS fp_md5
 FROM {table}
 """.strip()
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Self-estimated bigram language-model score per document:
+    avg over a doc's bigrams of ln(c(w1,w2) / c(w1·)) with counts from
+    the WHOLE corpus (MLE; every doc bigram is in the corpus, so the
+    probability is always defined) — the classic gibberish/boilerplate
+    filter signal a training-data pipeline thresholds on (low = token
+    sequences the corpus never supports).
+
+    Exactness contract for the oracle: the per-doc sum folds in
+    POSITION order (array_sort over (pos, lp) then a left fold — Spark's
+    default float agg order is nondeterministic), so DuckDB's
+    list_reduce over list(lp ORDER BY pos) is bitwise identical before
+    the 4dp rounding.
+    """
+    toks = tokens_col(text_col)
+    t = df.select(F.col(id_col).alias("doc_id"), toks.alias("t")).where(
+        F.size("t") >= 2
+    )
+    bi = t.select(
+        "doc_id",
+        F.posexplode(F.expr(
+            "transform(slice(t, 1, size(t) - 1),"
+            " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+        )).alias("pos", "bg"),
+    ).select("doc_id", "pos", F.col("bg.w1").alias("w1"),
+             F.col("bg.w2").alias("w2"))
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
+    lp = (
+        bi.join(c2, ["w1", "w2"]).join(c1, "w1")
+        .withColumn("lp", F.log(F.col("c2").cast("double") / F.col("c1")))
+    )
+    return (
+        lp.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("pos", "lp"))),
+                F.lit(0.0), lambda a, x: a + x["lp"],
+            ).alias("_s"),
+        )
+        .select(
+            "doc_id", "n_bigrams",
+            F.round(F.col("_s") / F.col("n_bigrams"), 4).alias("avg_logprob"),
+        )
+    )
+
+
+def bigram_logprob_sql(table: str = "documents", id_col: str = "doc_id",
+                       text_col: str = "text") -> str:
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}') AS t
+  FROM {table}
+),
+bi AS (
+  SELECT doc_id, i::INT AS pos, t[i + 1] AS w1, t[i + 2] AS w2
+  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i
+        FROM toks WHERE len(t) >= 2)
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi GROUP BY 1, 2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bi GROUP BY 1),
+lp AS (
+  SELECT doc_id, pos, ln(c2.c2::DOUBLE / c1.c1) AS lp
+  FROM bi JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+         list_reduce(list(lp ORDER BY pos), (a, b) -> a + b) AS s
+  FROM lp GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, round(s / n_bigrams, 4)::DOUBLE AS avg_logprob
+FROM agg
+""".strip()
