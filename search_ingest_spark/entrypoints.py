@@ -509,6 +509,36 @@ def _q_dedup_clusters(spark, sf_dir):
     return dedup.duplicate_clusters(pairs)
 
 
+# Composite curation pipeline: near-dup pairs → clusters → drop every
+# non-canonical member → survivor counts.  The shape a real dataset
+# build runs nightly; keeps the whole chain on the hash path.
+@register(
+    "curation_survivors",
+    f"""
+WITH survivors AS (
+  SELECT doc_id FROM ({_DUP_UNION_SQL})
+  WHERE doc_id NOT IN (
+    SELECT member FROM ({dedup.duplicate_clusters_sql(_JACCARD_PAIRS_SQL)})
+    WHERE member <> cluster_id
+  )
+)
+SELECT (doc_id % 10)::INT AS bucket, count(*)::BIGINT AS n_docs
+FROM survivors GROUP BY 1
+""".strip(),
+)
+def _q_curation(spark, sf_dir):
+    docs = _dup_docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    clusters = dedup.duplicate_clusters(pairs)
+    dropped = clusters.where(F.col("member") != F.col("cluster_id")).select(
+        F.col("member").alias("doc_id")
+    )
+    survivors = docs.join(dropped, "doc_id", "left_anti")
+    return survivors.groupBy(
+        (F.col("doc_id") % 10).cast("int").alias("bucket")
+    ).agg(F.count("*").alias("n_docs"))
+
+
 _EMB_NEAR_SQL = """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
 SELECT x.vec_id AS a, y.vec_id AS b,
