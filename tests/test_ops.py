@@ -158,3 +158,20 @@ class TestDuplicateClusters:
         got = duplicate_clusters(pairs).collect()
         assert len(got) == n + 1
         assert all(r["cluster_id"] == 0 for r in got)
+
+
+class TestBigramLogprob:
+    def test_short_docs_excluded_and_scores_negative(self, spark):
+        from search_ingest_spark.ops.textstats import bigram_logprob
+
+        df = spark.createDataFrame(
+            [(1, "the cat sat"), (2, "the cat ran"), (3, "one"), (4, "")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+        assert set(got) == {1, 2}           # <2 tokens → no LM score
+        assert got[1]["n_bigrams"] == 2
+        # 'the cat' occurs in both docs → ln(2/2)=0; 'cat sat' 1 of 2
+        # 'cat ·' → ln(0.5); avg = ln(0.5)/2
+        import math
+        assert got[1]["avg_logprob"] == round(math.log(0.5) / 2, 4)
