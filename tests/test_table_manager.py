@@ -237,3 +237,93 @@ class TestConsistency:
     def test_initialise_without_backfill(self, spark, mgr):
         out = mgr.initialise(_sources(spark), backfill=False)
         assert out == {}
+
+
+class TestFkChangeSemantics:
+    def test_fk_change_reroutes_like_es(self, spark, mgr):
+        """An update that CHANGES the parent FK re-routes the replica;
+        like ES join-field routing (which the reference inherits), the
+        copy under the OLD routing is only cleaned up if the old and new
+        routing values land in the same routing bucket."""
+        mgr.initialise(_sources(spark))
+        mgr.apply_changes(
+            "beverage_coffee",
+            _coffee_changes(spark, [("c1", 61, "p2", "upsert")]),  # was p1
+        )
+        rows = mgr.cat.read(_doc_table("programmer")).where(
+            (F.col("id") == "c1")
+            & (F.col("_document_type") == "beverage_coffee")
+        ).collect()
+        fresh = [r for r in rows if r["_routing"] == "p2"]
+        assert len(fresh) == 1 and fresh[0]["temperature"] == 61
+        b = {
+            r["r"]: r["b"]
+            for r in spark.createDataFrame([("p1",), ("p2",)], "r string")
+            .select("r", F.pmod(F.xxhash64("r"),
+                                F.lit(mgr.n_routing_buckets)).cast("int")
+                    .alias("b")).collect()
+        }
+        stale = [r for r in rows if r["_routing"] == "p1"]
+        assert len(stale) == (1 if b["p1"] != b["p2"] else 0)
+
+
+class TestRandomizedChangefeed:
+    def test_sequences_match_dict_model(self, spark, tmp_path):
+        """Model-based property test: random create/update/delete
+        sequences (fixed FK per id so routing never changes) applied via
+        apply_changes must leave both indices exactly equal to a plain
+        last-writer-wins dict model."""
+        import random
+
+        from search_ingest_spark.catalog import Catalog
+
+        rng = random.Random(42)
+        mgr = TableManager(spark, Catalog(spark, str(tmp_path / "rtm")),
+                           _schemas())
+        mgr.initialise({
+            "programmer": _sources(spark)["programmer"],
+            "beverage_coffee": spark.createDataFrame(
+                [], "id string, temperature int, programmer_id string"),
+            "selfref": spark.createDataFrame(
+                [], "id string, name string, parent_id string"),
+        })
+        ids = [f"c{i}" for i in range(6)]
+        fk_of = {i: rng.choice(["p1", "p2", None]) for i in ids}
+        model: dict[str, tuple] = {}
+        seq = 0
+        for _batch in range(4):
+            events = []
+            by_id: dict[str, tuple] = {}
+            for _ in range(10):
+                cid = rng.choice(ids)
+                seq += 1
+                if rng.random() < 0.3:
+                    ev = (cid, 0, fk_of[cid], "delete", seq)
+                else:
+                    ev = (cid, rng.randint(1, 99), fk_of[cid], "upsert", seq)
+                events.append(ev)
+                by_id[cid] = ev  # later seq wins (events appended in order)
+            mgr.apply_changes("beverage_coffee",
+                              _coffee_changes(spark, events), order_col="seq")
+            for cid, ev in by_id.items():
+                if ev[3] == "delete":
+                    model.pop(cid, None)
+                else:
+                    model[cid] = (ev[1], ev[2])
+
+        own = {
+            r["id"]: (r["temperature"], r["programmer_id"])
+            for r in mgr.cat.read(_doc_table("beverage_coffee"))
+            .where(F.col("_document_type") == "beverage_coffee").collect()
+        }
+        assert own == model
+        replicas = {
+            r["id"]: (r["temperature"], r["_routing"])
+            for r in mgr.cat.read(_doc_table("programmer"))
+            .where(F.col("_document_type") == "beverage_coffee").collect()
+        }
+        expected_replicas = {
+            cid: (temp, fk) for cid, (temp, fk) in model.items()
+            if fk is not None
+        }
+        assert replicas == expected_replicas
