@@ -133,6 +133,96 @@ class PhraseSearcher:
         return ranked_desc(topk, "score", "doc_id")
 
 
+    def topk_many(
+        self, queries: dict[int, str], k: int = 10, *,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """Execute a whole phrase set in ONE Spark job (the throughput
+        path, like wand.Searcher.topk_many): the positions scan prunes
+        to the UNION of all phrases' terms, slot tables for every query
+        ride one broadcast, and per-query phrase frequencies come out of
+        a single aggregation.  Returns (query_id, doc_id, score, rank).
+        """
+        from pyspark.sql import Window
+
+        out_schema = "query_id int, doc_id long, score double, rank int"
+        plans = []  # (qid, slot_rows, n_slots, idf_sum)
+        for qid, text in queries.items():
+            if self.mode == "simple":
+                pairs = [(t, i) for i, t in
+                         enumerate(analyze_query(text, mode="simple"))]
+            else:
+                from search_ingest_spark.analysis import analyze_pos
+
+                pairs = analyze_pos(text)
+            if not pairs:
+                continue
+            n_slots = 1 + max(p for _, p in pairs)
+            idf = self._idf([t for t, _ in pairs])
+            slot_terms: dict[int, list[str]] = {}
+            for t, p in pairs:
+                slot_terms.setdefault(p, []).append(t)
+            idf_sum, ok = 0.0, True
+            for p in range(n_slots):
+                indexed = [t for t in slot_terms.get(p, []) if t in idf]
+                if not indexed:
+                    ok = False
+                    break
+                idf_sum += idf[indexed[0]]
+            if not ok:
+                continue
+            rows = [(qid, t, p) for p, ts in sorted(slot_terms.items())
+                    for t in ts if t in idf]
+            plans.append((qid, rows, n_slots, idf_sum))
+        if not plans:
+            return self.spark.createDataFrame([], out_schema)
+
+        slot_df = self.spark.createDataFrame(
+            [r for _, rows, _, _ in plans for r in rows],
+            "query_id int, term string, slot int",
+        )
+        meta_df = self.spark.createDataFrame(
+            [(qid, n, s) for qid, _, n, s in plans],
+            "query_id int, n_slots int, idf_sum double",
+        )
+        all_terms = sorted({r[1] for _, rows, _, _ in plans for r in rows})
+        pos = self.cat.read(ib.POSITIONS_TABLE).where(
+            F.col("term").isin(all_terms)
+        )
+        x = (
+            pos.select("term", "doc_id", F.explode("positions").alias("pos"))
+            .join(F.broadcast(slot_df), "term")
+            .select("query_id", "doc_id",
+                    (F.col("pos") - F.col("slot")).alias("base"), "slot")
+        )
+        bases = (
+            x.groupBy("query_id", "doc_id", "base")
+            .agg(F.countDistinct("slot").alias("_ns"))
+            .join(F.broadcast(meta_df), "query_id")
+            .where(F.col("_ns") == F.col("n_slots"))
+        )
+        pfreq = bases.groupBy("query_id", "doc_id", "idf_sum").agg(
+            F.count("*").alias("pfreq")
+        )
+        dl = self.cat.read(ib.DOC_LENS_TABLE).select("doc_id", "dl")
+        scored = pfreq.join(dl, "doc_id").select(
+            "query_id", "doc_id",
+            (
+                F.col("idf_sum")
+                * (F.col("pfreq") * (K1 + 1.0))
+                / (F.col("pfreq") + K1 * (1.0 - B + B * F.col("dl") / F.lit(self.avgdl)))
+            ).alias("score"),
+        )
+        if round_to is not None:
+            scored = scored.withColumn("score", F.round("score", round_to))
+        w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "doc_id", "score", "rank")
+        )
+
+
 def phrase_oracle_sql(
     phrase_text: str, k: int = 10, *, table: str = "documents",
     id_col: str = "doc_id", text_col: str = "text", round_to: int = 4,

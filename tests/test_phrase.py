@@ -101,3 +101,21 @@ class TestPhraseIncremental:
         ps2 = PhraseSearcher(spark, cat)
         got = ps2.topk("magic phrase", 10).collect()
         assert len(got) == 1 and got[0]["rank"] == 1
+
+
+class TestPhraseBatch:
+    def test_topk_many_matches_single_queries(self, spark, tmp_path):
+        ps = _build(spark, tmp_path, [
+            "alpha beta gamma", "beta alpha gamma", "alpha beta alpha beta",
+            "delta alpha beta", "gamma delta epsilon",
+        ])
+        queries = {0: "alpha beta", 1: "gamma delta", 2: "zzz missing"}
+        batch = ps.topk_many(queries, 5, round_to=4).collect()
+        by_q: dict = {}
+        for r in batch:
+            by_q.setdefault(r["query_id"], []).append(
+                (r["doc_id"], r["score"], r["rank"]))
+        for qid, text in queries.items():
+            single = [tuple(r) for r in ps.topk(text, 5, round_to=4).collect()]
+            got = sorted(by_q.get(qid, []), key=lambda t: t[2])
+            assert got == single, text
