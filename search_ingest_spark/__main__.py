@@ -20,6 +20,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--backfill", action="store_true")
     p.add_argument("--reindex", action="store_true")
     p.add_argument("--query", help="run a BM25 top-k query")
+    p.add_argument("--phrase", help="run a match_phrase top-k query "
+                                    "(index must be built with positions)")
+    p.add_argument("--match-all", action="store_true",
+                   help="conjunctive (AND) query semantics")
+    p.add_argument("--filter", action="append", metavar="ATTR=VALUE",
+                   help="filter-context equality over doc_attrs "
+                        "(repeatable)")
     p.add_argument("-k", type=int, default=10)
     p.add_argument("--mode", default="standard", choices=["standard", "simple"])
     p.add_argument("--docs-per-shard", type=int, default=100_000)
@@ -44,13 +51,26 @@ def main(argv: list[str] | None = None) -> int:
         from search_ingest_spark.query.wand import Searcher
 
         s = Searcher(spark, cat)
-        rows = s.topk(args.query, args.k).collect()
+        attr_filter = dict(
+            kv.split("=", 1) for kv in (args.filter or [])
+        ) or None
+        rows = s.topk(args.query, args.k, match_all=args.match_all,
+                      attr_filter=attr_filter).collect()
         print(json.dumps({
             "query": args.query,
             "hits": [{"doc_id": r["doc_id"], "score": r["score"],
                       "rank": r["rank"]} for r in rows],
         }))
-    if not (args.backfill or args.reindex or args.query):
+    if args.phrase is not None:
+        from search_ingest_spark.query.phrase import PhraseSearcher
+
+        rows = PhraseSearcher(spark, cat).topk(args.phrase, args.k).collect()
+        print(json.dumps({
+            "phrase": args.phrase,
+            "hits": [{"doc_id": r["doc_id"], "score": r["score"],
+                      "rank": r["rank"]} for r in rows],
+        }))
+    if not (args.backfill or args.reindex or args.query or args.phrase):
         print(json.dumps(svc.version()))
     return 0
 
