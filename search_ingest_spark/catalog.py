@@ -57,7 +57,8 @@ class Catalog:
 
     def _load_meta(self, name: str) -> dict | None:
         # a pending (uncommitted) snapshot staged inside the active
-        # transaction shadows the committed one for THIS writer's reads
+        # transaction shadows the committed one for THIS writer's reads;
+        # a pending tombstone (meta None) shadows it as absent
         if self._txn is not None:
             for e in reversed(self._txn):
                 if e["name"] == name:
@@ -106,6 +107,8 @@ class Catalog:
     def rollback(self) -> None:
         entries, self._txn = (self._txn or []), None
         for e in entries:
+            if e["meta"] is None:
+                continue  # tombstone: nothing was staged on disk
             shutil.rmtree(
                 os.path.join(self._dir(e["name"]), e["meta"]["current"]),
                 ignore_errors=True,
@@ -129,6 +132,11 @@ class Catalog:
 
     def _apply_publish(self, e: dict) -> None:
         name = e["name"]
+        if e["meta"] is None:
+            # journaled drop tombstone: deletion deferred to the commit
+            # point so a rollback (or crash pre-journal) keeps the table
+            shutil.rmtree(self._dir(name), ignore_errors=True)
+            return
         os.makedirs(self._dir(name), exist_ok=True)
         tmp = self._meta_path(name) + f".{uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as fh:
@@ -163,6 +171,14 @@ class Catalog:
         return current is not None and equivalent_schema(current, expected)
 
     def drop(self, name: str) -> None:
+        """Drop a table.  Inside an active transaction the drop is staged
+        as a journal tombstone and applied only at commit() — a failure
+        after the drop request (rollback, crash before the journal lands)
+        leaves the table intact, preserving all-or-nothing batch replay
+        (the incremental splice drops doc_attrs mid-transaction)."""
+        if self._txn is not None:
+            self._txn.append({"name": name, "meta": None, "cleanup": []})
+            return
         shutil.rmtree(self._dir(name), ignore_errors=True)
 
     def drop_all(self) -> None:
@@ -180,6 +196,8 @@ class Catalog:
         table — Iceberg RENAME TABLE analog)."""
         if not self.exists(src):
             raise FileNotFoundError(src)
+        if self._txn is not None:
+            raise RuntimeError("promote() is not transactional")
         self.drop(dst)
         os.rename(self._dir(src), self._dir(dst))
 

@@ -473,9 +473,9 @@ def _q_dedup_jaccard(spark, sf_dir):
 
 # LSH/SimHash are recall-approximate ops, but every stage is
 # deterministic given the seed, so the oracle replays the FULL pipeline
-# (md5-prefix hashes, HUGEINT permutation arithmetic, band tuple-equality
-# joins, exact verification) — full rows+schema+hash checks, not
-# rows-only (VERDICT r01 item 5).
+# (md5-prefix hashes, split-halves permutation arithmetic in plain
+# BIGINT, band tuple-equality joins, exact verification) — full
+# rows+schema+hash checks, not rows-only (VERDICT r01 item 5).
 @register(
     "dedup_minhash_lsh",
     dedup.minhash_lsh_sql(table=f"({_DUP_UNION_SQL})", n=3, num_perm=64,

@@ -207,12 +207,20 @@ def shard_topk(
     pdf: pd.DataFrame, *, idf: dict[int, float], k: int, avgdl: float,
     k1: float = K1, b: float = B, match_all: bool = False,
     round_to: int | None = None, allowed: np.ndarray | None = None,
+    theta0: float = -np.inf,
 ) -> pd.DataFrame:
     """Exact top-k for one shard's query-term postings (block-max pruning).
 
     `match_all=True` = conjunctive (AND) semantics: only docs containing
     EVERY query term qualify (ES `operator: and`); the OR upper bounds
     remain valid bounds so pruning stays exact.
+
+    `theta0` is an external score floor (already guard-adjusted by the
+    caller): segments whose upper bound is below it are skipped from the
+    start.  A multi-shard caller passes its global kth-best score so a
+    shard processed later inherits the earlier shards' threshold —
+    pruning can only drop docs provably outside the global top-k, so
+    results stay exact (LocalSearcher's shared-θ serving path).
 
     Pure function over the postings rows of ONE shard — unit-testable
     without Spark."""
@@ -282,7 +290,8 @@ def shard_topk(
     guard = 10.0 ** -round_to if round_to is not None else 0.0
 
     def theta() -> float:
-        return heap[0][0] - guard if len(heap) >= k else -np.inf
+        own = heap[0][0] - guard if len(heap) >= k else -np.inf
+        return own if own > theta0 else theta0
 
     def decode_row(r: int) -> tuple[np.ndarray, np.ndarray]:
         got = decoded.get(r)

@@ -143,7 +143,7 @@ class TableSchema:
 
 _IP_RE = (
     r"^((25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}"
-    r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$|^[0-9a-f:]+$"
+    r"(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)$|^[0-9a-f:]*:[0-9a-f:]*$"
 )
 
 

@@ -52,17 +52,29 @@ def ingest_rate(
 FIRST_SEEN_OUT = "url string, first_ts timestamp, n_dups_in_batch int"
 _FIRST_SEEN_STATE = "seen boolean"
 
-
 def _first_seen_fn(
-    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState,
+    ttl_ms: int = 0,
 ) -> Iterator[pd.DataFrame]:
+    empty = pd.DataFrame({"url": [], "first_ts": [], "n_dups_in_batch": []})
+    if state.hasTimedOut:
+        # TTL elapsed with no new occurrence: evict the seen-flag so the
+        # state store stays bounded (a re-crawl after expiry re-emits —
+        # the documented trade for bounded state at 10^12 urls)
+        state.remove()
+        yield empty
+        return
     batches = [pdf for pdf in pdfs if len(pdf)]
     n = sum(len(b) for b in batches)
     if state.exists or not batches:
         # url already emitted in an earlier batch → swallow duplicates
-        yield pd.DataFrame({"url": [], "first_ts": [], "n_dups_in_batch": []})
+        if state.exists and ttl_ms:
+            state.setTimeoutDuration(ttl_ms)  # slide the TTL
+        yield empty
         return
     state.update((True,))
+    if ttl_ms:
+        state.setTimeoutDuration(ttl_ms)
     allb = pd.concat(batches, ignore_index=True)
     first = allb.sort_values("warc_ts").iloc[0]
     yield pd.DataFrame({
@@ -73,18 +85,34 @@ def _first_seen_fn(
 
 
 def first_seen(
-    pages: DataFrame, *, timeout: str = GroupStateTimeout.NoTimeout
+    pages: DataFrame, *, state_ttl_ms: int = 0
 ) -> DataFrame:
     """Streaming first-occurrence gate keyed by url (see module doc).
 
     Input: a STREAMING DataFrame with (url, warc_ts, ...); output one
     row per url the first time it is ever seen, with the batch-local
-    duplicate count (observability for crawl-dup ratios)."""
+    duplicate count (observability for crawl-dup ratios).
+
+    ``state_ttl_ms`` > 0 enables ProcessingTimeTimeout state expiry: a
+    url's seen-flag is evicted after that many ms without a new
+    occurrence (each occurrence slides the timer), bounding the state
+    store — the knob that matters at 10^12 urls.  0 keeps state forever
+    (exact semantics)."""
+    ttl = int(state_ttl_ms)
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl > 0
+        else GroupStateTimeout.NoTimeout
+    )
+
+    def fn(key, pdfs, state):  # cloudpickled closure carries the ttl
+        yield from _first_seen_fn(key, pdfs, state, ttl)
+
     return (
         pages.select("url", "warc_ts")
         .groupBy("url")
         .applyInPandasWithState(
-            _first_seen_fn,
+            fn,
             outputStructType=FIRST_SEEN_OUT,
             stateStructType=_FIRST_SEEN_STATE,
             outputMode="append",

@@ -53,6 +53,128 @@ class TestDedup:
         found = {(r["a"], r["b"]) for r in pairs}
         assert {(i, i + 100000) for i in range(10)} <= found
 
+
+class TestSignatureKernelsJVMParity:
+    """The r03 pure-Catalyst signature kernels must be bit-identical to
+    the Python/NumPy reference they replaced (the hashing contract the
+    DuckDB oracles replay)."""
+
+    DOCS = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, ""),                        # empty doc
+        (4, "one two"),                 # fewer tokens than shingle n
+        (5, "naïve café schrödinger naïve"),  # unicode + repeated token
+        (6, None),                      # null text
+        (7, "a a a a a a b"),           # heavy tf skew
+    ]
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame(self.DOCS, "doc_id long, text string")
+
+    @staticmethod
+    def _py_tokens(text):
+        import re
+
+        from search_ingest_spark.ops.textstats import TOKEN_PATTERN
+
+        return re.compile(TOKEN_PATTERN).findall((text or "").lower())
+
+    def test_minhash_matches_numpy_reference(self, docs):
+        n, num_perm = 3, 64
+        a, b, c = dedup._minhash_params(num_perm)
+        got = {r["doc_id"]: list(r["sig"])
+               for r in dedup.minhash_signatures(docs, n=n).collect()}
+        for doc_id, text in self.DOCS:
+            if text is None:
+                # null text → null shingle → null hashes, matching the
+                # oracle (DuckDB md5(NULL) is NULL); min over nulls = null
+                assert got[doc_id] == [None] * num_perm
+                continue
+            toks = self._py_tokens(text)
+            if len(toks) >= n:
+                grams = {" ".join(toks[i:i + n])
+                         for i in range(len(toks) - n + 1)}
+            else:
+                grams = {" ".join(toks)}
+            hv = np.fromiter((dedup.hash_shingle(g) for g in grams),
+                             dtype=np.int64, count=len(grams))
+            # split-halves contract: every intermediate fits int64
+            prod = (
+                a[None, :] * (hv[:, None] >> 30)
+                + b[None, :] * (hv[:, None] & dedup._HALF_MASK)
+                + c[None, :]
+            ) % dedup._MERSENNE
+            want = [int(v) for v in prod.min(axis=0)]
+            assert got[doc_id] == want, f"doc {doc_id}"
+
+    def test_simhash_matches_numpy_reference(self, docs):
+        shifts = np.arange(dedup.SIMHASH_BITS, dtype=np.int64)
+        got = {r["doc_id"]: r["simhash"]
+               for r in dedup.simhash_signatures(docs).collect()}
+        for doc_id, text in self.DOCS:
+            toks = self._py_tokens(text)
+            if not toks:
+                want = 0
+            else:
+                uniq, counts = np.unique(toks, return_counts=True)
+                hv = np.fromiter((dedup.hash_shingle(t) for t in uniq),
+                                 dtype=np.int64, count=len(uniq))
+                bits = (hv[:, None] >> shifts) & 1
+                votes = ((bits * 2 - 1) * counts[:, None]).sum(axis=0)
+                want = int(((votes > 0).astype(np.int64) << shifts).sum())
+            assert got[doc_id] == want, f"doc {doc_id}"
+
+    def test_minhash_lsh_oracle_parity_duckdb(self, spark):
+        # the driver's gate in miniature: Spark pipeline vs the DuckDB
+        # oracle SQL on the same parquet, exact tuple equality
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        want = {
+            (int(a), int(b), float(j))
+            for a, b, j in con.execute(dedup.minhash_lsh_sql()).fetchall()
+        }
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = {
+            (r["a"], r["b"], r["jaccard"])
+            for r in dedup.minhash_lsh_pairs(docs).collect()
+        }
+        assert got == want
+
+    def test_simhash_oracle_parity_duckdb(self, spark):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        want = {
+            (int(a), int(b), int(h))
+            for a, b, h in con.execute(dedup.simhash_sql()).fetchall()
+        }
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = {
+            (r["a"], r["b"], r["hamming"])
+            for r in dedup.simhash_pairs(docs).collect()
+        }
+        assert got == want
+
+    def test_no_python_eval_in_signature_plans(self, docs):
+        # the whole point: zero Arrow/Python stages in the signature build
+        for plan_df in (dedup.minhash_signatures(docs),
+                        dedup.simhash_signatures(docs)):
+            plan = plan_df._jdf.queryExecution().executedPlan().toString()
+            assert "ArrowEvalPython" not in plan
+            assert "BatchEvalPython" not in plan
+            assert "MapInPandas" not in plan
+
     def test_jaccard_self_pairs_are_one(self, dup_docs):
         out = dedup.ngram_jaccard_pairs(dup_docs, threshold=0.999,
                                         max_shingle_df_frac=1.01).collect()

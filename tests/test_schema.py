@@ -207,3 +207,23 @@ class TestTypedSpecials:
         assert rows["a"] == "192.168.0.1"
         assert rows["b"] == "2001:db8::1"
         assert rows["c"] is None and rows["d"] is None
+
+    def test_ip_colonless_hex_rejected(self, spark):
+        # ADVICE r02: '123', 'dead', '999' are hex-charset but not ipv6 —
+        # the IPv6 branch must require at least one ':'
+        from search_ingest_spark.schema import FieldSpec, TableSchema
+        import pyspark.sql.types as T
+
+        ts = TableSchema("net", [
+            FieldSpec("id", T.StringType(), nullable=False),
+            FieldSpec("addr", T.StringType(), es_type="ip"),
+        ])
+        df = spark.createDataFrame(
+            [("a", "123"), ("b", "dead"), ("c", "999"), ("d", "::1"),
+             ("e", "fe80::dead:beef")],
+            "id string, addr string",
+        )
+        rows = {r["id"]: r["addr"] for r in ts.apply_mapping(df).collect()}
+        assert rows["a"] is None and rows["b"] is None and rows["c"] is None
+        assert rows["d"] == "::1"
+        assert rows["e"] == "fe80::dead:beef"

@@ -83,6 +83,83 @@ class TestFirstSeen:
         assert out.where(F.col("url") == "u/b").count() == 1
 
 
+class _StubState:
+    """Minimal GroupState double for unit-testing the TTL kernel."""
+
+    def __init__(self, exists=False, timed_out=False):
+        self.exists = exists
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.updated = None
+        self.timeout_set = None
+
+    def update(self, v):
+        self.updated = v
+        self.exists = True
+
+    def remove(self):
+        self.removed = True
+        self.exists = False
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_set = ms
+
+
+class TestFirstSeenTTL:
+    """ADVICE r02: with a TTL configured the kernel must arm the
+    processing-time timer on every update and evict on hasTimedOut —
+    otherwise state grows unboundedly at 10^12 urls."""
+
+    def _run(self, state, batches, ttl):
+        import pandas as pd
+
+        from search_ingest_spark.streaming.stats import _first_seen_fn
+
+        pdfs = iter([
+            pd.DataFrame({"url": ["u"] * n, "warc_ts": [TS0] * n})
+            for n in batches
+        ])
+        return list(_first_seen_fn(("u",), pdfs, state, ttl))
+
+    def test_timer_armed_on_first_emit(self):
+        st = _StubState()
+        self._run(st, [2], ttl=60_000)
+        assert st.updated == (True,)
+        assert st.timeout_set == 60_000
+
+    def test_timer_slides_on_duplicate(self):
+        st = _StubState(exists=True)
+        out = self._run(st, [1], ttl=60_000)
+        assert st.timeout_set == 60_000        # re-armed
+        assert sum(len(p) for p in out) == 0   # still swallowed
+
+    def test_timeout_evicts_state(self):
+        st = _StubState(exists=True, timed_out=True)
+        out = self._run(st, [], ttl=60_000)
+        assert st.removed
+        assert sum(len(p) for p in out) == 0
+
+    def test_no_ttl_means_no_timer(self):
+        st = _StubState()
+        self._run(st, [1], ttl=0)
+        assert st.timeout_set is None
+
+    def test_streaming_with_ttl_still_correct(self, spark, tmp_path, src_dir):
+        # e2e: a large TTL must not change first-seen semantics
+        stream = (
+            spark.readStream.schema(PAGES_DDL)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        out = _run_stream(
+            spark, first_seen(stream, state_ttl_ms=3_600_000),
+            tmp_path, "fs_out_ttl",
+        )
+        rows = {r["url"]: r for r in out.collect()}
+        assert set(rows) == {"u/a", "u/b", "u/c", "u/d"}
+        assert rows["u/a"]["n_dups_in_batch"] == 1
+
+
 class TestIngestRate:
     def test_windowed_counts(self, spark, tmp_path, src_dir):
         stream = spark.readStream.schema(PAGES_DDL).parquet(src_dir)
