@@ -270,6 +270,50 @@ def query_phase(tmp: str, scaling: dict | None) -> dict:
     queries["wand_local_p50"] = round(statistics.median(lat_local), 4)
     queries["wand_local_p95"] = round(lat_local[int(len(lat_local) * 0.95) - 1], 4)
 
+    # impact-quantized scoring mode (scoring="quantized"): latency plus
+    # the decoded-postings-volume win — the one-byte impacts drop the
+    # tf/dl varint streams, so the bytes touched per query shrink
+    from pyspark.sql import functions as _Fq
+    from search_ingest_spark.index import build as _ib
+
+    catq = Catalog(spark, os.path.join(tmp, "idx_docs_q"))
+    t0 = time.time()
+    build_index(spark, docs, catq, mode="simple", resume=False, quantize=True)
+    queries["index_build_documents_quant"] = round(time.time() - t0, 3)
+    sq = Searcher(spark, catq)
+    sq.topk_quantized(WAND_QUERIES[0], 10).collect()  # warm
+    latq: list[float] = []
+    for q in WAND_QUERIES:
+        for _ in range(REPEATS):
+            t0 = time.time()
+            sq.topk_quantized(q, 10).collect()
+            latq.append(time.time() - t0)
+    latq.sort()
+    queries["wand_quantized_p50"] = round(statistics.median(latq), 4)
+    queries["wand_quantized_p95"] = round(latq[int(len(latq) * 0.95) - 1], 4)
+    all_tids = sorted({t for q in WAND_QUERIES for t in sq.plan(q)})
+    bytes_exact = catq.read(_ib.POSTINGS_TABLE).where(
+        _Fq.col("term_id").isin(all_tids)
+    ).agg(_Fq.sum(_Fq.length("data"))).first()[0]
+    bytes_quant = catq.read(_ib.POSTINGS_Q_TABLE).where(
+        _Fq.col("term_id").isin(all_tids)
+    ).agg(_Fq.sum(_Fq.length("data"))).first()[0]
+    queries["queryset_postings_bytes_exact"] = int(bytes_exact)
+    queries["queryset_postings_bytes_quant"] = int(bytes_quant)
+    from search_ingest_spark.query.reader import LocalSearcher as _LS
+
+    lsq = _LS(catq)
+    lsq.topk_quantized(WAND_QUERIES[0], 10)  # warm
+    latlq: list[float] = []
+    for q in WAND_QUERIES:
+        for _ in range(REPEATS):
+            t0 = time.time()
+            lsq.topk_quantized(q, 10)
+            latlq.append(time.time() - t0)
+    latlq.sort()
+    queries["wand_local_quantized_p50"] = round(statistics.median(latlq), 4)
+    queries["wand_local_quantized_p95"] = round(latlq[int(len(latlq) * 0.95) - 1], 4)
+
     t0 = time.time()
     bm25.bm25_brute_force(docs, "spark query data", 10, mode="simple").collect()
     queries["bm25_brute_force"] = round(time.time() - t0, 3)

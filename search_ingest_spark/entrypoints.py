@@ -75,10 +75,25 @@ for _name, _qtext in _BM25_QUERIES.items():
 
 _INDEX_CACHE: dict[str, object] = {}
 
+# synthetic geo_point per doc — a deterministic pure-integer derivation
+# both engines compute bit-identically (long mod, one double division)
+_LAT_SQL = "((doc_id * 7919) % 18000) / 100.0 - 90.0"
+_LON_SQL = "((doc_id * 104729) % 36000) / 100.0 - 180.0"
+
+
+def _docs_with_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.withColumn(
+        "lat", ((F.col("doc_id") * 7919) % 18000) / F.lit(100.0) - F.lit(90.0)
+    ).withColumn(
+        "lon", ((F.col("doc_id") * 104729) % 36000) / F.lit(100.0) - F.lit(180.0)
+    )
+
 
 def _index_cat(spark: SparkSession, sf_dir: str):
     """Build (once per sf_dir per process) the compressed index —
-    including the positional component — for the documents table."""
+    positions, filterable attrs (incl. synthetic geo_point), quantized
+    impacts, and the stored-fields doc_store — for the documents table."""
     from search_ingest_spark.catalog import Catalog
     from search_ingest_spark.index.build import build_index
 
@@ -87,8 +102,10 @@ def _index_cat(spark: SparkSession, sf_dir: str):
     if got is None:
         root = tempfile.mkdtemp(prefix="sis_idx_")
         cat = Catalog(spark, root)
-        build_index(spark, _docs(spark, sf_dir), cat, mode="simple",
-                    with_positions=True, attr_cols=["lang", "source"])
+        build_index(spark, _docs_with_geo(spark, sf_dir), cat, mode="simple",
+                    with_positions=True,
+                    attr_cols=["lang", "source", "lat", "lon"],
+                    quantize=True, store_fields=["lang", "source", "text"])
         got = _INDEX_CACHE[key] = cat
     return got
 
@@ -100,6 +117,16 @@ def _searcher(spark: SparkSession, sf_dir: str):
     got = _INDEX_CACHE.get(key)
     if got is None:
         got = _INDEX_CACHE[key] = Searcher(spark, _index_cat(spark, sf_dir))
+    return got
+
+
+def _local_searcher(spark: SparkSession, sf_dir: str):
+    from search_ingest_spark.query.reader import LocalSearcher
+
+    key = "local:" + os.path.abspath(sf_dir)
+    got = _INDEX_CACHE.get(key)
+    if got is None:
+        got = _INDEX_CACHE[key] = LocalSearcher(_index_cat(spark, sf_dir))
     return got
 
 
@@ -119,6 +146,35 @@ for _name, _qtext in _WAND_QUERIES.items():
 
     QUERIES[_name] = _mkw(_qtext)
     ORACLE_SQL[_name] = bm25.bm25_oracle_sql(_qtext, k=10)
+
+
+# Impact-quantized scoring mode (B8 extension, VERDICT r02 item 3):
+# one-byte impacts, exact per-block bounds, scores quantized at build
+# time — the oracle models the IDENTICAL quantization from the raw
+# corpus, so this is a full rows+schema+hash check of the quantized
+# index path end to end (codec → build stage → pruned kernel).
+@register(
+    "bm25_wand_quantized_topk",
+    bm25.bm25_quantized_oracle_sql("spark query data", k=10),
+)
+def _q_wand_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).topk_quantized(
+        "spark query data", 10, round_to=4
+    )
+
+
+# Same quantized mode served Spark-free (LocalSearcher.topk_quantized —
+# bitwise identical to the Spark path, asserted in tests; here it is
+# additionally proven against the from-corpus quantization oracle).
+@register(
+    "bm25_local_quantized_topk",
+    bm25.bm25_quantized_oracle_sql("table hash fast", k=10),
+)
+def _q_local_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    got = _local_searcher(spark, sf_dir).topk_quantized(
+        "table hash fast", 10, round_to=4
+    )
+    return spark.createDataFrame(got, "doc_id long, score double, rank int")
 
 
 @register(
@@ -142,6 +198,139 @@ def _q_wand_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (whole-index stats, masked candidates — ES semantics)."""
     return _searcher(spark, sf_dir).topk(
         "table hash fast", 10, round_to=4, attr_filter={"lang": "es"}
+    )
+
+
+# ES minimum_should_match: at least m of the query terms must match —
+# the WAND kernel counts distinct matching terms per doc and filters
+# after scoring (OR upper bounds stay valid, pruning stays exact).
+@register(
+    "bm25_topk_min_should_match",
+    bm25.bm25_oracle_sql("spark query data table", k=10,
+                         min_should_match=2),
+)
+def _q_min_should_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).topk(
+        "spark query data table", 10, round_to=4, min_match=2
+    )
+
+
+# ES match with fuzziness=1: query terms expand to every dictionary term
+# within 1 Levenshtein edit (Searcher.plan_fuzzy — the FST-automaton
+# analog is a length-prefiltered scan of the tiny term_dict), then the
+# unchanged WAND kernel scores the expanded OR query.  "spork" is a
+# 1-edit typo of "spark"; the oracle replays the expansion from the
+# corpus vocabulary with DuckDB's levenshtein().
+@register(
+    "bm25_fuzzy_topk",
+    bm25.fuzzy_oracle_sql("spork data", k=10, fuzziness=1),
+)
+def _q_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).topk_fuzzy(
+        "spork data", 10, fuzziness=1, round_to=4
+    )
+
+
+# ES multi_match type=best_fields over a derived title field (first 60
+# chars) boosted 2x and the body: per-field statistics, max-of-fields
+# scoring — bm25.multi_match_best_fields.
+_MM_FIELDS = [("substring(text, 1, 60)", 2.0), ("text", 1.0)]
+
+
+@register(
+    "bm25_multi_match_best_fields",
+    bm25.multi_match_oracle_sql("spark query data", _MM_FIELDS, k=10),
+)
+def _q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25.multi_match_best_fields(
+        _docs(spark, sf_dir), "spark query data", _MM_FIELDS, 10,
+        mode="simple", round_to=4,
+    )
+
+
+# Index statistics surface (ES _stats / _count analog): corpus counts
+# from the stats table + vocabulary size from term_dict, verified
+# against a from-corpus recount.
+@register(
+    "index_stats",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1)
+SELECT (SELECT count(*) FROM dl)::BIGINT AS n_docs,
+       (SELECT sum(dl) FROM dl)::BIGINT AS sum_dl,
+       (SELECT count(DISTINCT term) FROM toks)::BIGINT AS n_terms
+""".strip(),
+)
+def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_ingest_spark.index import build as ib
+
+    cat = _index_cat(spark, sf_dir)
+    st = cat.read(ib.STATS_TABLE).select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("sum_dl").cast("long").alias("sum_dl"),
+    )
+    nt = cat.read(ib.TERM_DICT_TABLE).agg(
+        F.count("*").cast("long").alias("n_terms")
+    )
+    return st.crossJoin(nt)
+
+
+# geo_distance filter-context query (ES geo_distance, schemas.cr:211-222
+# maps geo_point): WAND candidates masked by a haversine predicate over
+# doc_attrs lat/lon, evaluated JVM-side by Catalyst on the same cogroup
+# path as every other filtered query.  The oracle replays the identical
+# operation-ordered haversine over the doc_id-derived lat/lon.
+_GEO_LAT, _GEO_LON, _GEO_RADIUS_KM = 40.0, -74.0, 5000.0
+
+
+def _geo_filter_where() -> str:
+    from search_ingest_spark.query.geo import haversine_sql
+
+    return (
+        f"{haversine_sql(f'({_LAT_SQL})', f'({_LON_SQL})', _GEO_LAT, _GEO_LON)}"
+        f" <= {_GEO_RADIUS_KM!r}"
+    )
+
+
+@register(
+    "bm25_geo_distance_topk",
+    bm25.bm25_oracle_sql("table hash fast", k=10,
+                         filter_where=_geo_filter_where()),
+)
+def _q_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_ingest_spark.query.geo import geo_distance_filter
+
+    return _searcher(spark, sf_dir).topk(
+        "table hash fast", 10, round_to=4,
+        attr_where=geo_distance_filter(
+            "lat", "lon", _GEO_LAT, _GEO_LON, _GEO_RADIUS_KM
+        ),
+    )
+
+
+# geo_bounding_box filter (exact comparisons — bit-exact across engines)
+_BBOX = (-45.0, 45.0, -90.0, 90.0)  # lat_min, lat_max, lon_min, lon_max
+
+
+@register(
+    "bm25_geo_bbox_topk",
+    bm25.bm25_oracle_sql(
+        "spark query data", k=10,
+        filter_where=(
+            f"({_LAT_SQL}) BETWEEN {_BBOX[0]!r} AND {_BBOX[1]!r}"
+            f" AND ({_LON_SQL}) BETWEEN {_BBOX[2]!r} AND {_BBOX[3]!r}"
+        ),
+    ),
+)
+def _q_geo_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_ingest_spark.query.geo import geo_bbox_filter
+
+    return _searcher(spark, sf_dir).topk(
+        "spark query data", 10, round_to=4,
+        attr_where=geo_bbox_filter("lat", "lon", *_BBOX),
     )
 
 
@@ -206,6 +395,75 @@ def _q_search_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     return F.broadcast(top).join(docs.select("doc_id", "text"), "doc_id").select(
         "doc_id", "score", "rank", snippet.alias("snippet")
     )
+
+
+# Spark-free SERVING-PATH parity (VERDICT r02 item 5): the LocalSearcher
+# serves ranked top-k from the postings AND _source fields from the
+# doc_store column family with zero Spark jobs — this entry proves the
+# whole response (ranks, scores, stored fields) against the same SQL
+# oracle as the Spark path.  createDataFrame here is only the driver-
+# contract wrapper around an already-computed k-row result.
+@register(
+    "bm25_local_topk_source",
+    f"""
+SELECT t.doc_id, t.score, t.rank, d.lang, d.source
+FROM ({bm25.bm25_oracle_sql("spark query data", k=10)}) t
+JOIN documents d USING (doc_id)
+""".strip(),
+)
+def _q_local_topk_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hits = _local_searcher(spark, sf_dir).topk_with_source(
+        "spark query data", 10, fields=["lang", "source"], round_to=4
+    )
+    return spark.createDataFrame(
+        [(h["doc_id"], h["score"], h["rank"], h["lang"], h["source"])
+         for h in hits],
+        "doc_id long, score double, rank int, lang string, source string",
+    )
+
+
+# Spark-free highlight serving: snippet text comes from the doc_store,
+# same deterministic window rule as the Spark-path highlight entry.
+@register(
+    "bm25_local_highlight",
+    f"""
+SELECT t.doc_id, t.score, t.rank,
+       substr(d.text, greatest(1, strpos(lower(d.text), 'data') - 30), 80)
+         AS snippet
+FROM ({bm25.bm25_oracle_sql("data table", k=10)}) t
+JOIN documents d USING (doc_id)
+""".strip(),
+)
+def _q_local_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hits = _local_searcher(spark, sf_dir).topk_with_highlight(
+        "data table", 10, round_to=4
+    )
+    return spark.createDataFrame(
+        [(h["doc_id"], h["score"], h["rank"], h["snippet"]) for h in hits],
+        "doc_id long, score double, rank int, snippet string",
+    )
+
+
+# Completion suggester (VERDICT r02 item 6; `completion` is a legal
+# mapped type, schemas.cr:211-222): prefix scan over the term-sorted
+# dictionary ranked by df — served Spark-free by the LocalSearcher,
+# verified against a from-corpus DuckDB recount.
+@register(
+    "suggest_prefix",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term FROM toks GROUP BY 1, 2),
+d AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1)
+SELECT term, df FROM d WHERE term LIKE 's%'
+ORDER BY df DESC, term ASC LIMIT 10
+""".strip(),
+)
+def _q_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    got = _local_searcher(spark, sf_dir).suggest("s", 10)
+    return spark.createDataFrame(got, "term string, df long")
 
 
 # ES from/size pagination: page 2 of the ranking (from=10, size=10).
@@ -1104,6 +1362,35 @@ def _q_counts(spark, sf_dir):
         _docs(spark, sf_dir)
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+# The streaming ingest-rate operator (streaming/stats.ingest_rate —
+# event-time tumbling window + watermark) run in batch mode over the
+# events table: Structured Streaming window aggregation semantics are
+# identical in batch (the watermark is a no-op), so the SAME operator
+# the stream runs is driver-verifiable against a SQL recount.  Window
+# starts emitted as epoch seconds (tz-proof across engines).
+@register(
+    "events_windowed_rate",
+    """
+SELECT epoch(time_bucket(INTERVAL '1 hour', ts))::BIGINT AS window_start_epoch,
+       event_type,
+       count(*)::BIGINT AS n_events
+FROM events GROUP BY 1, 2
+""".strip(),
+)
+def _q_events_rate(spark, sf_dir):
+    from search_ingest_spark.streaming.stats import ingest_rate
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    r = ingest_rate(ev, ts_col="ts", key_col="event_type",
+                    window="1 hour", watermark="2 hours")
+    return r.select(
+        F.unix_timestamp("window_start").cast("long")
+        .alias("window_start_epoch"),
+        "event_type",
+        F.col("n_docs").cast("long").alias("n_events"),
     )
 
 

@@ -74,6 +74,8 @@ TERM_DICT_TABLE = "term_dict"
 DOC_LENS_TABLE = "doc_lens"
 STATS_TABLE = "stats"
 POSTINGS_TABLE = "postings"
+POSTINGS_Q_TABLE = "postings_q"
+DOC_STORE_TABLE = "doc_store"
 POSITIONS_TABLE = "positions"
 DOC_ATTRS_TABLE = "doc_attrs"
 MANIFEST_TABLE = "build_manifest"
@@ -211,6 +213,17 @@ POSTINGS_COLS = [
     "n_docs", "max_tf", "sum_tf", "min_dl", "data",
 ]
 
+# impact-quantized postings (build_index(quantize=True), codec module
+# doc): one byte per posting, max_impact = exact per-block upper bound
+POSTINGS_Q_ENC_SCHEMA = (
+    "term string, shard int, block_id int, first_doc_id long, last_doc_id long,"
+    " n_docs int, max_impact int, data binary"
+)
+POSTINGS_Q_COLS = [
+    "term_id", "shard", "block_id", "first_doc_id", "last_doc_id",
+    "n_docs", "max_impact", "data",
+]
+
 
 def _empty_postings_pdf() -> pd.DataFrame:
     return pd.DataFrame(
@@ -302,6 +315,95 @@ def _encode_partition(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield flush(carry)
 
 
+def quantize_impacts(
+    tf: np.ndarray, dl: np.ndarray, avgdl: float
+) -> np.ndarray:
+    """q = floor(tf_norm * IMPACT_SCALE) per posting — the build-time
+    quantization the quantized oracle SQL replays term by term.  The
+    expression mirrors bm25.tf_norm_expr's parenthesization exactly so
+    numpy and DuckDB produce the same float64 before the floor."""
+    from search_ingest_spark.index.codec import IMPACT_SCALE
+    from search_ingest_spark.query.bm25 import B, K1
+
+    t = tf.astype(np.float64)
+    d = dl.astype(np.float64)
+    tfn = (t * (K1 + 1.0)) / (t + K1 * (1.0 - B + B * d / avgdl))
+    return np.floor(tfn * IMPACT_SCALE).astype(np.int64)
+
+
+def _make_impact_encoder(avgdl: float):
+    """mapInPandas kernel for the impact-quantized postings table: same
+    run/block segmentation as _encode_partition, but the blob is
+    (varint deltas + one impact byte per posting) and the block-max
+    metadata is the EXACT max_impact (tight upper bound, vs the
+    (max_tf, min_dl) proxy on the exact path)."""
+    from search_ingest_spark.index.codec import encode_impact_blocks_bulk
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        carry: pd.DataFrame | None = None
+
+        def flush(done: pd.DataFrame) -> pd.DataFrame:
+            if len(done) == 0:
+                return pd.DataFrame({
+                    "term": pd.Series([], dtype=object),
+                    "shard": pd.array([], dtype="int32"),
+                    "block_id": pd.array([], dtype="int32"),
+                    "first_doc_id": pd.array([], dtype="int64"),
+                    "last_doc_id": pd.array([], dtype="int64"),
+                    "n_docs": pd.array([], dtype="int32"),
+                    "max_impact": pd.array([], dtype="int32"),
+                    "data": pd.Series([], dtype=object),
+                })
+            shard = done["shard"].to_numpy(np.int32)
+            term = done["term"].to_numpy(object)
+            doc = done["doc_id"].to_numpy(np.int64)
+            q = quantize_impacts(
+                done["tf"].to_numpy(np.int64),
+                done["dl"].to_numpy(np.int64), avgdl,
+            )
+            n = len(doc)
+            run_start_mask = np.empty(n, dtype=bool)
+            run_start_mask[0] = True
+            run_start_mask[1:] = (shard[1:] != shard[:-1]) | (term[1:] != term[:-1])
+            run_idx = np.cumsum(run_start_mask) - 1
+            run_starts = np.flatnonzero(run_start_mask)
+            offset_in_run = np.arange(n) - run_starts[run_idx]
+            block_start_mask = run_start_mask | (offset_in_run % BLOCK_SIZE == 0)
+            block_starts = np.flatnonzero(block_start_mask)
+            block_ends = np.append(block_starts[1:], n)
+            blobs = encode_impact_blocks_bulk(doc, q, block_starts, block_ends)
+            return pd.DataFrame({
+                "term": term[block_starts],
+                "shard": shard[block_starts],
+                "block_id": (offset_in_run[block_starts] // BLOCK_SIZE).astype(np.int32),
+                "first_doc_id": doc[block_starts],
+                "last_doc_id": doc[block_ends - 1],
+                "n_docs": (block_ends - block_starts).astype(np.int32),
+                "max_impact": np.maximum.reduceat(q, block_starts).astype(np.int32),
+                "data": blobs,
+            })
+
+        for batch in it:
+            if carry is not None:
+                batch = pd.concat([carry, batch], ignore_index=True)
+            if len(batch) == 0:
+                carry = None
+                continue
+            last_shard = batch["shard"].iloc[-1]
+            last_term = batch["term"].iloc[-1]
+            tail_mask = (
+                (batch["shard"] == last_shard) & (batch["term"] == last_term)
+            )
+            carry = batch[tail_mask]
+            done = batch[~tail_mask]
+            if len(done):
+                yield flush(done)
+        if carry is not None and len(carry):
+            yield flush(carry)
+
+    return encode
+
+
 # ---------------------------------------------------------------------------
 # build orchestration (stage-checkpointed, resumable)
 # ---------------------------------------------------------------------------
@@ -320,6 +422,8 @@ def build_index(
     resume: bool = True,
     with_positions: bool = False,
     attr_cols: list[str] | None = None,
+    quantize: bool = False,
+    store_fields: list[str] | None = None,
 ) -> BuildInfo:
     """Build the full index table set into `cat`.
 
@@ -338,7 +442,9 @@ def build_index(
     # phrase queries would silently serve the old corpus
     if state.reset or not resume:
         for flag, table in ((with_positions, POSITIONS_TABLE),
-                            (bool(attr_cols), DOC_ATTRS_TABLE)):
+                            (bool(attr_cols), DOC_ATTRS_TABLE),
+                            (quantize, POSTINGS_Q_TABLE),
+                            (bool(store_fields), DOC_STORE_TABLE)):
             if not flag and cat.exists(table):
                 cat.drop(table)
 
@@ -527,6 +633,21 @@ def build_index(
             partition_by=["shard"], sort_within_partitions=["doc_id"],
         )
 
+    def _doc_store_fn():
+        # stored-fields column family (the ES _source analog,
+        # elastic.cr:224-233): doc_id + the configured fields, shard-
+        # partitioned and doc-sorted within files so a Spark-free reader
+        # fetches k hits' sources via parquet row-group doc_id stats —
+        # shards are disjoint doc-id ranges, so pruning reaches the
+        # right files without knowing the shard of a doc id up front
+        sf = docs.select(
+            F.col(id_col).alias("doc_id"), *[F.col(c) for c in store_fields]
+        ).withColumn("shard", (F.col("doc_id") / F.lit(docs_per_shard)).cast("int"))
+        cat.write(
+            DOC_STORE_TABLE, sf.repartition(n_part, "shard"),
+            partition_by=["shard"], sort_within_partitions=["doc_id"],
+        )
+
     jobs = [
         _stage_job("doc_lens", [DOC_LENS_TABLE, STATS_TABLE], None, _doc_lens_fn),
         _stage_job("term_dict", [TERM_DICT_TABLE], None, _term_dict_fn),
@@ -535,6 +656,8 @@ def build_index(
         jobs.append(_stage_job("positions", [POSITIONS_TABLE], None, _positions_fn))
     if attr_cols:
         jobs.append(_stage_job("doc_attrs", [DOC_ATTRS_TABLE], None, _doc_attrs_fn))
+    if store_fields:
+        jobs.append(_stage_job("doc_store", [DOC_STORE_TABLE], None, _doc_store_fn))
     for bid, lo, hi in bounds:
         jobs.append(_stage_job(
             f"blocks_batch_{bid}", [_blocks_table(bid)],
@@ -581,6 +704,27 @@ def build_index(
                       sort_within_partitions=["shard", "term_id", "block_id"])
             for b, _, _ in bounds:
                 cat.drop(_batch_table(b))
+
+    if quantize:
+
+        @stage("postings_quant", tables=[POSTINGS_Q_TABLE])
+        def _quant():
+            # impact-quantized postings: SAME cached exchange, one extra
+            # map pass (no extra shuffle) — avgdl baked in at build time
+            # (codec module doc; Lucene-norms trade, opt-in mode)
+            avgdl_q = float(stats_row["avgdl"])
+            src = sorted_tokens().select("shard", "term", "doc_id", "tf", "dl")
+            qb = src.mapInPandas(
+                _make_impact_encoder(avgdl_q), schema=POSTINGS_Q_ENC_SCHEMA
+            )
+            enc = qb.join(term_dict.select("term", "term_id"), "term").select(
+                *POSTINGS_Q_COLS
+            ).repartition(n_part, "shard")
+            cat.write(
+                POSTINGS_Q_TABLE, enc,
+                partition_by=["shard"],
+                sort_within_partitions=["shard", "term_id", "block_id"],
+            )
 
     if "df" in _srt:
         _srt["df"].unpersist()

@@ -150,3 +150,58 @@ def decode_block(
     dls = _varint_decode(data[off + doc_len + tf_len :], n)
     doc_ids = np.cumsum(deltas, dtype=np.uint64) + np.uint64(first_doc_id)
     return doc_ids.astype(np.int64), tfs.astype(np.int32), dls.astype(np.int32)
+
+
+# ---------------------------------------------------------------------------
+# impact-quantized blocks (scoring="quantized")
+#
+# Lucene-style impact postings: instead of (tf, dl) pairs the block
+# stores ONE byte per posting — the tf-norm quantized at build time
+# (q = floor(tf_norm * 100), tf_norm < k1+1 = 2.2 so q ≤ 220).  The
+# query-side contribution is idf * (q + 0.5) / 100: dl never ships, the
+# blob is (varint deltas + n raw bytes), and the per-block max impact
+# gives an EXACT per-term upper bound (vs the (max_tf, min_dl) proxy on
+# the exact path) — so block-max pruning skips strictly more data.
+# Trade: avgdl is baked into q at build time (like Lucene norms) and
+# scores are ~1% quantization-noisy — hence a separate, opt-in mode
+# with its own oracle that models the same quantization.
+# ---------------------------------------------------------------------------
+
+IMPACT_SCALE = 100.0
+
+
+def encode_impact_blocks_bulk(
+    doc_ids: np.ndarray,
+    impacts: np.ndarray,
+    block_starts: np.ndarray,
+    block_ends: np.ndarray,
+) -> list[bytes]:
+    """Encode many impact blocks in one vectorized pass: per block,
+    header(doc_len) ++ varint(deltas) ++ raw uint8 impacts."""
+    d = doc_ids.astype(np.uint64, copy=False)
+    deltas = np.empty_like(d)
+    deltas[1:] = d[1:] - d[:-1]
+    deltas[block_starts] = 0
+    payload = _varint_encode(deltas)
+    lens = varint_lengths(deltas)
+    off = np.zeros(len(deltas) + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    imp = impacts.astype(np.uint8, copy=False).tobytes()
+    blobs: list[bytes] = []
+    for s, e in zip(block_starts, block_ends):
+        p_docs = payload[off[s] : off[e]]
+        blobs.append(
+            len(p_docs).to_bytes(4, "little") + p_docs + imp[s:e]
+        )
+    return blobs
+
+
+def decode_impact_block(
+    data: bytes, first_doc_id: int, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one impact block → (doc_ids int64[n], impacts int32[n])."""
+    doc_len = int.from_bytes(data[:4], "little")
+    deltas = _varint_decode(data[4 : 4 + doc_len], n)
+    doc_ids = np.cumsum(deltas, dtype=np.uint64) + np.uint64(first_doc_id)
+    impacts = np.frombuffer(data, dtype=np.uint8, count=n, offset=4 + doc_len)
+    return doc_ids.astype(np.int64), impacts.astype(np.int32)

@@ -81,6 +81,7 @@ def bm25_brute_force(
     deterministic_sum: bool = False,
     driver_idf: bool = False,
     match_all: bool = False,
+    min_should_match: int | None = None,
     candidate_filter: DataFrame | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k over raw docs, no index. Returns
@@ -151,6 +152,9 @@ def bm25_brute_force(
     if match_all:
         # conjunctive (AND): the doc must contain every analyzed term
         per_doc = per_doc.where(F.col("_nmatch") == len(uniq_terms))
+    elif min_should_match is not None and min_should_match > 1:
+        # ES minimum_should_match: at least m of the query terms present
+        per_doc = per_doc.where(F.col("_nmatch") >= min_should_match)
     per_doc = per_doc.drop("_nmatch")
     if candidate_filter is not None:
         # left-semi on doc_id; AQE picks broadcast vs shuffle by size
@@ -176,6 +180,7 @@ def bm25_oracle_sql(
     text_col: str = "text",
     round_to: int = 4,
     match_all: bool = False,
+    min_should_match: int | None = None,
     filter_where: str | None = None,
 ) -> str:
     """DuckDB SQL computing the identical BM25 top-k with the simple
@@ -185,6 +190,8 @@ def bm25_oracle_sql(
     uniq = sorted(set(terms))
     term_list = ", ".join("('" + t.replace("'", "''") + "')" for t in uniq)
     having = f"\n  HAVING count(*) = {len(uniq)}" if match_all else ""
+    if not match_all and min_should_match is not None and min_should_match > 1:
+        having = f"\n  HAVING count(*) >= {min_should_match}"
     cand = (
         f"\n  WHERE doc_id IN (SELECT {id_col} FROM {table} WHERE {filter_where})"
         if filter_where else ""
@@ -216,6 +223,242 @@ scores AS (
 topk AS (
   SELECT doc_id, round(score_raw, {round_to})::DOUBLE AS score
   FROM scores{cand}
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {k}
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM topk
+""".strip()
+
+
+def fuzzy_oracle_sql(
+    query_text: str,
+    k: int = 10,
+    *,
+    fuzziness: int = 1,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> str:
+    """DuckDB SQL modeling Searcher.topk_fuzzy: the query's term set is
+    expanded to every VOCABULARY term within `fuzziness` Levenshtein
+    edits of any analyzed query term, then scored as a plain OR query
+    (each expanded term with its own idf — wand.Searcher.plan_fuzzy's
+    documented semantics)."""
+    terms = sorted(set(analyze_query(query_text, mode="simple")))
+    f = int(fuzziness)
+    cond = " OR ".join(
+        f"levenshtein(term, '{t.replace(chr(39), chr(39) * 2)}') <= {f}"
+        for t in terms
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS term
+  FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::INT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q AS (SELECT DISTINCT term FROM tf WHERE {cond}),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score_raw
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, round(score_raw, {round_to})::DOUBLE AS score
+  FROM scores
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {k}
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM topk
+""".strip()
+
+
+def multi_match_best_fields(
+    docs: DataFrame,
+    query_text: str,
+    fields: list[tuple[str, float]],
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    mode: str = "simple",
+    round_to: int = 4,
+) -> DataFrame:
+    """ES multi_match, type=best_fields: score(doc) = max over fields of
+    boost_f * BM25_f(doc), where each field has its OWN statistics
+    (df, avgdl, N) exactly like per-field Lucene indexes.  `fields` is
+    [(sql_expr, boost), ...] — expressions over `docs` (e.g. a derived
+    title column).  Returns (doc_id, score, rank).
+
+    Scale shape: per-field scoring is the same shuffle-light pipeline as
+    bm25_brute_force (doc-local tf/dl, tiny df agg); the union-then-max
+    groups on doc_id over |fields| × matched-docs rows.  At index scale
+    this becomes per-field WAND top-k + candidate rescoring; the driver
+    entry uses the exact formulation so the oracle is exact."""
+    per_field = []
+    for expr, boost in fields:
+        sub = docs.select(F.col(id_col), F.expr(expr).alias("__field"))
+        toks = doc_terms(sub, id_col=id_col, text_col="__field", mode=mode)
+        terms = analyze_query(query_text, mode=mode)
+        uniq = sorted(set(terms))
+        dl = toks.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+        qterms = toks.where(F.col("term").isin(uniq))
+        dfreq = qterms.groupBy("term").agg(F.count("*").alias("df"))
+        joined = qterms.join(F.broadcast(dfreq), "term").crossJoin(
+            F.broadcast(stats)
+        )
+        scored = joined.withColumn(
+            "partial",
+            idf_expr(F.col("df"), F.col("n_docs"))
+            * tf_norm_expr(F.col("tf"), F.col("dl"), F.col("avgdl")),
+        )
+        per_doc = scored.groupBy("doc_id").agg(F.sum("partial").alias("raw"))
+        per_field.append(
+            per_doc.select(
+                "doc_id",
+                F.round(F.lit(float(boost)) * F.col("raw"), round_to)
+                .alias("score"),
+            )
+        )
+    allf = per_field[0]
+    for p in per_field[1:]:
+        allf = allf.unionByName(p)
+    best = allf.groupBy("doc_id").agg(F.max("score").alias("score"))
+    topk = best.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+    from search_ingest_spark.ranking import ranked_desc
+
+    return ranked_desc(topk, "score", "doc_id")
+
+
+def multi_match_oracle_sql(
+    query_text: str,
+    fields: list[tuple[str, float]],
+    k: int = 10,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> str:
+    """DuckDB replay of multi_match_best_fields: one per-field scoring
+    CTE (own stats/df), union, max per doc, top-k."""
+    terms = analyze_query(query_text, mode="simple")
+    uniq = sorted(set(terms))
+    term_list = ", ".join("('" + t.replace("'", "''") + "')" for t in uniq)
+    parts = []
+    for i, (expr, boost) in enumerate(fields):
+        parts.append(f"""
+f{i} AS (
+  WITH toks AS (
+    SELECT {id_col} AS doc_id,
+           unnest(regexp_extract_all(lower({expr}), '[a-z0-9]+')) AS term
+    FROM {table}
+  ),
+  tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY 1, 2),
+  dl AS (SELECT doc_id, count(*)::INT AS dl FROM toks GROUP BY 1),
+  stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+  q(term) AS (VALUES {term_list}),
+  dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+            WHERE term IN (SELECT term FROM q) GROUP BY 1)
+  SELECT tf.doc_id,
+         round({float(boost)!r} * sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ), {round_to})::DOUBLE AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)""".strip())
+    union = " UNION ALL ".join(
+        f"SELECT * FROM f{i}" for i in range(len(fields))
+    )
+    ctes = ",\n".join(parts)
+    return f"""
+WITH {ctes},
+best AS (
+  SELECT doc_id, max(score) AS score FROM ({union}) GROUP BY doc_id
+),
+topk AS (
+  SELECT doc_id, score FROM best ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM topk
+""".strip()
+
+
+def bm25_quantized_oracle_sql(
+    query_text: str,
+    k: int = 10,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> str:
+    """DuckDB SQL modeling the impact-QUANTIZED scoring mode: the same
+    BM25 pipeline but with each posting's tf-norm quantized exactly as
+    the index build does (index/build.quantize_impacts: q = floor(tfn *
+    IMPACT_SCALE), contribution = idf * (q + 0.5) / IMPACT_SCALE).
+
+    avgdl is written as sum(dl)/count(*) — the exact-integer division
+    the build's stats table computes — so the floor() input is the same
+    float64 in both engines."""
+    from search_ingest_spark.index.codec import IMPACT_SCALE
+
+    terms = analyze_query(query_text, mode="simple")
+    uniq = sorted(set(terms))
+    term_list = ", ".join("('" + t.replace("'", "''") + "')" for t in uniq)
+    s = repr(float(IMPACT_SCALE))
+    tfn = (
+        f"(tf.tf * ({K1} + 1.0)"
+        f" / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)))"
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS term
+  FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::INT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs,
+                 (sum(dl)::DOUBLE / count(*)::DOUBLE) AS avgdl FROM dl),
+q(term) AS (VALUES {term_list}),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * ((floor({tfn} * {s}) + 0.5) / {s})
+         ) AS score_raw
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, round(score_raw, {round_to})::DOUBLE AS score
+  FROM scores
   ORDER BY score DESC, doc_id ASC
   LIMIT {k}
 )

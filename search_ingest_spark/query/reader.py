@@ -50,6 +50,15 @@ _META_COLS = [
 ]
 
 
+def _round_half_up(x: float, nd: int) -> float:
+    """Round half AWAY from zero at nd decimals — what Spark's F.round
+    and DuckDB's round() do (np.round banks to even)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"),
+                                           rounding=ROUND_HALF_UP))
+
+
 class LocalSearcher:
     """Serve top-k queries from an index catalog without a SparkSession."""
 
@@ -81,7 +90,8 @@ class LocalSearcher:
 
     def topk(self, query_text: str, k: int = 10, *,
              match_all: bool = False,
-             attr_filter: dict | None = None) -> list[tuple[int, float, int]]:
+             attr_filter: dict | None = None,
+             round_to: int | None = None) -> list[tuple[int, float, int]]:
         """[(doc_id, score, rank)] — bitwise identical to Searcher.topk.
 
         Three-stage shared-θ execution (module docstring): metadata-only
@@ -148,9 +158,13 @@ class LocalSearcher:
         heap: list[tuple[float, int]] = []   # (score, -doc_id), weakest first
         lock = threading.Lock()
         frames: list[pd.DataFrame] = []
+        guard = 10.0 ** -round_to if round_to is not None else 0.0
 
         def theta() -> float:
-            return heap[0][0] if len(heap) >= k else -np.inf
+            # guard band: when ranking on ROUNDED scores, a doc within
+            # one rounding ulp of the kth raw score can round-tie and
+            # win on doc_id — keep it (same rule as wand.shard_topk)
+            return heap[0][0] - guard if len(heap) >= k else -np.inf
 
         def run_shard(s: int, shard_ub: float, allowed) -> None:
             with lock:
@@ -163,7 +177,8 @@ class LocalSearcher:
             if len(g) == 0:
                 return
             res = shard_topk(g, idf=idf, k=k, avgdl=self.avgdl,
-                             match_all=match_all, allowed=allowed, theta0=th)
+                             match_all=match_all, allowed=allowed, theta0=th,
+                             round_to=round_to)
             if len(res) == 0:
                 return
             with lock:
@@ -188,12 +203,198 @@ class LocalSearcher:
         if not frames:
             return []
         allr = pd.concat(frames, ignore_index=True)
-        order = np.lexsort((allr["doc_id"].to_numpy(), -allr["score"].to_numpy()))[:k]
-        out = allr.iloc[order]
+        scores = allr["score"].to_numpy()
+        if round_to is not None:
+            # HALF_UP like Spark F.round / DuckDB round (np.round would
+            # bank to even) — k-bounded candidate set, so per-value cost
+            # is irrelevant
+            scores = np.array([_round_half_up(s, round_to) for s in scores])
+        order = np.lexsort((allr["doc_id"].to_numpy(), -scores))[:k]
         return [
-            (int(d), float(s), i + 1)
-            for i, (d, s) in enumerate(zip(out["doc_id"], out["score"]))
+            (int(allr["doc_id"].iloc[i]), float(scores[i]), r + 1)
+            for r, i in enumerate(order)
         ]
+
+    # -- impact-quantized serving ---------------------------------------------
+    def topk_quantized(self, query_text: str, k: int = 10, *,
+                       round_to: int | None = None,
+                       ) -> list[tuple[int, float, int]]:
+        """[(doc_id, score, rank)] under the impact-QUANTIZED scoring
+        mode — bitwise identical to Searcher.topk_quantized over the
+        same postings_q table (build_index(quantize=True)).
+
+        Same three-stage shared-θ execution as topk(), but the stage-2
+        shard bound comes from the EXACT per-block max_impact (no
+        (max_tf, min_dl) proxy), and the decoded volume per shard is the
+        one-byte impact stream — the serving path's cheapest mode."""
+        from search_ingest_spark.index.codec import IMPACT_SCALE
+        from search_ingest_spark.query.wand import shard_topk_impact
+
+        idf = self.plan(query_text)
+        if not idf:
+            return []
+        pq = self._postings_q()
+        tids = [int(t) for t in idf]
+        tfilter = pc.field("term_id").isin(tids)
+        meta = pq.to_table(
+            columns=["term_id", "shard", "first_doc_id", "last_doc_id",
+                     "n_docs", "max_impact"],
+            filter=tfilter,
+        ).to_pandas()
+        if len(meta) == 0:
+            return []
+        tid = meta["term_id"].to_numpy(np.int64)
+        ub = (
+            np.array([idf[t] for t in tid])
+            * ((meta["max_impact"].to_numpy(np.float64) + 0.5) / IMPACT_SCALE)
+            * (1.0 + 1e-9)
+        )
+        bounds = (
+            pd.DataFrame({"shard": meta["shard"].to_numpy(np.int64),
+                          "term_id": tid, "ub": ub})
+            .groupby(["shard", "term_id"])["ub"].max()
+            .groupby("shard").sum()
+            .sort_values(ascending=False)
+        )
+        heap: list[tuple[float, int]] = []
+        lock = threading.Lock()
+        frames: list[pd.DataFrame] = []
+        guard = 10.0 ** -round_to if round_to is not None else 0.0
+
+        def theta() -> float:
+            return heap[0][0] - guard if len(heap) >= k else -np.inf
+
+        def run_shard(s: int, shard_ub: float) -> None:
+            with lock:
+                th = theta()
+            if shard_ub < th:
+                return
+            g = pq.to_table(
+                filter=tfilter & (pc.field("shard") == s)
+            ).to_pandas()
+            if len(g) == 0:
+                return
+            res = shard_topk_impact(g, idf=idf, k=k, round_to=round_to,
+                                    theta0=th)
+            if len(res) == 0:
+                return
+            with lock:
+                frames.append(res)
+                for sc, d in zip(res["score"].to_numpy(),
+                                 res["doc_id"].to_numpy()):
+                    item = (float(sc), -int(d))
+                    if len(heap) < k:
+                        heapq.heappush(heap, item)
+                    elif item > heap[0]:
+                        heapq.heapreplace(heap, item)
+
+        plan = [(int(s), float(u)) for s, u in bounds.items()]
+        if len(plan) == 1 or self.n_threads <= 1:
+            for s, u in plan:
+                run_shard(s, u)
+        else:
+            with ThreadPoolExecutor(min(self.n_threads, len(plan))) as pool:
+                list(pool.map(lambda args: run_shard(*args), plan))
+        if not frames:
+            return []
+        allr = pd.concat(frames, ignore_index=True)
+        scores = allr["score"].to_numpy()
+        if round_to is not None:
+            scores = np.array([_round_half_up(s, round_to) for s in scores])
+        order = np.lexsort((allr["doc_id"].to_numpy(), -scores))[:k]
+        return [
+            (int(allr["doc_id"].iloc[i]), float(scores[i]), r + 1)
+            for r, i in enumerate(order)
+        ]
+
+    def _postings_q(self):
+        got = getattr(self, "_pq_ds", None)
+        if got is None:
+            got = self._pq_ds = ds.dataset(
+                self.cat.data_path(ib.POSTINGS_Q_TABLE), partitioning="hive"
+            )
+        return got
+
+    # -- stored-fields serving (doc_store column family) ---------------------
+    def fetch(self, doc_ids: list[int],
+              fields: list[str] | None = None) -> dict[int, dict]:
+        """doc_id → stored fields, Spark-free, from the doc_store table
+        (build_index(store_fields=[...])).  The table is shard-
+        partitioned and doc-sorted within files, so the isin predicate
+        prunes to the k hits' row groups via parquet doc_id statistics —
+        a k-row point lookup, not a scan (the ES stored-fields analog,
+        elastic.cr:224-233)."""
+        store = ds.dataset(
+            self.cat.data_path(ib.DOC_STORE_TABLE), partitioning="hive"
+        )
+        cols = fields if fields is None else ["doc_id", *fields]
+        tbl = store.to_table(
+            columns=cols,
+            filter=pc.field("doc_id").isin([int(d) for d in doc_ids]),
+        ).to_pylist()
+        return {int(r["doc_id"]): {k: v for k, v in r.items()
+                                   if k not in ("doc_id", "shard")}
+                for r in tbl}
+
+    def topk_with_source(
+        self, query_text: str, k: int = 10, *,
+        fields: list[str] | None = None, round_to: int | None = None,
+    ) -> list[dict]:
+        """Top-k hits WITH their _source fields — the full ES search
+        response served without a SparkSession: ranked top-k from the
+        postings, stored fields from doc_store, both pyarrow point
+        reads."""
+        hits = self.topk(query_text, k, round_to=round_to)
+        src = self.fetch([d for d, _, _ in hits], fields)
+        return [
+            {"doc_id": d, "score": s, "rank": r, **src.get(d, {})}
+            for d, s, r in hits
+        ]
+
+    def topk_with_highlight(
+        self, query_text: str, k: int = 10, *,
+        text_field: str = "text", round_to: int | None = None,
+    ) -> list[dict]:
+        """Top-k with a deterministic highlight snippet: an 80-char
+        window starting 30 chars before the first occurrence of the
+        FIRST query term (or the text head) — the same rule as the
+        Spark-path highlight entry, so the two serve identical
+        responses."""
+        hits = self.topk(query_text, k, round_to=round_to)
+        src = self.fetch([d for d, _, _ in hits], [text_field])
+        terms = analyze_query(query_text, mode=self.mode)
+        t0 = terms[0] if terms else ""
+        out = []
+        for d, s, r in hits:
+            text = src.get(d, {}).get(text_field) or ""
+            # 1-based locate like SQL strpos; 0 (absent) → head
+            pos = text.lower().find(t0) + 1
+            start = max(1, pos - 30)
+            out.append({"doc_id": d, "score": s, "rank": r,
+                        "snippet": text[start - 1 : start - 1 + 80]})
+        return out
+
+    # -- completion suggester -------------------------------------------------
+    def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
+        """[(term, df)] — prefix completion over the term-sorted
+        dictionary, ranked by document frequency (ES completion
+        suggester analog; `completion` is a legal mapped type,
+        schemas.cr:211-222).  The dictionary is written sorted by term,
+        so the [prefix, prefix+1) range predicate prunes to a handful
+        of row groups regardless of vocabulary size."""
+        if not prefix:
+            return []
+        lo = prefix
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        tbl = self._dict.to_table(
+            columns=["term", "df"],
+            filter=(pc.field("term") >= lo) & (pc.field("term") < hi),
+        ).to_pandas()
+        if len(tbl) == 0:
+            return []
+        order = np.lexsort((tbl["term"].to_numpy(), -tbl["df"].to_numpy()))[:k]
+        return [(str(tbl["term"].iloc[i]), int(tbl["df"].iloc[i]))
+                for i in order]
 
     def phrase_topk(self, phrase_text: str, k: int = 10,
                     ) -> list[tuple[int, float, int]]:

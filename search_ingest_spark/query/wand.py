@@ -88,7 +88,9 @@ class Searcher:
     # -- execution ----------------------------------------------------------
     def topk(self, query_text: str, k: int = 10, *, round_to: int | None = None,
              match_all: bool = False,
-             attr_filter: dict | None = None) -> DataFrame:
+             min_match: int | None = None,
+             attr_filter: dict | None = None,
+             attr_where=None) -> DataFrame:
         """(doc_id, score, rank) — rank-identical to the brute-force oracle.
 
         `match_all=True` = conjunctive (AND) query.  A query with terms
@@ -100,18 +102,25 @@ class Searcher:
         cogroup with the shard's qualifying doc ids (the Lucene
         filter-bitset analog; the attrs scan is partition-pruned and
         predicate-pushed) and the scorer masks candidates before
-        truncation.  df/avgdl are untouched, exactly like ES."""
+        truncation.  df/avgdl are untouched, exactly like ES.
+
+        `attr_where` = an arbitrary Column predicate over doc_attrs
+        (range filters, geo distance via query.geo.haversine_km, ...) —
+        the general filter context; rides the same cogroup path."""
         idf = self.plan(query_text)
         out_schema = "doc_id long, score double"
         n_query_terms = len(set(analyze_query(query_text, mode=self.mode)))
-        if not idf or (match_all and len(idf) < n_query_terms):
+        if (not idf or (match_all and len(idf) < n_query_terms)
+                or (min_match is not None and len(idf) < min_match)):
             return self.spark.createDataFrame([], out_schema + ", rank int")
         term_ids = sorted(idf)
         pruned = self.postings.where(F.col("term_id").isin([int(t) for t in term_ids]))
-        if attr_filter:
+        if attr_filter or attr_where is not None:
             attrs = self.cat.read(ib.DOC_ATTRS_TABLE)
-            for c, v in attr_filter.items():
+            for c, v in (attr_filter or {}).items():
                 attrs = attrs.where(F.col(c) == v)
+            if attr_where is not None:
+                attrs = attrs.where(attr_where)
             avgdl, _idf = self.avgdl, idf
 
             def co_scorer(post_pdf: pd.DataFrame,
@@ -124,7 +133,7 @@ class Searcher:
                 allowed = np.sort(allow_pdf["doc_id"].to_numpy(np.int64))
                 return shard_topk(post_pdf, idf=_idf, k=k, avgdl=avgdl,
                                   match_all=match_all, round_to=round_to,
-                                  allowed=allowed)
+                                  allowed=allowed, min_match=min_match)
 
             per_shard = (
                 pruned.groupBy("shard")
@@ -132,7 +141,8 @@ class Searcher:
                 .applyInPandas(co_scorer, schema=out_schema)
             )
         else:
-            scorer = _make_shard_scorer(idf, k, self.avgdl, match_all, round_to)
+            scorer = _make_shard_scorer(idf, k, self.avgdl, match_all, round_to,
+                                        min_match)
             per_shard = pruned.groupBy("shard").applyInPandas(
                 scorer, schema=out_schema
             )
@@ -144,6 +154,91 @@ class Searcher:
 
         return ranked_desc(topk, "score", "doc_id")
 
+
+    # -- fuzzy execution ------------------------------------------------------
+    def plan_fuzzy(self, query_text: str, fuzziness: int = 1) -> dict[int, float]:
+        """term_id → idf over every dictionary term within `fuzziness`
+        Levenshtein edits of any analyzed query term (ES match
+        `fuzziness`).  ES walks an FST automaton; the analog here is a
+        Catalyst filter over the (tiny, term-sorted) dictionary with a
+        length pre-filter so the edit-distance evaluation touches only
+        plausible rows.  Each expanded term scores with its OWN idf —
+        a documented divergence from ES's blended-df rewrite, chosen so
+        scores stay an exact function of corpus statistics."""
+        terms = sorted(set(analyze_query(query_text, mode=self.mode)))
+        if not terms:
+            return {}
+        f = int(fuzziness)
+        cond = None
+        for t in terms:
+            e = (
+                (F.abs(F.length("term") - F.lit(len(t))) <= f)
+                & (F.levenshtein(F.col("term"), F.lit(t)) <= f)
+            )
+            cond = e if cond is None else cond | e
+        rows = self.term_dict.where(cond).select("term_id", "df").collect()
+        n = self.n_docs
+        return {
+            int(r["term_id"]):
+                float(np.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5)))
+            for r in rows
+        }
+
+    def topk_fuzzy(
+        self, query_text: str, k: int = 10, *, fuzziness: int = 1,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """(doc_id, score, rank) for an OR query over the fuzzy-expanded
+        term set — the expansion plan feeds the unchanged WAND kernel."""
+        idf = self.plan_fuzzy(query_text, fuzziness)
+        out_schema = "doc_id long, score double"
+        if not idf:
+            return self.spark.createDataFrame([], out_schema + ", rank int")
+        pruned = self.postings.where(
+            F.col("term_id").isin([int(t) for t in idf])
+        )
+        scorer = _make_shard_scorer(idf, k, self.avgdl, False, round_to)
+        topk = pruned.groupBy("shard").applyInPandas(scorer, schema=out_schema)
+        if round_to is not None:
+            topk = topk.withColumn("score", F.round("score", round_to))
+        topk = topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        from search_ingest_spark.ranking import ranked_desc
+
+        return ranked_desc(topk, "score", "doc_id")
+
+    # -- quantized execution --------------------------------------------------
+    def topk_quantized(
+        self, query_text: str, k: int = 10, *, round_to: int | None = None,
+    ) -> DataFrame:
+        """(doc_id, score, rank) over the impact-quantized postings table
+        (build_index(quantize=True)): score = Σ idf_t * (q + 0.5)/100
+        with q the build-time-quantized tf-norm (codec module doc).
+
+        Why a separate mode: the one-byte impacts shrink the decoded
+        posting volume (no tf/dl varint streams) and max_impact is an
+        EXACT per-block bound, so block-max pruning skips strictly more
+        than the exact path's (max_tf, min_dl) proxy — the Lucene
+        impact-ordered-postings idea on columnar storage.  Scores carry
+        ~1% quantization noise, hence opt-in with its own oracle that
+        models the same quantization (bm25.bm25_quantized_oracle_sql)."""
+        idf = self.plan(query_text)
+        out_schema = "doc_id long, score double"
+        if not idf:
+            return self.spark.createDataFrame([], out_schema + ", rank int")
+        pq = self.cat.read(ib.POSTINGS_Q_TABLE)
+        pruned = pq.where(F.col("term_id").isin([int(t) for t in idf]))
+        _idf = idf
+
+        def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+            return shard_topk_impact(pdf, idf=_idf, k=k, round_to=round_to)
+
+        topk = pruned.groupBy("shard").applyInPandas(scorer, schema=out_schema)
+        if round_to is not None:
+            topk = topk.withColumn("score", F.round("score", round_to))
+        topk = topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        from search_ingest_spark.ranking import ranked_desc
+
+        return ranked_desc(topk, "score", "doc_id")
 
     # -- batch execution ------------------------------------------------------
     def topk_many(
@@ -193,12 +288,13 @@ class Searcher:
 
 
 def _make_shard_scorer(idf: dict[int, float], k: int, avgdl: float,
-                       match_all: bool = False, round_to: int | None = None):
+                       match_all: bool = False, round_to: int | None = None,
+                       min_match: int | None = None):
     """Build the per-shard applyInPandas kernel (closure ships idf/k)."""
 
     def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
         return shard_topk(pdf, idf=idf, k=k, avgdl=avgdl, match_all=match_all,
-                          round_to=round_to)
+                          round_to=round_to, min_match=min_match)
 
     return scorer
 
@@ -207,13 +303,16 @@ def shard_topk(
     pdf: pd.DataFrame, *, idf: dict[int, float], k: int, avgdl: float,
     k1: float = K1, b: float = B, match_all: bool = False,
     round_to: int | None = None, allowed: np.ndarray | None = None,
-    theta0: float = -np.inf,
+    theta0: float = -np.inf, min_match: int | None = None,
 ) -> pd.DataFrame:
     """Exact top-k for one shard's query-term postings (block-max pruning).
 
     `match_all=True` = conjunctive (AND) semantics: only docs containing
     EVERY query term qualify (ES `operator: and`); the OR upper bounds
-    remain valid bounds so pruning stays exact.
+    remain valid bounds so pruning stays exact.  `min_match=m` = ES
+    `minimum_should_match`: at least m distinct query terms must match
+    (same bound argument — dropping non-qualifying docs can only be
+    done after counting, never loosens the UB).
 
     `theta0` is an external score floor (already guard-adjusted by the
     caller): segments whose upper bound is below it are skipped from the
@@ -349,8 +448,9 @@ def shard_topk(
             idxs = np.searchsorted(docs_u, d_arr)
             scores_u[idxs] += c_arr
             nmatch[idxs] += 1
-        if match_all:
-            qual = nmatch == len(term_ids)
+        need = len(term_ids) if match_all else (min_match or 0)
+        if need > 1:
+            qual = nmatch >= need
             docs_u, scores_u = docs_u[qual], scores_u[qual]
             if len(docs_u) == 0:
                 continue
@@ -376,6 +476,129 @@ def shard_topk(
     if round_to is not None and k > 0 and len(order_all) > k:
         # emit every doc within one rounding ulp of the kth raw score —
         # the global (rounded) rank stage resolves the ties exactly
+        kth = scores_all[order_all[k - 1]]
+        top = order_all[scores_all[order_all] >= kth - guard]
+    else:
+        top = order_all[:k]
+    return pd.DataFrame({
+        "doc_id": docs_all[top].astype(np.int64),
+        "score": scores_all[top].astype(np.float64),
+    })
+
+
+def shard_topk_impact(
+    pdf: pd.DataFrame, *, idf: dict[int, float], k: int,
+    round_to: int | None = None, theta0: float = -np.inf,
+) -> pd.DataFrame:
+    """Exact top-k under QUANTIZED scoring for one shard's impact blocks.
+
+    Same segment/prune/merge machinery as shard_topk, but contributions
+    come from the one-byte impacts (idf * (q+0.5)/IMPACT_SCALE) and the
+    per-block bound is idf * (max_impact+0.5)/IMPACT_SCALE — exact, so
+    pruning is tighter.  "Exact" here means: the top-k under the
+    quantized scoring function, which is what the quantized oracle
+    models."""
+    from search_ingest_spark.index.codec import IMPACT_SCALE, decode_impact_block
+
+    if len(pdf) == 0:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "score": pd.array([], dtype="float64")})
+    term_ids = sorted(idf)
+    tid = pdf["term_id"].to_numpy(np.int64)
+    mimp = pdf["max_impact"].to_numpy(np.float64)
+    ub = (
+        np.array([idf[t] for t in tid])
+        * ((mimp + 0.5) / IMPACT_SCALE)
+        * (1.0 + 1e-9)
+    )
+    first = pdf["first_doc_id"].to_numpy(np.int64)
+    last = pdf["last_doc_id"].to_numpy(np.int64)
+
+    starts = np.concatenate([first, last + 1])
+    deltas = np.concatenate([ub, -ub])
+    order = np.argsort(starts, kind="stable")
+    bounds = starts[order]
+    seg_ub = np.cumsum(deltas[order])
+    mag = np.cumsum(np.abs(deltas[order]))
+    seg_ub = seg_ub + mag * (np.arange(1, len(seg_ub) + 1) * 2.3e-16)
+    uniq_mask = np.concatenate([bounds[1:] != bounds[:-1], [True]])
+    seg_lo = bounds[uniq_mask]
+    seg_ub = seg_ub[uniq_mask]
+    seg_hi = np.concatenate([seg_lo[1:] - 1, [int(last.max())]])
+    live = seg_ub > 1e-12
+    seg_lo, seg_hi, seg_ub = seg_lo[live], seg_hi[live], seg_ub[live]
+
+    heap: list[tuple[float, int]] = []
+    results_docs: list[np.ndarray] = []
+    results_scores: list[np.ndarray] = []
+    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    rows_by_term: dict[int, np.ndarray] = {}
+    for t in term_ids:
+        rows = np.flatnonzero(tid == t)
+        rows_by_term[t] = rows[np.argsort(first[rows], kind="stable")]
+    datas = pdf["data"].to_numpy(object)
+    ndocs = pdf["n_docs"].to_numpy(np.int64)
+    guard = 10.0 ** -round_to if round_to is not None else 0.0
+
+    def theta() -> float:
+        own = heap[0][0] - guard if len(heap) >= k else -np.inf
+        return own if own > theta0 else theta0
+
+    def decode_row(r: int) -> tuple[np.ndarray, np.ndarray]:
+        got = decoded.get(r)
+        if got is None:
+            d, q = decode_impact_block(datas[r], int(first[r]), int(ndocs[r]))
+            # same op order as the oracle: idf * ((q + 0.5) / SCALE)
+            contrib = idf[int(tid[r])] * (
+                (q.astype(np.float64) + 0.5) / IMPACT_SCALE
+            )
+            got = decoded[r] = (d, contrib)
+        return got
+
+    for si in np.argsort(-seg_ub, kind="stable"):
+        if seg_ub[si] < theta():
+            break
+        lo, hi = int(seg_lo[si]), int(seg_hi[si])
+        seg_docs: list[np.ndarray] = []
+        seg_contrib: list[np.ndarray] = []
+        for t in term_ids:
+            rows = rows_by_term[t]
+            i0 = np.searchsorted(first[rows], lo, side="left")
+            while i0 > 0 and last[rows[i0 - 1]] >= lo:
+                i0 -= 1
+            j = i0
+            while j < len(rows) and first[rows[j]] <= hi:
+                d, c = decode_row(int(rows[j]))
+                m = (d >= lo) & (d <= hi)
+                if m.any():
+                    seg_docs.append(d[m])
+                    seg_contrib.append(c[m])
+                j += 1
+        if not seg_docs:
+            continue
+        docs_u = np.unique(np.concatenate(seg_docs))
+        scores_u = np.zeros(len(docs_u), dtype=np.float64)
+        for d_arr, c_arr in zip(seg_docs, seg_contrib):
+            idxs = np.searchsorted(docs_u, d_arr)
+            scores_u[idxs] += c_arr
+        results_docs.append(docs_u)
+        results_scores.append(scores_u)
+        if k > 0:
+            cand = np.argsort(-scores_u, kind="stable")[:k]
+            for ci in cand:
+                item = (float(scores_u[ci]), -int(docs_u[ci]))
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
+
+    if not results_docs:
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "score": pd.array([], dtype="float64")})
+    docs_all = np.concatenate(results_docs)
+    scores_all = np.concatenate(results_scores)
+    order_all = np.lexsort((docs_all, -scores_all))
+    if round_to is not None and k > 0 and len(order_all) > k:
         kth = scores_all[order_all[k - 1]]
         top = order_all[scores_all[order_all] >= kth - guard]
     else:
