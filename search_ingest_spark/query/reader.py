@@ -154,7 +154,43 @@ class LocalSearcher:
                     continue
             plan.append((int(s), float(sub), allowed))
 
-        # stage 3: threaded per-shard decode sharing one global θ
+        # stage 3: adaptive shared-θ execution
+        def kernel(g: pd.DataFrame, th: float, allowed) -> pd.DataFrame:
+            return shard_topk(g, idf=idf, k=k, avgdl=self.avgdl,
+                              match_all=match_all, allowed=allowed, theta0=th,
+                              round_to=round_to)
+
+        return self._run_plan(self._postings, tfilter, plan, kernel, k,
+                              round_to)
+
+    # shards fetched per bulk read: each pyarrow to_table pays
+    # fragment-planning + file-open overhead (~3 ms even warm), and each
+    # kernel invocation pays NumPy segment-machinery setup — so shards
+    # are read in large batches (one to_table per batch) and merged into
+    # ONE kernel call per thread.  Merging is exact: shards partition
+    # the doc-id space, so a multi-shard frame is indistinguishable from
+    # one bigger shard to the segment-based kernel (and its internal
+    # descending-UB segment ordering then prunes ACROSS shards).
+    _SHARDS_PER_BATCH = 64
+
+    def _run_plan(self, dataset, tfilter, plan, kernel, k: int,
+                  round_to: int | None) -> list[tuple[int, float, int]]:
+        """Shared stage-3 executor: θ-gated batched reads + merged
+        kernels.
+
+        `plan` = [(shard, static_ub, extra)], UB-descending.  Loop:
+        re-gate the next _SHARDS_PER_BATCH shards on the risen global θ
+        (posting BYTES of pruned shards are never read; the plan is
+        UB-sorted, so the first fully-pruned batch proves every later
+        one prunes too), bulk-read the survivors in one to_table, split
+        them round-robin into ≤ n_threads merged frames, and run the
+        kernel per frame in the pool under the shared θ.
+
+        `extra` (per-shard allowed-doc filters) is homogeneous across a
+        query's plan — all None, or all arrays (filter-empty shards
+        never enter the plan) — and shards partition the doc-id space,
+        so merged chunks concatenate their sorted allowed arrays
+        losslessly."""
         heap: list[tuple[float, int]] = []   # (score, -doc_id), weakest first
         lock = threading.Lock()
         frames: list[pd.DataFrame] = []
@@ -166,19 +202,24 @@ class LocalSearcher:
             # win on doc_id — keep it (same rule as wand.shard_topk)
             return heap[0][0] - guard if len(heap) >= k else -np.inf
 
-        def run_shard(s: int, shard_ub: float, allowed) -> None:
+        def run_chunk(chunk: list, groups: dict) -> None:
             with lock:
                 th = theta()
-            if shard_ub < th:
-                return  # whole shard pruned: posting bytes never read
-            g = self._postings.to_table(
-                filter=tfilter & (pc.field("shard") == s)
-            ).to_pandas()
-            if len(g) == 0:
+            chunk = [c for c in chunk if c[1] >= th and int(c[0]) in groups]
+            if not chunk:
                 return
-            res = shard_topk(g, idf=idf, k=k, avgdl=self.avgdl,
-                             match_all=match_all, allowed=allowed, theta0=th,
-                             round_to=round_to)
+            parts = [groups[int(s)] for s, _, _ in chunk]
+            g = parts[0] if len(parts) == 1 else pd.concat(
+                parts, ignore_index=True
+            )
+            extras = [e for _, _, e in chunk]
+            if extras[0] is None:
+                extra = None
+            else:
+                extra = extras[0] if len(extras) == 1 else np.sort(
+                    np.concatenate(extras)
+                )
+            res = kernel(g, th, extra)
             if len(res) == 0:
                 return
             with lock:
@@ -193,13 +234,40 @@ class LocalSearcher:
 
         if not plan:
             return []
-        if len(plan) == 1 or self.n_threads <= 1:
-            for s, sub, allowed in plan:
-                run_shard(s, sub, allowed)
-        else:
-            with ThreadPoolExecutor(min(self.n_threads, len(plan))) as pool:
-                # submitted best-UB-first, so θ rises as fast as possible
-                list(pool.map(lambda args: run_shard(*args), plan))
+        pool = None
+        try:
+            i = 0
+            while i < len(plan):
+                th = theta()
+                live = [p for p in plan[i:i + self._SHARDS_PER_BATCH]
+                        if p[1] >= th]
+                i += self._SHARDS_PER_BATCH
+                if not live:
+                    break  # UB-descending: all remaining prune too
+                tbl = dataset.to_table(
+                    filter=tfilter
+                    & pc.field("shard").isin([int(s) for s, _, _ in live])
+                ).to_pandas()
+                groups = {int(s): g
+                          for s, g in tbl.groupby("shard", sort=False)}
+                # thread only when the decode is big enough to amortize
+                # pool startup + GIL contention: small batches run as ONE
+                # merged kernel call (globally UB-ordered segments, zero
+                # thread overhead) — the fast path for interactive-scale
+                # shards; large batches split round-robin across threads
+                # (block decode + scoring release the GIL inside NumPy)
+                nchunks = (1 if len(tbl) <= 4096 or self.n_threads <= 1
+                           else min(self.n_threads, len(live)))
+                chunks = [live[j::nchunks] for j in range(nchunks)]
+                if nchunks == 1:
+                    run_chunk(chunks[0], groups)
+                else:
+                    if pool is None:
+                        pool = ThreadPoolExecutor(self.n_threads)
+                    list(pool.map(lambda c: run_chunk(c, groups), chunks))
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
         if not frames:
             return []
         allr = pd.concat(frames, ignore_index=True)
@@ -256,56 +324,13 @@ class LocalSearcher:
             .groupby("shard").sum()
             .sort_values(ascending=False)
         )
-        heap: list[tuple[float, int]] = []
-        lock = threading.Lock()
-        frames: list[pd.DataFrame] = []
-        guard = 10.0 ** -round_to if round_to is not None else 0.0
+        plan = [(int(s), float(u), None) for s, u in bounds.items()]
 
-        def theta() -> float:
-            return heap[0][0] - guard if len(heap) >= k else -np.inf
+        def kernel(g: pd.DataFrame, th: float, _extra) -> pd.DataFrame:
+            return shard_topk_impact(g, idf=idf, k=k, round_to=round_to,
+                                     theta0=th)
 
-        def run_shard(s: int, shard_ub: float) -> None:
-            with lock:
-                th = theta()
-            if shard_ub < th:
-                return
-            g = pq.to_table(
-                filter=tfilter & (pc.field("shard") == s)
-            ).to_pandas()
-            if len(g) == 0:
-                return
-            res = shard_topk_impact(g, idf=idf, k=k, round_to=round_to,
-                                    theta0=th)
-            if len(res) == 0:
-                return
-            with lock:
-                frames.append(res)
-                for sc, d in zip(res["score"].to_numpy(),
-                                 res["doc_id"].to_numpy()):
-                    item = (float(sc), -int(d))
-                    if len(heap) < k:
-                        heapq.heappush(heap, item)
-                    elif item > heap[0]:
-                        heapq.heapreplace(heap, item)
-
-        plan = [(int(s), float(u)) for s, u in bounds.items()]
-        if len(plan) == 1 or self.n_threads <= 1:
-            for s, u in plan:
-                run_shard(s, u)
-        else:
-            with ThreadPoolExecutor(min(self.n_threads, len(plan))) as pool:
-                list(pool.map(lambda args: run_shard(*args), plan))
-        if not frames:
-            return []
-        allr = pd.concat(frames, ignore_index=True)
-        scores = allr["score"].to_numpy()
-        if round_to is not None:
-            scores = np.array([_round_half_up(s, round_to) for s in scores])
-        order = np.lexsort((allr["doc_id"].to_numpy(), -scores))[:k]
-        return [
-            (int(allr["doc_id"].iloc[i]), float(scores[i]), r + 1)
-            for r, i in enumerate(order)
-        ]
+        return self._run_plan(pq, tfilter, plan, kernel, k, round_to)
 
     def _postings_q(self):
         got = getattr(self, "_pq_ds", None)

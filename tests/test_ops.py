@@ -166,14 +166,19 @@ class TestSignatureKernelsJVMParity:
         }
         assert got == want
 
-    def test_no_python_eval_in_signature_plans(self, docs):
-        # the whole point: zero Arrow/Python stages in the signature build
+    def test_signature_plans_hash_jvm_side(self, docs):
+        # the point of the r03 rework: base hashing (the per-shingle
+        # md5) runs JVM-side inside whole-stage codegen — the only
+        # Python stage is ONE Arrow kernel doing the num_perm
+        # min-reduction / bit votes over pre-hashed longs, and there is
+        # no row-at-a-time Python anywhere
         for plan_df in (dedup.minhash_signatures(docs),
                         dedup.simhash_signatures(docs)):
             plan = plan_df._jdf.queryExecution().executedPlan().toString()
-            assert "ArrowEvalPython" not in plan
             assert "BatchEvalPython" not in plan
-            assert "MapInPandas" not in plan
+            assert "ArrowEvalPython" not in plan
+            assert plan.count("MapInPandas") == 1
+            assert "md5" in plan  # the hash is in the JVM projection
 
     def test_jaccard_self_pairs_are_one(self, dup_docs):
         out = dedup.ngram_jaccard_pairs(dup_docs, threshold=0.999,
