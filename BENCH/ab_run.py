@@ -35,9 +35,15 @@ def main() -> None:
         for tag, path in VERSIONS:
             env = {**os.environ, "PYTHONPATH": path,
                    "SPARK_DRIVER_MEM": "24g"}
+            # cwd MUST be the version root: Spark python workers resolve
+            # module-level kernel functions (pickled by reference) via
+            # their own sys.path, which includes the inherited cwd — a
+            # cwd of the live repo silently mixes HEAD worker code into
+            # an old-commit driver
             res = subprocess.run(
                 [sys.executable, PROBE, SF_DIR, tag, tmp],
                 capture_output=True, text=True, timeout=1800, env=env,
+                cwd=path,
             )
             if res.returncode != 0:
                 sys.stderr.write(f"{tag} rep{rep} FAILED:\n"

@@ -215,6 +215,21 @@ def _q_min_should_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ES bool must_not on the INDEX path: the excluded terms' postings ride
+# the same pruned per-shard scan (no extra job or shuffle); the kernel
+# decodes their doc-id runs into a ban set before scoring.  Candidates
+# only — df/avgdl untouched, exactly like ES.
+@register(
+    "bm25_wand_topk_must_not",
+    bm25.bm25_oracle_sql("spark query data", k=10,
+                         exclude_text="customer table"),
+)
+def _q_wand_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).topk(
+        "spark query data", 10, round_to=4, exclude_text="customer table"
+    )
+
+
 # ES match with fuzziness=1: query terms expand to every dictionary term
 # within 1 Levenshtein edit (Searcher.plan_fuzzy — the FST-automaton
 # analog is a length-prefiltered scan of the tiny term_dict), then the

@@ -152,6 +152,52 @@ def decode_block(
     return doc_ids.astype(np.int64), tfs.astype(np.int32), dls.astype(np.int32)
 
 
+def decode_blocks_bulk(
+    datas, first_doc_ids: np.ndarray, ns: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode MANY blocks in one vectorized pass →
+    (doc_ids int64, tfs int32, dls int32, offsets int64[len+1]);
+    block i's postings live at [offsets[i], offsets[i+1]).
+
+    Per-block decode costs ~40 µs in numpy-call overhead alone (three
+    byte-plane decodes of ≤128 ints each); a hot query touching
+    thousands of blocks pays seconds for microseconds of work.  Here
+    the three varint streams of ALL blocks are spliced into three
+    contiguous buffers (pure byte slices) and each is decoded in ONE
+    byte-plane pass; doc ids come from a segmented cumsum.  Produces
+    byte-identical arrays to per-block decode_block calls."""
+    n_blocks = len(datas)
+    if n_blocks == 0:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.astype(np.int32), z.astype(np.int32), np.zeros(1, np.int64)
+    ns = np.asarray(ns, dtype=np.int64)
+    firsts = np.asarray(first_doc_ids, dtype=np.uint64)
+    doc_parts: list = [None] * n_blocks
+    tf_parts: list = [None] * n_blocks
+    dl_parts: list = [None] * n_blocks
+    for i, data in enumerate(datas):
+        doc_len = int.from_bytes(data[:4], "little")
+        tf_len = int.from_bytes(data[4:8], "little")
+        doc_parts[i] = data[8 : 8 + doc_len]
+        tf_parts[i] = data[8 + doc_len : 8 + doc_len + tf_len]
+        dl_parts[i] = data[8 + doc_len + tf_len :]
+    total = int(ns.sum())
+    deltas = _varint_decode(b"".join(doc_parts), total)
+    tfs = _varint_decode(b"".join(tf_parts), total)
+    dls = _varint_decode(b"".join(dl_parts), total)
+    offsets = np.zeros(n_blocks + 1, dtype=np.int64)
+    np.cumsum(ns, out=offsets[1:])
+    # segmented cumsum: global cumsum minus the running total at each
+    # block start, plus the block's own first delta and first_doc_id —
+    # identical (mod 2^64) to per-block cumsum(deltas) + first_doc_id
+    cum = np.cumsum(deltas, dtype=np.uint64)
+    starts = offsets[:-1]
+    adj = firsts + deltas[starts] - cum[starts]
+    doc_ids = cum + np.repeat(adj, ns)
+    return (doc_ids.astype(np.int64), tfs.astype(np.int32),
+            dls.astype(np.int32), offsets)
+
+
 # ---------------------------------------------------------------------------
 # impact-quantized blocks (scoring="quantized")
 #

@@ -83,6 +83,7 @@ def bm25_brute_force(
     match_all: bool = False,
     min_should_match: int | None = None,
     candidate_filter: DataFrame | None = None,
+    exclude_text: str | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k over raw docs, no index. Returns
     (doc_id, score double, rank int) ordered by (score desc, doc_id asc).
@@ -161,6 +162,12 @@ def bm25_brute_force(
         per_doc = per_doc.join(
             candidate_filter.select("doc_id"), "doc_id", "left_semi"
         )
+    if exclude_text:
+        # bool must_not: anti-join against docs containing any excluded
+        # term — candidates only, df/avgdl untouched (ES semantics)
+        ex_terms = sorted(set(analyze_query(exclude_text, mode=mode)))
+        banned = toks.where(F.col("term").isin(ex_terms)).select("doc_id")
+        per_doc = per_doc.join(banned, "doc_id", "left_anti")
 
     if round_to is not None:
         per_doc = per_doc.withColumn("score", F.round("score", round_to))
@@ -182,10 +189,15 @@ def bm25_oracle_sql(
     match_all: bool = False,
     min_should_match: int | None = None,
     filter_where: str | None = None,
+    exclude_text: str | None = None,
 ) -> str:
     """DuckDB SQL computing the identical BM25 top-k with the simple
     analyzer (`regexp_extract_all(lower(text),'[a-z0-9]+')` ==
-    analysis.simple_tokens_col) — the driver-facing oracle."""
+    analysis.simple_tokens_col) — the driver-facing oracle.
+
+    `exclude_text` = bool must_not: docs containing ANY of its analyzed
+    terms are dropped from the candidate set (corpus statistics
+    untouched, matching the engine and ES)."""
     terms = analyze_query(query_text, mode="simple")
     uniq = sorted(set(terms))
     term_list = ", ".join("('" + t.replace("'", "''") + "')" for t in uniq)
@@ -196,6 +208,13 @@ def bm25_oracle_sql(
         f"\n  WHERE doc_id IN (SELECT {id_col} FROM {table} WHERE {filter_where})"
         if filter_where else ""
     )
+    if exclude_text:
+        ex_uniq = sorted(set(analyze_query(exclude_text, mode="simple")))
+        ex_list = ", ".join("'" + t.replace("'", "''") + "'" for t in ex_uniq)
+        cand += (
+            f"\n  {'AND' if cand else 'WHERE'} doc_id NOT IN "
+            f"(SELECT doc_id FROM toks WHERE term IN ({ex_list}))"
+        )
     return f"""
 WITH toks AS (
   SELECT {id_col} AS doc_id,

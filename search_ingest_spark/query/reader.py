@@ -18,10 +18,12 @@ three stages —
 2. per-shard upper bounds (Σ per-term max block UB) from that metadata
    order the shards best-first and prune whole shards whose bound can't
    reach the global threshold — their posting BYTES are never read;
-3. surviving shards stream through a thread pool sharing ONE global θ
-   (wand.shard_topk's theta0): each worker reads only its shard's
-   hive partition, so decoded volume shrinks as θ rises instead of
-   growing linearly with the corpus.
+3. surviving shards are bulk-read in UB-ordered batches and scored as
+   merged frames by ONE serial kernel per batch sharing a global θ
+   (wand.shard_topk's theta0), so decoded volume shrinks as θ rises
+   instead of growing linearly with the corpus.  (No in-process thread
+   pool: the kernel's hot loops are Python-level and hold the GIL —
+   threading measured strictly slower at every size.)
 
 At 10^12-doc scale this is the "search head": the shard fan-out would
 go to a pool of such readers, each owning a shard subset, with stage-2
@@ -31,8 +33,6 @@ bounds exchanged as the global θ.
 from __future__ import annotations
 
 import heapq
-import threading
-from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 import pandas as pd
@@ -42,7 +42,7 @@ import pyarrow.dataset as ds
 from search_ingest_spark.catalog import Catalog
 from search_ingest_spark.index import build as ib
 from search_ingest_spark.query.bm25 import B, K1, analyze_query
-from search_ingest_spark.query.wand import shard_topk
+from search_ingest_spark.query.wand import shard_topk, split_banned
 
 _META_COLS = [
     "term_id", "shard", "first_doc_id", "last_doc_id",
@@ -62,7 +62,12 @@ def _round_half_up(x: float, nd: int) -> float:
 class LocalSearcher:
     """Serve top-k queries from an index catalog without a SparkSession."""
 
-    def __init__(self, cat: Catalog, *, n_threads: int = 8) -> None:
+    def __init__(self, cat: Catalog, *, n_threads: int = 1) -> None:
+        # n_threads is accepted for API compatibility but unused: the
+        # kernels are Python-loop-bound (varint decode) and hold the
+        # GIL, so in-process threading was measured to SLOW queries at
+        # every corpus size (see _run_plan).  Cross-shard parallelism
+        # belongs across reader PROCESSES, not threads in one.
         self.cat = cat
         self.n_threads = n_threads
         stats = ds.dataset(cat.data_path(ib.STATS_TABLE)).to_table().to_pylist()[0]
@@ -91,7 +96,8 @@ class LocalSearcher:
     def topk(self, query_text: str, k: int = 10, *,
              match_all: bool = False,
              attr_filter: dict | None = None,
-             round_to: int | None = None) -> list[tuple[int, float, int]]:
+             round_to: int | None = None,
+             exclude_text: str | None = None) -> list[tuple[int, float, int]]:
         """[(doc_id, score, rank)] — bitwise identical to Searcher.topk.
 
         Three-stage shared-θ execution (module docstring): metadata-only
@@ -102,12 +108,20 @@ class LocalSearcher:
 
         `attr_filter` mirrors the Spark path's filter context: the
         doc_attrs dataset is read with the predicate pushed into the
-        parquet scan; the scorer masks candidates per shard."""
+        parquet scan; the scorer masks candidates per shard.
+
+        `exclude_text` = ES bool must_not, same semantics and ban-set
+        mechanics as Searcher.topk: excluded terms ride the same pruned
+        scan, contribute ZERO to every shard upper bound (they can only
+        remove docs), and the kernel splits them into a ban set."""
         idf = self.plan(query_text)
         n_terms = len(set(analyze_query(query_text, mode=self.mode)))
         if not idf or (match_all and len(idf) < n_terms):
             return []
-        tids = [int(t) for t in idf]
+        excluded: frozenset[int] = (
+            frozenset(self.plan(exclude_text)) if exclude_text else frozenset()
+        )
+        tids = sorted({int(t) for t in idf} | excluded)
         tfilter = pc.field("term_id").isin(tids)
         # stage 1: metadata only — no posting bytes
         meta = self._postings.to_table(
@@ -133,8 +147,10 @@ class LocalSearcher:
         mtf = meta["max_tf"].to_numpy(np.float64)
         mdl = meta["min_dl"].to_numpy(np.float64)
         tid = meta["term_id"].to_numpy(np.int64)
+        # excluded-only terms bound at 0: they never ADD score, but their
+        # rows must survive into the bulk reads to build the ban sets
         ub = (
-            np.array([idf[t] for t in tid])
+            np.array([idf.get(t, 0.0) for t in tid])
             * ((mtf * (K1 + 1.0)) / (mtf + K1 * (1.0 - B + B * mdl / self.avgdl)))
             * (1.0 + 1e-9)
         )
@@ -156,9 +172,12 @@ class LocalSearcher:
 
         # stage 3: adaptive shared-θ execution
         def kernel(g: pd.DataFrame, th: float, allowed) -> pd.DataFrame:
+            banned = None
+            if excluded:
+                g, banned = split_banned(g, excluded)
             return shard_topk(g, idf=idf, k=k, avgdl=self.avgdl,
                               match_all=match_all, allowed=allowed, theta0=th,
-                              round_to=round_to)
+                              round_to=round_to, banned=banned)
 
         return self._run_plan(self._postings, tfilter, plan, kernel, k,
                               round_to)
@@ -182,9 +201,8 @@ class LocalSearcher:
         re-gate the next _SHARDS_PER_BATCH shards on the risen global θ
         (posting BYTES of pruned shards are never read; the plan is
         UB-sorted, so the first fully-pruned batch proves every later
-        one prunes too), bulk-read the survivors in one to_table, split
-        them round-robin into ≤ n_threads merged frames, and run the
-        kernel per frame in the pool under the shared θ.
+        one prunes too), bulk-read the survivors in one to_table, and
+        run them as ONE merged kernel call under the shared θ.
 
         `extra` (per-shard allowed-doc filters) is homogeneous across a
         query's plan — all None, or all arrays (filter-empty shards
@@ -192,7 +210,6 @@ class LocalSearcher:
         so merged chunks concatenate their sorted allowed arrays
         losslessly."""
         heap: list[tuple[float, int]] = []   # (score, -doc_id), weakest first
-        lock = threading.Lock()
         frames: list[pd.DataFrame] = []
         guard = 10.0 ** -round_to if round_to is not None else 0.0
 
@@ -203,8 +220,7 @@ class LocalSearcher:
             return heap[0][0] - guard if len(heap) >= k else -np.inf
 
         def run_chunk(chunk: list, groups: dict) -> None:
-            with lock:
-                th = theta()
+            th = theta()
             chunk = [c for c in chunk if c[1] >= th and int(c[0]) in groups]
             if not chunk:
                 return
@@ -222,52 +238,41 @@ class LocalSearcher:
             res = kernel(g, th, extra)
             if len(res) == 0:
                 return
-            with lock:
-                frames.append(res)
-                for sc, d in zip(res["score"].to_numpy(),
-                                 res["doc_id"].to_numpy()):
-                    item = (float(sc), -int(d))
-                    if len(heap) < k:
-                        heapq.heappush(heap, item)
-                    elif item > heap[0]:
-                        heapq.heapreplace(heap, item)
+            frames.append(res)
+            for sc, d in zip(res["score"].to_numpy(),
+                             res["doc_id"].to_numpy()):
+                item = (float(sc), -int(d))
+                if len(heap) < k:
+                    heapq.heappush(heap, item)
+                elif item > heap[0]:
+                    heapq.heapreplace(heap, item)
 
         if not plan:
             return []
-        pool = None
-        try:
-            i = 0
-            while i < len(plan):
-                th = theta()
-                live = [p for p in plan[i:i + self._SHARDS_PER_BATCH]
-                        if p[1] >= th]
-                i += self._SHARDS_PER_BATCH
-                if not live:
-                    break  # UB-descending: all remaining prune too
-                tbl = dataset.to_table(
-                    filter=tfilter
-                    & pc.field("shard").isin([int(s) for s, _, _ in live])
-                ).to_pandas()
-                groups = {int(s): g
-                          for s, g in tbl.groupby("shard", sort=False)}
-                # thread only when the decode is big enough to amortize
-                # pool startup + GIL contention: small batches run as ONE
-                # merged kernel call (globally UB-ordered segments, zero
-                # thread overhead) — the fast path for interactive-scale
-                # shards; large batches split round-robin across threads
-                # (block decode + scoring release the GIL inside NumPy)
-                nchunks = (1 if len(tbl) <= 4096 or self.n_threads <= 1
-                           else min(self.n_threads, len(live)))
-                chunks = [live[j::nchunks] for j in range(nchunks)]
-                if nchunks == 1:
-                    run_chunk(chunks[0], groups)
-                else:
-                    if pool is None:
-                        pool = ThreadPoolExecutor(self.n_threads)
-                    list(pool.map(lambda c: run_chunk(c, groups), chunks))
-        finally:
-            if pool is not None:
-                pool.shutdown(wait=False)
+        # ONE merged kernel per batch, strictly serial.  Threads were
+        # measured counterproductive at every size on this kernel: the
+        # hot loops (varint block decode, per-segment gather) are
+        # Python-level and HOLD the GIL, so an 8-thread pool turned a
+        # 0.9 s single-thread query into 6.1 s of lock thrash on a
+        # 1.2M-doc corpus (profiled: 42 s of summed kernel wall for
+        # 0.7 s of work).  Serial merged batches also give the best
+        # pruning: each batch's segments are globally UB-ordered inside
+        # one kernel, and θ carries across batches via theta0.
+        i = 0
+        while i < len(plan):
+            th = theta()
+            live = [p for p in plan[i:i + self._SHARDS_PER_BATCH]
+                    if p[1] >= th]
+            i += self._SHARDS_PER_BATCH
+            if not live:
+                break  # UB-descending: all remaining prune too
+            tbl = dataset.to_table(
+                filter=tfilter
+                & pc.field("shard").isin([int(s) for s, _, _ in live])
+            ).to_pandas()
+            groups = {int(s): g
+                      for s, g in tbl.groupby("shard", sort=False)}
+            run_chunk(live, groups)
         if not frames:
             return []
         allr = pd.concat(frames, ignore_index=True)

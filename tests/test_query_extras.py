@@ -19,7 +19,7 @@ SF = "/root/testdata/sf0.001"
 def built(spark, documents_smoke, tmp_path_factory):
     cat = Catalog(spark, str(tmp_path_factory.mktemp("qx")))
     ib.build_index(spark, documents_smoke, cat, mode="simple",
-                   docs_per_shard=50)
+                   docs_per_shard=50, attr_cols=["lang", "source"])
     return cat
 
 
@@ -138,3 +138,80 @@ class TestMultiMatch:
         for d, s in combined.items():
             if d in body:
                 assert s >= body[d] - 1e-9
+
+
+class TestMustNot:
+    """ES bool must_not: docs containing any excluded term are dropped
+    from the candidates; corpus statistics stay untouched."""
+
+    def test_wand_matches_oracle(self, spark, built):
+        got = [tuple(r) for r in Searcher(spark, built).topk(
+            "spark query data", 10, round_to=4,
+            exclude_text="customer table",
+        ).collect()]
+        want = _oracle(bm25.bm25_oracle_sql(
+            "spark query data", k=10, exclude_text="customer table"))
+        assert got == want
+        assert len(got) > 0
+
+    def test_wand_matches_brute_force(self, spark, built, documents_smoke):
+        got = [tuple(r) for r in Searcher(spark, built).topk(
+            "spark query data", 10, round_to=4, exclude_text="customer",
+        ).collect()]
+        want = [tuple(r) for r in bm25.bm25_brute_force(
+            documents_smoke, "spark query data", 10, mode="simple",
+            round_to=4, exclude_text="customer",
+        ).collect()]
+        assert got == want
+
+    def test_excluded_docs_absent(self, spark, built, documents_smoke):
+        hits = Searcher(spark, built).topk(
+            "spark query data", 50, round_to=4, exclude_text="customer",
+        ).collect()
+        with_term = {
+            r["doc_id"]
+            for r in documents_smoke.where(
+                F.lower("text").rlike("(^|[^a-z0-9])customer([^a-z0-9]|$)")
+            ).collect()
+        }
+        assert with_term, "test term must exist in the corpus"
+        assert not ({r["doc_id"] for r in hits} & with_term)
+
+    def test_unknown_excluded_term_is_noop(self, spark, built):
+        s = Searcher(spark, built)
+        a = [tuple(r) for r in s.topk("spark data", 10, round_to=4).collect()]
+        b = [tuple(r) for r in s.topk(
+            "spark data", 10, round_to=4, exclude_text="zzzznotaterm",
+        ).collect()]
+        assert a == b
+
+    def test_exclude_own_term_under_and_is_empty(self, spark, built):
+        out = Searcher(spark, built).topk(
+            "spark data", 10, round_to=4, match_all=True,
+            exclude_text="spark",
+        ).collect()
+        assert out == []
+
+    def test_compose_with_attr_filter(self, spark, built):
+        # must_not + filter context on the cogroup path
+        got = [tuple(r) for r in Searcher(spark, built).topk(
+            "table hash fast", 10, round_to=4,
+            attr_filter={"lang": "es"}, exclude_text="customer",
+        ).collect()]
+        want = _oracle(bm25.bm25_oracle_sql(
+            "table hash fast", k=10, filter_where="lang = 'es'",
+            exclude_text="customer"))
+        assert got == want
+
+    def test_local_searcher_bitwise_parity(self, spark, built):
+        from search_ingest_spark.query.reader import LocalSearcher
+
+        s = Searcher(spark, built)
+        ls = LocalSearcher(built)
+        for q, ex in [("spark query data", "customer table"),
+                      ("table hash fast", "customer"),
+                      ("spark data", "zzzznotaterm")]:
+            want = [tuple(r) for r in s.topk(
+                q, 10, round_to=4, exclude_text=ex).collect()]
+            got = ls.topk(q, 10, round_to=4, exclude_text=ex)
+            assert got == want, (q, ex)
