@@ -230,6 +230,54 @@ def _q_wand_must_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ES search_after cursor: page 2 fetched by the (score, doc_id) sort
+# position of page 1's last hit — stateless, depth-independent (page
+# 1000 costs the same as page 1).  Because (score desc, doc_id asc) is
+# a TOTAL order, cursoring after hit #10 is provably identical to ranks
+# 11..20, which is what the oracle computes.
+@register(
+    "bm25_search_after_page2",
+    "SELECT doc_id, score, (rank - 10)::INT AS rank FROM ("
+    + bm25.bm25_oracle_sql("spark query data", k=20)
+    + ") WHERE rank > 10",
+)
+def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _searcher(spark, sf_dir)
+    page1 = s.topk("spark query data", 10, round_to=4).collect()
+    last = page1[-1]
+    return s.topk(
+        "spark query data", 10, round_to=4,
+        search_after=(float(last["score"]), int(last["doc_id"])),
+    )
+
+
+# ES `terms` filter (match ANY of the listed values) in filter context
+# on the index path — the list form of attr_filter.
+@register(
+    "bm25_terms_filter_topk",
+    bm25.bm25_oracle_sql("table hash fast", k=10,
+                         filter_where="lang IN ('es', 'fr')"),
+)
+def _q_terms_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).topk(
+        "table hash fast", 10, round_to=4,
+        attr_filter={"lang": ["es", "fr"]},
+    )
+
+
+# ES prefix query: vocabulary terms in [prefix, prefix+1) capped at
+# max_expansions by (df desc, term asc) — plan_prefix's deterministic
+# rewrite over the term-sorted dictionary — scored as an OR query.
+@register(
+    "bm25_prefix_topk",
+    bm25.prefix_oracle_sql("da", k=10, max_expansions=5),
+)
+def _q_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).topk_prefix(
+        "da", 10, max_expansions=5, round_to=4
+    )
+
+
 # ES match with fuzziness=1: query terms expand to every dictionary term
 # within 1 Levenshtein edit (Searcher.plan_fuzzy — the FST-automaton
 # analog is a length-prefiltered scan of the tiny term_dict), then the

@@ -84,6 +84,7 @@ def bm25_brute_force(
     min_should_match: int | None = None,
     candidate_filter: DataFrame | None = None,
     exclude_text: str | None = None,
+    search_after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Exact BM25 top-k over raw docs, no index. Returns
     (doc_id, score double, rank int) ordered by (score desc, doc_id asc).
@@ -171,6 +172,15 @@ def bm25_brute_force(
 
     if round_to is not None:
         per_doc = per_doc.withColumn("score", F.round("score", round_to))
+    if search_after is not None:
+        # ES search_after cursor: strictly after (score desc, doc_id
+        # asc) position of the prior page's last hit, on ROUNDED scores
+        s_a, d_a = search_after
+        per_doc = per_doc.where(
+            (F.col("score") < F.lit(float(s_a)))
+            | ((F.col("score") == F.lit(float(s_a)))
+               & (F.col("doc_id") > F.lit(int(d_a))))
+        )
     topk = per_doc.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     # rank over the already-rounded score → deterministic across engines
     from search_ingest_spark.ranking import ranked_desc
@@ -190,6 +200,7 @@ def bm25_oracle_sql(
     min_should_match: int | None = None,
     filter_where: str | None = None,
     exclude_text: str | None = None,
+    search_after: tuple[float, int] | None = None,
 ) -> str:
     """DuckDB SQL computing the identical BM25 top-k with the simple
     analyzer (`regexp_extract_all(lower(text),'[a-z0-9]+')` ==
@@ -215,6 +226,13 @@ def bm25_oracle_sql(
             f"\n  {'AND' if cand else 'WHERE'} doc_id NOT IN "
             f"(SELECT doc_id FROM toks WHERE term IN ({ex_list}))"
         )
+    after = ""
+    if search_after is not None:
+        # cursor comparison on the ROUNDED score (what callers paginate
+        # by); DuckDB resolves the `score` select-alias in WHERE
+        s_a, d_a = float(search_after[0]), int(search_after[1])
+        after = (f"\n  {'AND' if cand else 'WHERE'} (score < {s_a!r}"
+                 f" OR (score = {s_a!r} AND doc_id > {d_a}))")
     return f"""
 WITH toks AS (
   SELECT {id_col} AS doc_id,
@@ -241,7 +259,65 @@ scores AS (
 ),
 topk AS (
   SELECT doc_id, round(score_raw, {round_to})::DOUBLE AS score
-  FROM scores{cand}
+  FROM scores{cand}{after}
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {k}
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM topk
+""".strip()
+
+
+def prefix_oracle_sql(
+    prefix: str,
+    k: int = 10,
+    *,
+    max_expansions: int = 50,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> str:
+    """DuckDB SQL modeling Searcher.topk_prefix: the vocabulary terms in
+    [prefix, prefix+1) capped at `max_expansions` by (df desc, term asc)
+    — exactly plan_prefix's deterministic rewrite — scored as a plain OR
+    query, each expanded term with its own idf."""
+    p = prefix.lower().replace("'", "''")
+    hi = (prefix.lower()[:-1]
+          + chr(ord(prefix.lower()[-1]) + 1)).replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS term
+  FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::INT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+dfreq AS (
+  SELECT term, df FROM vocab
+  WHERE term >= '{p}' AND term < '{hi}'
+  ORDER BY df DESC, term ASC
+  LIMIT {int(max_expansions)}
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score_raw
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, round(score_raw, {round_to})::DOUBLE AS score
+  FROM scores
   ORDER BY score DESC, doc_id ASC
   LIMIT {k}
 )

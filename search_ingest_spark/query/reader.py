@@ -133,7 +133,11 @@ class LocalSearcher:
         if attr_filter:
             cond = None
             for c, v in attr_filter.items():
-                e = pc.field(c) == v
+                # scalar = ES `term`; list/tuple/set = ES `terms`
+                if isinstance(v, (list, tuple, set, frozenset)):
+                    e = pc.field(c).isin(list(v))
+                else:
+                    e = pc.field(c) == v
                 cond = e if cond is None else cond & e
             attrs = ds.dataset(
                 self.cat.data_path(ib.DOC_ATTRS_TABLE), partitioning="hive"

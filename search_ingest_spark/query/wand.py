@@ -96,7 +96,8 @@ class Searcher:
              min_match: int | None = None,
              attr_filter: dict | None = None,
              attr_where=None,
-             exclude_text: str | None = None) -> DataFrame:
+             exclude_text: str | None = None,
+             search_after: tuple[float, int] | None = None) -> DataFrame:
         """(doc_id, score, rank) — rank-identical to the brute-force oracle.
 
         `match_all=True` = conjunctive (AND) query.  A query with terms
@@ -120,7 +121,15 @@ class Searcher:
         shuffle); the kernel decodes their doc-id runs into a ban set
         before scoring.  df/avgdl are untouched, exactly like ES —
         and a doc matching both a positive and an excluded term is
-        excluded (must_not wins)."""
+        excluded (must_not wins).
+
+        `search_after` = (score, doc_id) of the last hit of the prior
+        page (ES search_after cursor): returns the top-k strictly after
+        that (score desc, doc_id asc) sort position.  Stateless and
+        depth-independent — page 1000 costs the same as page 1, unlike
+        from/size.  The kernel keeps candidates at/below the cursor
+        (overinclusive by one rounding ulp) and this method re-applies
+        the exact rounded comparison before the global limit."""
         idf = self.plan(query_text)
         out_schema = "doc_id long, score double"
         n_query_terms = len(set(analyze_query(query_text, mode=self.mode)))
@@ -136,7 +145,12 @@ class Searcher:
         if attr_filter or attr_where is not None:
             attrs = self.cat.read(ib.DOC_ATTRS_TABLE)
             for c, v in (attr_filter or {}).items():
-                attrs = attrs.where(F.col(c) == v)
+                # scalar = ES `term` filter; list/tuple/set = ES `terms`
+                # (match ANY of the values)
+                if isinstance(v, (list, tuple, set, frozenset)):
+                    attrs = attrs.where(F.col(c).isin(list(v)))
+                else:
+                    attrs = attrs.where(F.col(c) == v)
             if attr_where is not None:
                 attrs = attrs.where(attr_where)
             avgdl, _idf = self.avgdl, idf
@@ -155,7 +169,7 @@ class Searcher:
                 return shard_topk(post_pdf, idf=_idf, k=k, avgdl=avgdl,
                                   match_all=match_all, round_to=round_to,
                                   allowed=allowed, min_match=min_match,
-                                  banned=banned)
+                                  banned=banned, after=search_after)
 
             per_shard = (
                 pruned.groupBy("shard")
@@ -164,13 +178,21 @@ class Searcher:
             )
         else:
             scorer = _make_shard_scorer(idf, k, self.avgdl, match_all, round_to,
-                                        min_match, excluded_tids=excluded)
+                                        min_match, excluded_tids=excluded,
+                                        after=search_after)
             per_shard = pruned.groupBy("shard").applyInPandas(
                 scorer, schema=out_schema
             )
         topk = per_shard
         if round_to is not None:
             topk = topk.withColumn("score", F.round("score", round_to))
+        if search_after is not None:
+            s_a, d_a = search_after
+            topk = topk.where(
+                (F.col("score") < F.lit(float(s_a)))
+                | ((F.col("score") == F.lit(float(s_a)))
+                   & (F.col("doc_id") > F.lit(int(d_a))))
+            )
         topk = topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         from search_ingest_spark.ranking import ranked_desc
 
@@ -213,6 +235,60 @@ class Searcher:
         """(doc_id, score, rank) for an OR query over the fuzzy-expanded
         term set — the expansion plan feeds the unchanged WAND kernel."""
         idf = self.plan_fuzzy(query_text, fuzziness)
+        out_schema = "doc_id long, score double"
+        if not idf:
+            return self.spark.createDataFrame([], out_schema + ", rank int")
+        pruned = self.postings.where(
+            F.col("term_id").isin([int(t) for t in idf])
+        )
+        scorer = _make_shard_scorer(idf, k, self.avgdl, False, round_to)
+        topk = pruned.groupBy("shard").applyInPandas(scorer, schema=out_schema)
+        if round_to is not None:
+            topk = topk.withColumn("score", F.round("score", round_to))
+        topk = topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        from search_ingest_spark.ranking import ranked_desc
+
+        return ranked_desc(topk, "score", "doc_id")
+
+    # -- prefix execution -----------------------------------------------------
+    def plan_prefix(
+        self, prefix: str, max_expansions: int = 50
+    ) -> dict[int, float]:
+        """term_id → idf for every dictionary term starting with
+        `prefix` (ES `prefix` query expansion).  ES rewrites to at most
+        `max_expansions` terms; the cap here is deterministic —
+        highest-df first (the terms that can actually match documents),
+        term asc on ties.  The term-sorted dictionary layout makes the
+        scan a pruned [prefix, prefix+1) range predicate, the same
+        trick the completion suggester uses (reader.suggest)."""
+        p = prefix.lower()
+        if not p:
+            return {}
+        hi = p[:-1] + chr(ord(p[-1]) + 1)
+        rows = (
+            self.term_dict
+            .where((F.col("term") >= p) & (F.col("term") < hi))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(int(max_expansions))
+            .select("term_id", "df")
+            .collect()
+        )
+        n = self.n_docs
+        return {
+            int(r["term_id"]):
+                float(np.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5)))
+            for r in rows
+        }
+
+    def topk_prefix(
+        self, prefix: str, k: int = 10, *, max_expansions: int = 50,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """(doc_id, score, rank) for an OR query over the prefix-expanded
+        term set — the expansion plan feeds the unchanged WAND kernel,
+        each expanded term scoring with its own idf (same documented
+        divergence from ES's blended-df rewrite as topk_fuzzy)."""
+        idf = self.plan_prefix(prefix, max_expansions)
         out_schema = "doc_id long, score double"
         if not idf:
             return self.spark.createDataFrame([], out_schema + ", rank int")
@@ -312,7 +388,8 @@ class Searcher:
 def _make_shard_scorer(idf: dict[int, float], k: int, avgdl: float,
                        match_all: bool = False, round_to: int | None = None,
                        min_match: int | None = None,
-                       excluded_tids: frozenset[int] | None = None):
+                       excluded_tids: frozenset[int] | None = None,
+                       after: tuple[float, int] | None = None):
     """Build the per-shard applyInPandas kernel (closure ships idf/k)."""
 
     def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -321,7 +398,7 @@ def _make_shard_scorer(idf: dict[int, float], k: int, avgdl: float,
             pdf, banned = split_banned(pdf, excluded_tids)
         return shard_topk(pdf, idf=idf, k=k, avgdl=avgdl, match_all=match_all,
                           round_to=round_to, min_match=min_match,
-                          banned=banned)
+                          banned=banned, after=after)
 
     return scorer
 
@@ -357,6 +434,7 @@ def shard_topk(
     round_to: int | None = None, allowed: np.ndarray | None = None,
     theta0: float = -np.inf, min_match: int | None = None,
     banned: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> pd.DataFrame:
     """Exact top-k for one shard's query-term postings (block-max pruning).
 
@@ -558,6 +636,21 @@ def shard_topk(
             docs_u, scores_u = docs_u[qual], scores_u[qual]
             if len(docs_u) == 0:
                 continue
+        if after is not None:
+            # search_after cursor (s, d): only docs strictly after that
+            # sort position qualify.  Drop docs PROVABLY at/before the
+            # cursor (raw >= s rounds to >= s; raw > s + one ulp rounds
+            # above s) and keep the rest — overinclusive by at most one
+            # rounding ulp; the caller's final stage re-applies the
+            # exact rounded comparison.  θ then tracks the kth best
+            # QUALIFIED doc, so pruning stays exact for this page.
+            s_a, d_a = after
+            qual_a = (scores_u <= s_a + guard) & ~(
+                (scores_u >= s_a) & (docs_u <= d_a)
+            )
+            docs_u, scores_u = docs_u[qual_a], scores_u[qual_a]
+            if len(docs_u) == 0:
+                continue
         results_docs.append(docs_u)
         results_scores.append(scores_u)
         # update threshold heap (score asc, doc_id desc so kth = weakest)
@@ -602,7 +695,10 @@ def shard_topk_impact(
     pruning is tighter.  "Exact" here means: the top-k under the
     quantized scoring function, which is what the quantized oracle
     models."""
-    from search_ingest_spark.index.codec import IMPACT_SCALE, decode_impact_block
+    from search_ingest_spark.index.codec import (
+        IMPACT_SCALE,
+        decode_impact_blocks_bulk,
+    )
 
     if len(pdf) == 0:
         return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
@@ -649,9 +745,14 @@ def shard_topk_impact(
     results_scores: list[np.ndarray] = []
     decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     rows_by_term: dict[int, np.ndarray] = {}
+    first_by_term: dict[int, np.ndarray] = {}
+    last_by_term: dict[int, np.ndarray] = {}
     for t in term_ids:
         rows = np.flatnonzero(tid == t)
-        rows_by_term[t] = rows[np.argsort(first[rows], kind="stable")]
+        rows = rows[np.argsort(first[rows], kind="stable")]
+        rows_by_term[t] = rows
+        first_by_term[t] = first[rows]
+        last_by_term[t] = last[rows]
     datas = pdf["data"].to_numpy(object)
     ndocs = pdf["n_docs"].to_numpy(np.int64)
     guard = 10.0 ** -round_to if round_to is not None else 0.0
@@ -660,16 +761,26 @@ def shard_topk_impact(
         own = heap[0][0] - guard if len(heap) >= k else -np.inf
         return own if own > theta0 else theta0
 
-    def decode_row(r: int) -> tuple[np.ndarray, np.ndarray]:
-        got = decoded.get(r)
-        if got is None:
-            d, q = decode_impact_block(datas[r], int(first[r]), int(ndocs[r]))
-            # same op order as the oracle: idf * ((q + 0.5) / SCALE)
-            contrib = idf[int(tid[r])] * (
-                (q.astype(np.float64) + 0.5) / IMPACT_SCALE
-            )
-            got = decoded[r] = (d, contrib)
-        return got
+    terms_decoded: set[int] = set()
+
+    def ensure_term(t: int) -> None:
+        # lazy per-term BULK decode, same rationale as shard_topk's
+        if t in terms_decoded:
+            return
+        terms_decoded.add(t)
+        rows = rows_by_term[t]
+        if len(rows) == 0:
+            return
+        d_all, q_all, offs = decode_impact_blocks_bulk(
+            [datas[r] for r in rows], first[rows], ndocs[rows]
+        )
+        # same op order as the oracle: idf * ((q + 0.5) / SCALE)
+        contrib_all = idf[int(t)] * (
+            (q_all.astype(np.float64) + 0.5) / IMPACT_SCALE
+        )
+        for i, r in enumerate(rows):
+            decoded[int(r)] = (d_all[offs[i]:offs[i + 1]],
+                               contrib_all[offs[i]:offs[i + 1]])
 
     for si in np.argsort(-seg_ub, kind="stable"):
         if seg_ub[si] < theta():
@@ -679,12 +790,16 @@ def shard_topk_impact(
         seg_contrib: list[np.ndarray] = []
         for t in term_ids:
             rows = rows_by_term[t]
-            i0 = np.searchsorted(first[rows], lo, side="left")
-            while i0 > 0 and last[rows[i0 - 1]] >= lo:
+            ft = first_by_term[t]
+            lt = last_by_term[t]
+            i0 = int(np.searchsorted(ft, lo, side="left"))
+            while i0 > 0 and lt[i0 - 1] >= lo:
                 i0 -= 1
             j = i0
-            while j < len(rows) and first[rows[j]] <= hi:
-                d, c = decode_row(int(rows[j]))
+            if j < len(rows) and ft[j] <= hi:
+                ensure_term(t)
+            while j < len(rows) and ft[j] <= hi:
+                d, c = decoded[int(rows[j])]
                 m = (d >= lo) & (d <= hi)
                 if m.any():
                     seg_docs.append(d[m])

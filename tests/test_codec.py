@@ -64,3 +64,63 @@ def test_block_decodes_independently():
     blob = encode_block(doc_ids, tfs, dls, 500)
     d, t, l = decode_block(blob, 500, 3)
     assert list(d) == [500, 600, 700] and list(l) == [10, 20, 30]
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(posting_block(), min_size=1, max_size=8))
+def test_bulk_decode_identical_to_per_block(blocks):
+    from search_ingest_spark.index.codec import decode_blocks_bulk
+
+    datas, firsts, ns = [], [], []
+    for doc_ids, tfs, dls in blocks:
+        first = int(doc_ids[0]) - 1
+        datas.append(encode_block(doc_ids, tfs, dls, first))
+        firsts.append(first)
+        ns.append(len(doc_ids))
+    D, TF, DL, OFF = decode_blocks_bulk(
+        datas, np.array(firsts), np.array(ns))
+    for i, (data, first, n) in enumerate(zip(datas, firsts, ns)):
+        d1, tf1, dl1 = decode_block(data, first, n)
+        s, e = OFF[i], OFF[i + 1]
+        assert np.array_equal(D[s:e], d1)
+        assert np.array_equal(TF[s:e], tf1)
+        assert np.array_equal(DL[s:e], dl1)
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(posting_block(), min_size=1, max_size=8))
+def test_bulk_impact_decode_identical_to_per_block(blocks):
+    from search_ingest_spark.index.codec import (
+        decode_impact_block,
+        decode_impact_blocks_bulk,
+        encode_impact_blocks_bulk,
+    )
+
+    # flatten the drawn blocks into one run with per-block boundaries,
+    # impacts clamped to one byte
+    doc_arrays = []
+    base = 0
+    starts, ends = [], []
+    for doc_ids, tfs, _dls in blocks:
+        starts.append(base)
+        base += len(doc_ids)
+        ends.append(base)
+        doc_arrays.append(doc_ids)
+    # shift each block's doc ids so the flat run is strictly increasing
+    shifted, offset = [], 0
+    for d in doc_arrays:
+        shifted.append(d + offset)
+        offset = int(shifted[-1][-1]) + 1
+    flat_docs = np.concatenate(shifted).astype(np.uint64)
+    impacts = (np.concatenate([tfs for _, tfs, _ in blocks]) % 220
+               ).astype(np.uint8)
+    blobs = encode_impact_blocks_bulk(
+        flat_docs, impacts, np.array(starts), np.array(ends))
+    firsts = np.array([int(flat_docs[s]) for s in starts])
+    ns = np.array([e - s for s, e in zip(starts, ends)])
+    D, Q, OFF = decode_impact_blocks_bulk(blobs, firsts, ns)
+    for i, (blob, first, n) in enumerate(zip(blobs, firsts, ns)):
+        d1, q1 = decode_impact_block(blob, int(first), int(n))
+        s, e = OFF[i], OFF[i + 1]
+        assert np.array_equal(D[s:e], d1)
+        assert np.array_equal(Q[s:e], q1)

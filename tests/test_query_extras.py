@@ -215,3 +215,111 @@ class TestMustNot:
                 q, 10, round_to=4, exclude_text=ex).collect()]
             got = ls.topk(q, 10, round_to=4, exclude_text=ex)
             assert got == want, (q, ex)
+
+
+class TestSearchAfter:
+    """ES search_after: stateless (score, doc_id) cursor; pages tile the
+    full ranking exactly."""
+
+    def test_two_pages_equal_top20(self, spark, built):
+        s = Searcher(spark, built)
+        q = "spark query data"
+        top20 = [tuple(r) for r in s.topk(q, 20, round_to=4).collect()]
+        page1 = [tuple(r) for r in s.topk(q, 10, round_to=4).collect()]
+        last = page1[-1]
+        page2 = [tuple(r) for r in s.topk(
+            q, 10, round_to=4, search_after=(last[1], last[0])
+        ).collect()]
+        # page2 ranks restart at 1; compare (doc_id, score) tiling
+        assert [(d, sc) for d, sc, _ in page1 + page2] \
+            == [(d, sc) for d, sc, _ in top20]
+
+    def test_matches_brute_force(self, spark, built, documents_smoke):
+        q = "spark query data"
+        s = Searcher(spark, built)
+        page1 = s.topk(q, 10, round_to=4).collect()
+        cur = (float(page1[-1]["score"]), int(page1[-1]["doc_id"]))
+        got = [tuple(r) for r in s.topk(
+            q, 10, round_to=4, search_after=cur).collect()]
+        want = [tuple(r) for r in bm25.bm25_brute_force(
+            documents_smoke, q, 10, mode="simple", round_to=4,
+            search_after=cur).collect()]
+        assert got == want
+
+    def test_cursor_below_all_scores_is_empty(self, spark, built):
+        out = Searcher(spark, built).topk(
+            "spark query data", 10, round_to=4, search_after=(-1.0, 0)
+        ).collect()
+        assert out == []
+
+    def test_walk_entire_ranking_no_dup_no_gap(self, spark, built):
+        s = Searcher(spark, built)
+        q = "customer window"
+        everything = [tuple(r) for r in s.topk(q, 100000, round_to=4).collect()]
+        walked, cur = [], None
+        while True:
+            page = s.topk(q, 37, round_to=4, search_after=cur).collect()
+            if not page:
+                break
+            walked.extend((r["doc_id"], r["score"]) for r in page)
+            cur = (float(page[-1]["score"]), int(page[-1]["doc_id"]))
+        assert walked == [(d, sc) for d, sc, _ in everything]
+
+
+class TestTermsFilter:
+    def test_list_is_union_of_scalars(self, spark, built):
+        s = Searcher(spark, built)
+        q = "table hash fast"
+        both = {r["doc_id"] for r in s.topk(
+            q, 1000, round_to=4, attr_filter={"lang": ["es", "fr"]}
+        ).collect()}
+        es = {r["doc_id"] for r in s.topk(
+            q, 1000, round_to=4, attr_filter={"lang": "es"}).collect()}
+        fr = {r["doc_id"] for r in s.topk(
+            q, 1000, round_to=4, attr_filter={"lang": "fr"}).collect()}
+        assert both == es | fr
+        assert es and fr
+
+    def test_serving_path_terms_filter(self, spark, built):
+        from search_ingest_spark.query.reader import LocalSearcher
+
+        s = Searcher(spark, built)
+        ls = LocalSearcher(built)
+        want = [tuple(r) for r in s.topk(
+            "table hash fast", 10, round_to=4,
+            attr_filter={"lang": ["es", "fr"]}).collect()]
+        got = ls.topk("table hash fast", 10, round_to=4,
+                      attr_filter={"lang": ["es", "fr"]})
+        assert got == want
+
+
+class TestPrefix:
+    def test_matches_oracle(self, spark, built):
+        got = [tuple(r) for r in Searcher(spark, built).topk_prefix(
+            "da", 10, max_expansions=5, round_to=4).collect()]
+        want = _oracle(bm25.prefix_oracle_sql("da", k=10, max_expansions=5))
+        assert got == want
+        assert len(got) > 0
+
+    def test_single_term_prefix_equals_plain_query(self, spark, built):
+        s = Searcher(spark, built)
+        # a prefix that expands to exactly one vocabulary term scores
+        # identically to the plain match query for that term
+        idf = s.plan_prefix("customer", max_expansions=50)
+        assert len(idf) >= 1
+        if len(idf) == 1:
+            a = [tuple(r) for r in s.topk_prefix(
+                "customer", 10, round_to=4).collect()]
+            b = [tuple(r) for r in s.topk(
+                "customer", 10, round_to=4).collect()]
+            assert a == b
+
+    def test_no_match_prefix_empty(self, spark, built):
+        assert Searcher(spark, built).topk_prefix(
+            "zzzzqx", 10).count() == 0
+
+    def test_expansion_cap_deterministic(self, spark, built):
+        s = Searcher(spark, built)
+        a = s.plan_prefix("c", max_expansions=7)
+        b = s.plan_prefix("c", max_expansions=7)
+        assert a == b and len(a) <= 7
