@@ -740,6 +740,13 @@ def _q_bigram_lm(spark, sf_dir):
     return textstats.bigram_logprob(_docs(spark, sf_dir))
 
 
+@register("text_repetition_ratio", textstats.repetition_ratio_sql())
+def _q_repetition(spark, sf_dir):
+    """Gopher-style duplicate-trigram fraction — the repetition filter
+    family of web-corpus curation (boilerplate/keyword-stuffing flag)."""
+    return textstats.repetition_ratio(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # Deduplication — the documents table has no true dups, so the exact-dup
 # entries run on documents ∪ (documents ⊕ id+100000): a deterministic

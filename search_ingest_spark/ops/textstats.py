@@ -90,6 +90,79 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 # -- oracle SQL builders ------------------------------------------------------
 
 
+def repetition_ratio(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Gopher-style repetition signal (the duplicate-n-gram-fraction
+    family of web-corpus curation filters): the fraction of a doc's
+    n-gram OCCURRENCES that repeat an earlier occurrence —
+    1 − distinct/total over the n-gram stream.  High values flag
+    boilerplate, keyword stuffing, and template spam.  Pure Catalyst;
+    tokens materialized in their own projection before the gram lambda
+    (no CSE inside HOF lambdas — see ops/dedup.shingles_from_tokens)."""
+    toks = F.col("__toks")
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    ng = F.greatest(F.size(toks) - (n - 1), F.lit(0)).cast("long")
+    return (
+        df.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
+        .select(
+            F.col(id_col),
+            ng.alias("__ng"),
+            F.when(F.size(toks) >= n, F.size(F.array_distinct(grams)))
+            .otherwise(F.lit(0)).cast("long").alias("__nu"),
+        )
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col("__ng").alias("n_grams"),
+            F.col("__nu").alias("n_unique_grams"),
+            F.when(
+                F.col("__ng") > 0,
+                F.round(
+                    F.lit(1.0)
+                    - F.col("__nu").cast("double") / F.col("__ng").cast("double"),
+                    4,
+                ),
+            ).otherwise(F.lit(0.0)).alias("repetition_ratio"),
+        )
+    )
+
+
+def repetition_ratio_sql(table: str = "documents", id_col: str = "doc_id",
+                         text_col: str = "text", n: int = 3) -> str:
+    """DuckDB replay of repetition_ratio (n-gram stream via
+    generate_series + list_slice; same double arithmetic + 4dp round)."""
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}') AS t
+  FROM {table}
+),
+pos AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1, greatest(len(t) - {n - 1}, 0))) AS i
+  FROM toks
+),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + {n - 1}), ' ') AS g
+  FROM pos
+),
+agg AS (
+  SELECT doc_id, count(*)::BIGINT AS n_grams,
+         count(DISTINCT g)::BIGINT AS n_unique_grams
+  FROM grams GROUP BY 1
+)
+SELECT toks.doc_id,
+       coalesce(agg.n_grams, 0)::BIGINT AS n_grams,
+       coalesce(agg.n_unique_grams, 0)::BIGINT AS n_unique_grams,
+       CASE WHEN coalesce(agg.n_grams, 0) > 0
+            THEN round(1.0 - agg.n_unique_grams::DOUBLE / agg.n_grams::DOUBLE, 4)
+            ELSE 0.0 END AS repetition_ratio
+FROM toks LEFT JOIN agg USING (doc_id)
+""".strip()
+
+
 def token_count_sql(table: str = "documents", id_col: str = "doc_id",
                     text_col: str = "text") -> str:
     return f"""

@@ -302,3 +302,41 @@ class TestBigramLogprob:
         # 'cat ·' → ln(0.5); avg = ln(0.5)/2
         import math
         assert got[1]["avg_logprob"] == round(math.log(0.5) / 2, 4)
+
+
+class TestRepetitionRatio:
+    def test_planted_repetition_and_edges(self, spark):
+        import duckdb
+
+        from search_ingest_spark.ops.textstats import (
+            repetition_ratio,
+            repetition_ratio_sql,
+        )
+
+        rows = [
+            (1, "spam spam spam spam spam spam"),   # one distinct trigram
+            (2, "the quick brown fox jumps over"),  # all distinct
+            (3, "one two"),                         # < n tokens
+            (4, ""),                                # empty
+            (5, "a b c a b c a b c"),               # period-3 repetition
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in repetition_ratio(df).collect()}
+        assert got[1]["n_grams"] == 4 and got[1]["n_unique_grams"] == 1
+        assert got[1]["repetition_ratio"] == 0.75
+        assert got[2]["repetition_ratio"] == 0.0
+        assert got[3]["n_grams"] == 0 and got[3]["repetition_ratio"] == 0.0
+        assert got[4]["n_grams"] == 0
+        assert got[5]["n_grams"] == 7 and got[5]["n_unique_grams"] == 3
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE documents AS SELECT * FROM (VALUES "
+            + ", ".join(f"({i}, '{t}')" for i, t in rows)
+            + ") AS v(doc_id, text)"
+        )
+        want = {r[0]: r for r in
+                con.execute(repetition_ratio_sql()).fetchall()}
+        for d, r in got.items():
+            assert (r["n_grams"], r["n_unique_grams"],
+                    r["repetition_ratio"]) == want[d][1:], d
