@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -144,7 +145,10 @@ class Catalog:
             fh.flush()
             os.fsync(fh.fileno())
         os.replace(tmp, self._meta_path(name))
+        pinned = self._pinned_gens(name)
         for d in e.get("cleanup", []):
+            if d in pinned:
+                continue  # retained: a checkpoint still references it
             shutil.rmtree(os.path.join(self._dir(name), d), ignore_errors=True)
 
     def _publish(self, name: str, meta: dict, cleanup: list[str]) -> None:
@@ -193,13 +197,30 @@ class Catalog:
 
     def promote(self, src: str, dst: str) -> None:
         """Rename table `src` to `dst` (zero-copy publish of a staged
-        table — Iceberg RENAME TABLE analog)."""
-        if not self.exists(src):
+        table — Iceberg RENAME TABLE analog).
+
+        Implemented as a snapshot-level move: src's current snapshot
+        dir is renamed into dst's table dir as a fresh generation and
+        published with the usual fsynced meta swap — so dst's PREVIOUS
+        generations survive if pinned by a checkpoint (plain rename of
+        the whole dir would destroy them).  The meta swap is the commit
+        point; a crash before it leaves dst unchanged (the moved dir is
+        an unreferenced orphan reclaimed by vacuum) — src is consumed
+        either way."""
+        smeta = self._load_meta(src)
+        if smeta is None:
             raise FileNotFoundError(src)
         if self._txn is not None:
             raise RuntimeError("promote() is not transactional")
-        self.drop(dst)
-        os.rename(self._dir(src), self._dir(dst))
+        os.makedirs(self._dir(dst), exist_ok=True)
+        gen = f"snap-{uuid.uuid4().hex[:12]}"
+        os.rename(os.path.join(self._dir(src), smeta["current"]),
+                  os.path.join(self._dir(dst), gen))
+        dmeta = self._load_meta(dst)
+        cleanup = [dmeta["current"]] if dmeta else []
+        self._publish(dst, {"current": gen, "schema": smeta["schema"]},
+                      cleanup)
+        shutil.rmtree(self._dir(src), ignore_errors=True)
 
     def truncate(self, name: str) -> None:
         """delete-by-query match_all analog (elastic.cr:569-587)."""
@@ -207,6 +228,100 @@ class Catalog:
         if schema is None:
             raise FileNotFoundError(name)
         self.write(name, self.spark.createDataFrame([], schema))
+
+    # -- checkpoints (time travel) ------------------------------------------
+    # The Iceberg tag/snapshot-read analog: checkpoint(label) pins every
+    # table's CURRENT snapshot generation under a name; at(label) returns
+    # a read-only catalog view resolving reads against those pinned
+    # generations.  Because publishes stage a full new snapshot dir and
+    # only then swap the pointer (and replace_partitions hardlinks clean
+    # partitions), retention is nearly free in space: a pinned generation
+    # shares file inodes with its successors for every partition that
+    # did not change.  Cleanup (in _apply_publish) skips pinned
+    # generations; delete_checkpoint + vacuum() reclaim them.  drop()
+    # removes the whole table dir and therefore invalidates that table
+    # in every checkpoint — reads of it through at() then raise
+    # FileNotFoundError (documented; matches Iceberg DROP TABLE PURGE).
+
+    _LABEL_RE = re.compile(r"^[A-Za-z0-9._-]{1,64}$")
+
+    def _ckpt_dir(self) -> str:
+        return os.path.join(self.root, "_checkpoints")
+
+    def _ckpt_path(self, label: str) -> str:
+        if not self._LABEL_RE.match(label):
+            raise ValueError(f"bad checkpoint label: {label!r}")
+        return os.path.join(self._ckpt_dir(), f"{label}.json")
+
+    def checkpoint(self, label: str) -> None:
+        """Pin every table's current snapshot under `label` (fsynced,
+        atomic).  Re-using a label overwrites it."""
+        if self._txn is not None:
+            raise RuntimeError("checkpoint() inside a transaction is "
+                               "ambiguous — commit or rollback first")
+        tables = {}
+        for name in self.list_tables():
+            meta = self._load_meta(name)
+            tables[name] = {"snapshot": meta["current"],
+                            "schema": meta["schema"]}
+        os.makedirs(self._ckpt_dir(), exist_ok=True)
+        path = self._ckpt_path(label)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"tables": tables}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, path)
+
+    def checkpoints(self) -> list[str]:
+        try:
+            return sorted(
+                f[:-5] for f in os.listdir(self._ckpt_dir())
+                if f.endswith(".json")
+            )
+        except FileNotFoundError:
+            return []
+
+    def delete_checkpoint(self, label: str) -> None:
+        try:
+            os.remove(self._ckpt_path(label))
+        except FileNotFoundError:
+            pass
+
+    def _pinned_gens(self, name: str) -> set[str]:
+        pinned: set[str] = set()
+        for label in self.checkpoints():
+            try:
+                with open(self._ckpt_path(label)) as fh:
+                    t = json.load(fh).get("tables", {}).get(name)
+            except (FileNotFoundError, json.JSONDecodeError):
+                continue
+            if t:
+                pinned.add(t["snapshot"])
+        return pinned
+
+    def at(self, label: str) -> "CatalogSnapshot":
+        """Read-only view of the catalog as of checkpoint `label`."""
+        with open(self._ckpt_path(label)) as fh:
+            tables = json.load(fh)["tables"]
+        return CatalogSnapshot(self, label, tables)
+
+    def vacuum(self) -> int:
+        """Remove snapshot dirs referenced by neither a table's current
+        pointer nor any checkpoint; returns the count removed.  Run
+        after delete_checkpoint to reclaim retained generations."""
+        removed = 0
+        for name in self.list_tables():
+            keep = self._pinned_gens(name)
+            meta = self._load_meta(name)
+            if meta:
+                keep.add(meta["current"])
+            tdir = self._dir(name)
+            for d in os.listdir(tdir):
+                if d.startswith("snap-") and d not in keep:
+                    shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
+                    removed += 1
+        return removed
 
     # -- DML ----------------------------------------------------------------
     def write(
@@ -287,3 +402,50 @@ class Catalog:
     def read(self, name: str) -> DataFrame:
         schema = self.get_mapping(name)
         return self.spark.read.schema(schema).parquet(self.data_path(name))
+
+
+class CatalogSnapshot:
+    """Read-only catalog view pinned to a checkpoint (Catalog.at).
+
+    Duck-types the read surface the query layer uses — `read`,
+    `data_path`, `exists`, `get_mapping` — so `Searcher(spark, cat.at
+    ("v1"))` and `LocalSearcher(cat.at("v1"))` serve the index exactly
+    as of the checkpoint while live writes continue against `cat`.
+    Mutating methods don't exist here by construction."""
+
+    def __init__(self, cat: Catalog, label: str, tables: dict) -> None:
+        self.cat = cat
+        self.spark = cat.spark
+        self.label = label
+        self._tables = tables
+
+    def _entry(self, name: str) -> dict:
+        t = self._tables.get(name)
+        if t is None:
+            raise FileNotFoundError(
+                f"table {name!r} not in checkpoint {self.label!r}")
+        return t
+
+    def exists(self, name: str) -> bool:
+        t = self._tables.get(name)
+        return t is not None and os.path.exists(
+            os.path.join(self.cat._dir(name), t["snapshot"]))
+
+    def data_path(self, name: str) -> str:
+        t = self._entry(name)
+        path = os.path.join(self.cat._dir(name), t["snapshot"])
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"snapshot {t['snapshot']} of {name!r} was dropped "
+                f"(checkpoint {self.label!r} no longer fully readable)")
+        return path
+
+    def get_mapping(self, name: str) -> T.StructType | None:
+        t = self._tables.get(name)
+        if t is None:
+            return None
+        return T.StructType.fromJson(json.loads(t["schema"]))
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.schema(self.get_mapping(name)).parquet(
+            self.data_path(name))

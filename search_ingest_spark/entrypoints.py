@@ -1235,6 +1235,9 @@ def _incremental_catalog(spark: SparkSession, sf_dir: str):
     cat = Catalog(spark, tempfile.mkdtemp(prefix="sis_inc_"))
     ix = PageIndexer(spark, cat, mode="simple", docs_per_shard=64)
     ix.backfill(pages)
+    # pin the pre-batch index generation: the time-travel entry queries
+    # the catalog AS OF this checkpoint after the batch lands
+    cat.checkpoint("prebatch")
     ups = docs.where(F.col("doc_id") % 13 == 0).select(
         *page_cols(url, ts_up,
                    F.concat(F.col("text"), F.lit(" refreshed spark data content")))
@@ -1268,6 +1271,35 @@ def _q_incremental_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat, _ix = _incremental_catalog(spark, sf_dir)
     top = Searcher(spark, cat).topk("spark data", 10, round_to=4)
     ids = cat.read(DOC_IDS_TABLE).select("doc_id", "url")
+    return (
+        F.broadcast(top).join(ids, "doc_id")
+        .select("url", "score", "rank")
+    )
+
+
+# Iceberg-style time travel: the same catalog, queried AS OF the
+# pre-batch checkpoint (Catalog.checkpoint/at — pinned snapshot
+# generations, hardlink-shared with their successors).  The oracle
+# recomputes BM25 over the ORIGINAL corpus: proof the checkpointed
+# generation is byte-complete after the incremental batch rewrote the
+# live one.
+@register(
+    "timetravel_topk_prebatch",
+    "SELECT doc_id AS url, score, rank FROM ("
+    + bm25.bm25_oracle_sql(
+        "spark data", k=10,
+        table="(SELECT 'doc://' || doc_id AS url, text FROM documents)",
+        id_col="url")
+    + ")",
+)
+def _q_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_ingest_spark.query.wand import Searcher
+    from search_ingest_spark.streaming.incremental import DOC_IDS_TABLE
+
+    cat, _ix = _incremental_catalog(spark, sf_dir)
+    snap = cat.at("prebatch")
+    top = Searcher(spark, snap).topk("spark data", 10, round_to=4)
+    ids = snap.read(DOC_IDS_TABLE).select("doc_id", "url")
     return (
         F.broadcast(top).join(ids, "doc_id")
         .select("url", "score", "rank")
