@@ -572,6 +572,49 @@ def _q_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ES metric aggregations over a match query's hit set: `stats` over a
+# numeric field (count/min/max/sum/avg of n_chars) plus `cardinality`
+# of a keyword field (exact distinct sources — Spark's
+# approx_count_distinct is the HLL path at 10^12 scale, but the oracle
+# gate demands exactness, so the entry computes the exact form both
+# sides).  One job: hit-set semi-join then a single global aggregate.
+@register(
+    "search_stats_aggs",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+hits AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark', 'query', 'data')
+)
+SELECT count(*)::BIGINT AS n_hits,
+       min(d.n_chars)::BIGINT AS min_chars,
+       max(d.n_chars)::BIGINT AS max_chars,
+       sum(d.n_chars)::BIGINT AS sum_chars,
+       round(avg(d.n_chars), 4) AS avg_chars,
+       count(DISTINCT d.source)::BIGINT AS source_cardinality
+FROM documents d JOIN hits USING (doc_id)
+""".strip(),
+)
+def _q_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    terms = sorted(set(bm25.analyze_query("spark query data", mode="simple")))
+    hits = (
+        bm25.doc_terms(docs, mode="simple")
+        .where(F.col("term").isin(terms))
+        .select("doc_id").distinct()
+    )
+    return docs.join(hits, "doc_id").agg(
+        F.count("*").alias("n_hits"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.countDistinct("source").alias("source_cardinality"),
+    )
+
+
 # Multimodal pipeline on the hash path: payloads synthesized from text
 # bytes, run through the REAL Arrow feature-extraction kernel (with the
 # documented deterministic fake decode — no image libs in container);

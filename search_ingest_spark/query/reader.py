@@ -121,6 +121,51 @@ class LocalSearcher:
         excluded: frozenset[int] = (
             frozenset(self.plan(exclude_text)) if exclude_text else frozenset()
         )
+        return self._topk_from_idf(idf, k, match_all=match_all,
+                                   attr_filter=attr_filter,
+                                   round_to=round_to, excluded=excluded)
+
+    def plan_prefix(self, prefix: str,
+                    max_expansions: int = 50) -> dict[int, float]:
+        """term_id → idf for the [prefix, prefix+1) dictionary range
+        capped at max_expansions by (df desc, term asc) — identical
+        rewrite to wand.Searcher.plan_prefix, over the pyarrow
+        dictionary (row groups pruned by term min/max stats)."""
+        p = prefix.lower()
+        if not p:
+            return {}
+        hi = p[:-1] + chr(ord(p[-1]) + 1)
+        tbl = self._dict.to_table(
+            columns=["term", "term_id", "df"],
+            filter=(pc.field("term") >= p) & (pc.field("term") < hi),
+        ).to_pandas()
+        if len(tbl) == 0:
+            return {}
+        tbl = tbl.sort_values(["df", "term"], ascending=[False, True],
+                              kind="stable").head(int(max_expansions))
+        n = self.n_docs
+        return {
+            int(t): float(np.log(1.0 + (n - d + 0.5) / (d + 0.5)))
+            for t, d in zip(tbl["term_id"], tbl["df"])
+        }
+
+    def topk_prefix(self, prefix: str, k: int = 10, *,
+                    max_expansions: int = 50,
+                    round_to: int | None = None,
+                    ) -> list[tuple[int, float, int]]:
+        """ES prefix query on the serving path — bitwise identical to
+        Searcher.topk_prefix (same expansion plan, same kernel)."""
+        idf = self.plan_prefix(prefix, max_expansions)
+        if not idf:
+            return []
+        return self._topk_from_idf(idf, k, round_to=round_to)
+
+    def _topk_from_idf(self, idf: dict[int, float], k: int, *,
+                       match_all: bool = False,
+                       attr_filter: dict | None = None,
+                       round_to: int | None = None,
+                       excluded: frozenset[int] = frozenset(),
+                       ) -> list[tuple[int, float, int]]:
         tids = sorted({int(t) for t in idf} | excluded)
         tfilter = pc.field("term_id").isin(tids)
         # stage 1: metadata only — no posting bytes

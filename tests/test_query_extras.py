@@ -323,3 +323,52 @@ class TestPrefix:
         a = s.plan_prefix("c", max_expansions=7)
         b = s.plan_prefix("c", max_expansions=7)
         assert a == b and len(a) <= 7
+
+    def test_serving_path_prefix_parity(self, spark, built):
+        from search_ingest_spark.query.reader import LocalSearcher
+
+        want = [tuple(r) for r in Searcher(spark, built).topk_prefix(
+            "da", 10, max_expansions=5, round_to=4).collect()]
+        got = LocalSearcher(built).topk_prefix(
+            "da", 10, max_expansions=5, round_to=4)
+        assert got == want
+        assert len(got) > 0
+
+
+class TestRandomizedEquivalence:
+    """Seeded random corpora (short docs, tiny vocab → heavy score ties)
+    stress the must_not ban sets and search_after cursor against the
+    brute-force oracle path."""
+
+    @pytest.mark.parametrize("seed", [3, 11])
+    def test_wand_equals_brute_on_random_corpus(self, spark, tmp_path, seed):
+        import random
+
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(0, 40))))
+            for i in range(300)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        cat = Catalog(spark, str(tmp_path / f"r{seed}"))
+        ib.build_index(spark, docs, cat, mode="simple", docs_per_shard=37)
+        s = Searcher(spark, cat)
+        for trial in range(4):
+            q = " ".join(rng.sample(vocab, rng.randint(1, 4)))
+            ex = " ".join(rng.sample(vocab, rng.randint(1, 2)))
+            got = [tuple(r) for r in s.topk(
+                q, 15, round_to=4, exclude_text=ex).collect()]
+            want = [tuple(r) for r in bm25.bm25_brute_force(
+                docs, q, 15, mode="simple", round_to=4,
+                exclude_text=ex).collect()]
+            assert got == want, (seed, trial, q, ex)
+            page1 = s.topk(q, 7, round_to=4).collect()
+            if page1:
+                cur = (float(page1[-1]["score"]), int(page1[-1]["doc_id"]))
+                g2 = [tuple(r) for r in s.topk(
+                    q, 7, round_to=4, search_after=cur).collect()]
+                w2 = [tuple(r) for r in bm25.bm25_brute_force(
+                    docs, q, 7, mode="simple", round_to=4,
+                    search_after=cur).collect()]
+                assert g2 == w2, (seed, trial, q)
