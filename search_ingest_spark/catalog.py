@@ -447,5 +447,6 @@ class CatalogSnapshot:
         return T.StructType.fromJson(json.loads(t["schema"]))
 
     def read(self, name: str) -> DataFrame:
-        return self.spark.read.schema(self.get_mapping(name)).parquet(
-            self.data_path(name))
+        t = self._entry(name)  # clean FileNotFoundError for absent tables
+        schema = T.StructType.fromJson(json.loads(t["schema"]))
+        return self.spark.read.schema(schema).parquet(self.data_path(name))
