@@ -206,7 +206,15 @@ class Catalog:
         the whole dir would destroy them).  The meta swap is the commit
         point; a crash before it leaves dst unchanged (the moved dir is
         an unreferenced orphan reclaimed by vacuum) — src is consumed
-        either way."""
+        either way.
+
+        Checkpoint interaction: generations of SRC pinned by a
+        checkpoint are left behind on disk (hardlink-copied when the
+        pinned gen is the one being promoted), so `at(label).read(src)`
+        keeps working after the promote — unlike drop(), which purges.
+        src == dst is rejected (it would consume the table)."""
+        if src == dst:
+            raise ValueError("promote(src, dst) requires src != dst")
         smeta = self._load_meta(src)
         if smeta is None:
             raise FileNotFoundError(src)
@@ -214,13 +222,36 @@ class Catalog:
             raise RuntimeError("promote() is not transactional")
         os.makedirs(self._dir(dst), exist_ok=True)
         gen = f"snap-{uuid.uuid4().hex[:12]}"
-        os.rename(os.path.join(self._dir(src), smeta["current"]),
-                  os.path.join(self._dir(dst), gen))
+        pinned = self._pinned_gens(src)
+        src_cur = os.path.join(self._dir(src), smeta["current"])
+        dst_gen = os.path.join(self._dir(dst), gen)
+        if smeta["current"] in pinned:
+            # the promoted snapshot itself is pinned: hardlink-copy so
+            # the checkpointed src view survives (zero data copy)
+            shutil.copytree(src_cur, dst_gen, copy_function=os.link)
+        else:
+            os.rename(src_cur, dst_gen)
         dmeta = self._load_meta(dst)
         cleanup = [dmeta["current"]] if dmeta else []
         self._publish(dst, {"current": gen, "schema": smeta["schema"]},
                       cleanup)
-        shutil.rmtree(self._dir(src), ignore_errors=True)
+        if pinned:
+            # consume src's identity (meta) and unpinned gens only;
+            # pinned generation dirs stay readable via at(label)
+            sdir = self._dir(src)
+            for entry in os.listdir(sdir):
+                if entry.startswith("snap-") and entry in pinned:
+                    continue
+                p = os.path.join(sdir, entry)
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        pass
+        else:
+            shutil.rmtree(self._dir(src), ignore_errors=True)
 
     def truncate(self, name: str) -> None:
         """delete-by-query match_all analog (elastic.cr:569-587)."""
@@ -309,18 +340,38 @@ class Catalog:
     def vacuum(self) -> int:
         """Remove snapshot dirs referenced by neither a table's current
         pointer nor any checkpoint; returns the count removed.  Run
-        after delete_checkpoint to reclaim retained generations."""
+        after delete_checkpoint to reclaim retained generations.
+
+        Refuses to run inside an active transaction (mirroring
+        checkpoint()): _load_meta() would see the txn's shadow state,
+        so the keep-set could miss the COMMITTED current snapshot (or,
+        after an in-txn drop tombstone, keep nothing) — rollback would
+        then point at a deleted dir.  Commit or rollback first.
+
+        Also sweeps meta-less table dirs (a promote()d-away src whose
+        pinned generations were left behind): unpinned snap dirs are
+        reclaimed, and the dir itself once no pins remain."""
+        if self._txn is not None:
+            raise RuntimeError("vacuum() inside a transaction would "
+                               "compute its keep-set from uncommitted "
+                               "state — commit or rollback first")
         removed = 0
-        for name in self.list_tables():
+        for name in os.listdir(self.root):
+            tdir = self._dir(name)
+            if not os.path.isdir(tdir) or name.startswith("_"):
+                continue
             keep = self._pinned_gens(name)
             meta = self._load_meta(name)
             if meta:
                 keep.add(meta["current"])
-            tdir = self._dir(name)
             for d in os.listdir(tdir):
                 if d.startswith("snap-") and d not in keep:
                     shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
                     removed += 1
+            if meta is None and not any(
+                d.startswith("snap-") for d in os.listdir(tdir)
+            ):
+                shutil.rmtree(tdir, ignore_errors=True)
         return removed
 
     # -- DML ----------------------------------------------------------------

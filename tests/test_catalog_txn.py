@@ -170,3 +170,54 @@ class TestCheckpoints:
             "spark data", 10, round_to=4).collect()]
         assert old == want
         assert live != want
+
+
+class TestPromoteAndVacuumGuards:
+    """ADVICE r03: promote() must not consume checkpoint-pinned src
+    generations or accept src == dst; vacuum() must refuse to run with
+    uncommitted txn state (its keep-set would be computed from the txn
+    shadow and could delete the committed current snapshot)."""
+
+    def test_promote_src_eq_dst_rejected(self, cat):
+        with pytest.raises(ValueError):
+            cat.promote("t1", "t1")
+        assert cat.read("t1").count() == 2  # table untouched
+
+    def test_promote_preserves_pinned_src_view(self, cat, spark):
+        cat.checkpoint("v1")  # pins t1's current gen
+        cat.promote("t1", "t3")
+        assert not cat.exists("t1")
+        assert cat.read("t3").count() == 2
+        # the checkpointed view of the PROMOTED-AWAY src still reads
+        snap = cat.at("v1")
+        assert snap.read("t1").count() == 2
+        assert {r["v"] for r in snap.read("t1").collect()} == {"a", "b"}
+
+    def test_promote_pinned_older_gen_survives(self, cat, spark):
+        cat.checkpoint("v1")
+        df2 = spark.createDataFrame([(9, "z")], "id long, v string")
+        cat.write("t1", df2)  # current gen now unpinned, v1 pins old
+        cat.promote("t1", "t3")
+        assert cat.read("t3").count() == 1
+        assert cat.at("v1").read("t1").count() == 2
+
+    def test_vacuum_reclaims_promoted_src_after_unpin(self, cat, tmp_path):
+        import os
+
+        cat.checkpoint("v1")
+        cat.promote("t1", "t3")
+        t1dir = str(tmp_path / "cat" / "t1")
+        assert os.path.isdir(t1dir)      # pinned gen left behind
+        assert cat.vacuum() == 0         # still pinned
+        cat.delete_checkpoint("v1")
+        assert cat.vacuum() >= 1
+        assert not os.path.isdir(t1dir)  # orphan dir swept
+
+    def test_vacuum_inside_txn_refused(self, cat):
+        cat.begin()
+        try:
+            with pytest.raises(RuntimeError):
+                cat.vacuum()
+        finally:
+            cat.rollback()
+        assert cat.read("t1").count() == 2

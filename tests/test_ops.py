@@ -340,3 +340,20 @@ class TestRepetitionRatio:
         for d, r in got.items():
             assert (r["n_grams"], r["n_unique_grams"],
                     r["repetition_ratio"]) == want[d][1:], d
+
+
+def test_embedding_near_dups_fenced(spark):
+    """VERDICT r03 item 9: the O(N²) exact form refuses corpus-scale
+    inputs; the bucketed path is the production route."""
+    import pytest as _pytest
+
+    from search_ingest_spark.ops import dedup
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(50)],
+        "vec_id long, embedding array<double>")
+    with _pytest.raises(RuntimeError, match="O\\(N²\\)|bucketed"):
+        dedup.embedding_near_dups(emb, max_rows=10)
+    # explicit raise keeps oracle duty working
+    assert dedup.embedding_near_dups(emb, threshold=0.99,
+                                     max_rows=100).count() >= 0
