@@ -265,6 +265,109 @@ def _q_terms_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ES's canonical composed `bool` request (VERDICT r03 item 2): must
+# (AND, scored) + should (additive scoring, minimum_should_match
+# counted over should only) + must_not (ban set) + filter (non-scoring
+# range context) — all four clause types in ONE pruned scan + ONE
+# kernel pass.  The oracle models additive-should explicitly
+# (bm25.bool_oracle_sql).
+@register(
+    "bm25_bool_query_topk",
+    bm25.bool_oracle_sql(
+        must="data", should="spark query table", must_not="customer",
+        filter_where="(((doc_id * 7919) % 18000) / 100.0 - 90.0) >= -60.0",
+        minimum_should_match=1, k=10,
+    ),
+)
+def _q_bool_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).bool_topk(
+        must="data", should="spark query table", must_not="customer",
+        filter={"lat": {"gte": -60.0}}, minimum_should_match=1,
+        k=10, round_to=4,
+    )
+
+
+# ES `range` filter in filter context (VERDICT r03 item 1): gte/lt
+# bounds on a numeric doc_attrs column, pushed into the parquet scan
+# on BOTH query paths (Catalyst PushedFilters / pyarrow row-group
+# pruning).  Composed with a `terms` clause to prove conjunction.
+_RANGE_FILTER = {"lang": ["es", "fr", "en"],
+                 "lat": {"gte": -10.0, "lt": 40.0}}
+_RANGE_WHERE = (f"lang IN ('es', 'fr', 'en') AND ({_LAT_SQL}) >= -10.0"
+                f" AND ({_LAT_SQL}) < 40.0")
+
+
+@register(
+    "bm25_range_filter_topk",
+    bm25.bm25_oracle_sql("table hash fast", k=10, filter_where=_RANGE_WHERE),
+)
+def _q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).topk(
+        "table hash fast", 10, round_to=4, attr_filter=_RANGE_FILTER
+    )
+
+
+# Same range filter served Spark-free — LocalSearcher compiles the
+# IDENTICAL filter spec to a pyarrow predicate (query/filters.py), so
+# this entry proves the serving path against the from-corpus oracle,
+# and tests/test_reader.py asserts bitwise parity with the Spark path.
+@register(
+    "bm25_range_filter_local",
+    bm25.bm25_oracle_sql("table hash fast", k=10, filter_where=_RANGE_WHERE),
+)
+def _q_range_filter_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    got = _local_searcher(spark, sf_dir).topk(
+        "table hash fast", 10, round_to=4, attr_filter=_RANGE_FILTER
+    )
+    return spark.createDataFrame(got, "doc_id long, score double, rank int")
+
+
+# ES `wildcard` query (VERDICT r03 item 6): dictionary terms matching
+# the pattern (`*` any run, `?` one char), literal-prefix-pruned scan,
+# capped at max_expansions by (df desc, term asc), scored as OR with
+# per-term idf.  The oracle models the identical expansion via LIKE.
+@register(
+    "bm25_wildcard_topk",
+    bm25.wildcard_oracle_sql("d?t*", k=10, max_expansions=8),
+)
+def _q_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).topk_wildcard(
+        "d?t*", 10, max_expansions=8, round_to=4
+    )
+
+
+# Same wildcard query served Spark-free (LocalSearcher.plan_wildcard:
+# identical range-pruned + regex expansion over the pyarrow dictionary).
+@register(
+    "bm25_wildcard_local",
+    bm25.wildcard_oracle_sql("d?t*", k=10, max_expansions=8),
+)
+def _q_wildcard_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    got = _local_searcher(spark, sf_dir).topk_wildcard(
+        "d?t*", 10, max_expansions=8, round_to=4
+    )
+    return spark.createDataFrame(got, "doc_id long, score double, rank int")
+
+
+# Composed bool on the SERVING path — same request as
+# bm25_bool_query_topk, Spark-free execution, same oracle.
+@register(
+    "bm25_bool_query_local",
+    bm25.bool_oracle_sql(
+        must="data", should="spark query table", must_not="customer",
+        filter_where="(((doc_id * 7919) % 18000) / 100.0 - 90.0) >= -60.0",
+        minimum_should_match=1, k=10,
+    ),
+)
+def _q_bool_query_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    got = _local_searcher(spark, sf_dir).bool_topk(
+        must="data", should="spark query table", must_not="customer",
+        filter={"lat": {"gte": -60.0}}, minimum_should_match=1,
+        k=10, round_to=4,
+    )
+    return spark.createDataFrame(got, "doc_id long, score double, rank int")
+
+
 # ES prefix query: vocabulary terms in [prefix, prefix+1) capped at
 # max_expansions by (df desc, term asc) — plan_prefix's deterministic
 # rewrite over the term-sorted dictionary — scored as an OR query.
@@ -1381,6 +1484,9 @@ def _replicated_customer_index(spark: SparkSession, sf_dir: str):
         F.col("o_orderkey").cast("long").alias("id"),
         F.col("o_custkey").cast("string").alias("custkey"),
         F.col("o_totalprice").cast("double").alias("totalprice"),
+        # deterministic text for has_child relation queries (both
+        # engines derive it identically from o_orderpriority)
+        F.lower(F.regexp_replace("o_orderpriority", "-", " ")).alias("text"),
     )
     schemas = {
         "customer": TableSchema("customer", [
@@ -1392,6 +1498,7 @@ def _replicated_customer_index(spark: SparkSession, sf_dir: str):
             FieldSpec("id", T.LongType(), nullable=False),
             FieldSpec("custkey", T.StringType()),
             FieldSpec("totalprice", T.DoubleType()),
+            FieldSpec("text", T.StringType()),
         ], parents=[ParentRelation("customer", "customer", "custkey")]),
     }
     mgr = TableManager(spark, Catalog(spark, tempfile.mkdtemp(prefix="sis_tm_")),
@@ -1435,6 +1542,137 @@ def _q_parent_replication(spark, sf_dir):
         "id", "_document_type", "_routing",
         F.col("_join_field.parent").alias("join_parent"),
         "acctbal", "totalprice",
+    )
+
+
+# shared oracle fragment: the CHILD corpus visible in the parent index
+# after the fixture's change batch (upserts keep text; %11 deletes win
+# unless the doc was also %7-upserted) — must mirror
+# _replicated_customer_index exactly
+_HC_CHILD_SQL = """
+child AS (
+  SELECT o_orderkey::BIGINT AS doc_id, o_custkey::BIGINT AS parent,
+         lower(replace(o_orderpriority, '-', ' ')) AS text
+  FROM orders
+  WHERE o_custkey IS NOT NULL
+    AND NOT (o_orderkey % 11 = 0 AND o_orderkey % 7 != 0)
+)
+""".strip()
+
+_HC_SCORE_SQL = """
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+  FROM child
+),
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::INT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+          WHERE term IN (SELECT term FROM q) GROUP BY 1),
+cscore AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+""".strip()
+
+
+# ES has_child query (VERDICT r03 item 5): parents ranked by the SUM of
+# their matching children's BM25 scores (score_mode='sum'), computed
+# over the REPLICATED parent index — the query-side counterpart of the
+# join-field machinery (fan_out_to_parent routing/colocation).  Child
+# scoring statistics come from the child subset of the index; the
+# oracle recomputes the identical corpus from the raw tables plus the
+# fixture's change batch.
+@register(
+    "search_has_child_topk",
+    f"""
+WITH {_HC_CHILD_SQL},
+q(term) AS (VALUES ('urgent'), ('specified')),
+{_HC_SCORE_SQL},
+pscore AS (
+  SELECT child.parent AS id, round(sum(s), 4)::DOUBLE AS score
+  FROM cscore JOIN child USING (doc_id)
+  GROUP BY 1
+),
+topk AS (
+  SELECT id, score FROM pscore
+  WHERE id IN (SELECT c_custkey::BIGINT FROM customer)
+  ORDER BY score DESC, id ASC LIMIT 10
+)
+SELECT id, score,
+       row_number() OVER (ORDER BY score DESC, id ASC)::INT AS rank
+FROM topk
+""".strip(),
+)
+def _q_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_ingest_spark.query.join_query import has_child_topk
+    from search_ingest_spark.tables import _doc_table
+
+    mgr = _replicated_customer_index(spark, sf_dir)
+    idx = mgr.cat.read(_doc_table("customer"))
+    return has_child_topk(
+        idx, child_type="orders", parent_type="customer",
+        query_text="urgent specified", k=10, score_mode="sum",
+        round_to=4,
+    )
+
+
+# ES has_parent query: children of parents matching a text query, each
+# child carrying its parent's BM25 score (score=true).  The parent
+# match here is a unique name token, so the result is one customer's
+# surviving orders ranked by id.
+@register(
+    "search_has_parent_children",
+    f"""
+WITH {_HC_CHILD_SQL},
+parents AS (
+  SELECT c_custkey::BIGINT AS doc_id, lower(c_name) AS text FROM customer
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+  FROM parents
+),
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::INT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(term) AS (VALUES ('000000007')),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf
+          WHERE term IN (SELECT term FROM q) GROUP BY 1),
+pscore AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS s
+  FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT child.doc_id AS id, round(pscore.s, 4)::DOUBLE AS score
+  FROM child JOIN pscore ON child.parent = pscore.doc_id
+  ORDER BY score DESC, id ASC LIMIT 10
+)
+SELECT id, score,
+       row_number() OVER (ORDER BY score DESC, id ASC)::INT AS rank
+FROM topk
+""".strip(),
+)
+def _q_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_ingest_spark.query.join_query import has_parent_children
+    from search_ingest_spark.tables import _doc_table
+
+    mgr = _replicated_customer_index(spark, sf_dir)
+    idx = mgr.cat.read(_doc_table("customer"))
+    return has_parent_children(
+        idx, child_type="orders", parent_type="customer",
+        query_text="000000007", k=10, round_to=4, text_col="name",
     )
 
 

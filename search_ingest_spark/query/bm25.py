@@ -188,6 +188,38 @@ def bm25_brute_force(
     return ranked_desc(topk, "score", "doc_id")
 
 
+def bm25_all_scores(
+    docs: DataFrame,
+    query_text: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    mode: str = "standard",
+) -> DataFrame:
+    """Per-document BM25 scores for EVERY matching doc (no top-k
+    truncation) — (doc_id, score double).  The building block for
+    relation queries (has_child/has_parent aggregate ALL matching
+    children before ranking parents, so a k-limit here would be
+    wrong).  Same stats/df/score expressions as bm25_brute_force."""
+    toks = doc_terms(docs, id_col=id_col, text_col=text_col, mode=mode)
+    uniq_terms = sorted(set(analyze_query(query_text, mode=mode)))
+    if not uniq_terms:
+        raise ValueError("empty query after analysis")
+    dl = toks.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    stats = dl.agg(F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl"))
+    qterms = toks.where(F.col("term").isin(uniq_terms))
+    dfreq = qterms.groupBy("term").agg(F.count("*").alias("df"))
+    joined = qterms.join(F.broadcast(dfreq), "term").crossJoin(
+        F.broadcast(stats)
+    )
+    scored = joined.withColumn(
+        "partial",
+        idf_expr(F.col("df"), F.col("n_docs"))
+        * tf_norm_expr(F.col("tf"), F.col("dl"), F.col("avgdl")),
+    )
+    return scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
+
+
 def bm25_oracle_sql(
     query_text: str,
     k: int = 10,
@@ -269,6 +301,101 @@ FROM topk
 """.strip()
 
 
+def bool_oracle_sql(
+    *,
+    must: str | None = None,
+    should: str | None = None,
+    must_not: str | None = None,
+    filter_where: str | None = None,
+    minimum_should_match: int | None = None,
+    k: int = 10,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> str:
+    """DuckDB SQL modeling Searcher.bool_topk — ES's composed `bool`
+    query: docs must contain every analyzed `must` term AND at least
+    `minimum_should_match` of the `should` terms (counted over should
+    clauses only, ES semantics with must present; defaults to 1 for a
+    pure-should bool); ALL matched must+should terms contribute
+    additively to the BM25 score; `must_not` bans candidates;
+    `filter_where` is non-scoring filter context.  A term appearing in
+    both must and should is treated as must (scored once)."""
+    must_uniq = sorted(set(analyze_query(must or "", mode="simple")))
+    should_uniq = sorted(
+        set(analyze_query(should or "", mode="simple")) - set(must_uniq)
+    )
+    uniq = sorted(set(must_uniq) | set(should_uniq))
+    if not uniq:
+        raise ValueError("bool oracle needs must and/or should terms")
+    msm = minimum_should_match
+    if not must_uniq and msm is None:
+        msm = 1
+
+    def _sql_list(ts: list[str]) -> str:
+        return ", ".join("'" + t.replace("'", "''") + "'" for t in ts)
+
+    term_list = ", ".join("('" + t.replace("'", "''") + "')" for t in uniq)
+    having_parts = []
+    if must_uniq:
+        having_parts.append(
+            f"count(CASE WHEN tf.term IN ({_sql_list(must_uniq)}) "
+            f"THEN 1 END) = {len(must_uniq)}"
+        )
+    if msm is not None and msm > 0 and should_uniq:
+        having_parts.append(
+            f"count(CASE WHEN tf.term IN ({_sql_list(should_uniq)}) "
+            f"THEN 1 END) >= {msm}"
+        )
+    having = ("\n  HAVING " + "\n     AND ".join(having_parts)
+              if having_parts else "")
+    cand = (
+        f"\n  WHERE doc_id IN (SELECT {id_col} FROM {table} WHERE {filter_where})"
+        if filter_where else ""
+    )
+    if must_not:
+        ex_uniq = sorted(set(analyze_query(must_not, mode="simple")))
+        cand += (
+            f"\n  {'AND' if cand else 'WHERE'} doc_id NOT IN "
+            f"(SELECT doc_id FROM toks WHERE term IN ({_sql_list(ex_uniq)}))"
+        )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS term
+  FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::INT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(term) AS (VALUES {term_list}),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score_raw
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id{having}
+),
+topk AS (
+  SELECT doc_id, round(score_raw, {round_to})::DOUBLE AS score
+  FROM scores{cand}
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {k}
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM topk
+""".strip()
+
+
 def prefix_oracle_sql(
     prefix: str,
     k: int = 10,
@@ -299,6 +426,64 @@ vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
 dfreq AS (
   SELECT term, df FROM vocab
   WHERE term >= '{p}' AND term < '{hi}'
+  ORDER BY df DESC, term ASC
+  LIMIT {int(max_expansions)}
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score_raw
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, round(score_raw, {round_to})::DOUBLE AS score
+  FROM scores
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {k}
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM topk
+""".strip()
+
+
+def wildcard_oracle_sql(
+    pattern: str,
+    k: int = 10,
+    *,
+    max_expansions: int = 50,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> str:
+    """DuckDB SQL modeling Searcher.topk_wildcard: vocabulary terms
+    matching the wildcard pattern (`*`→`%`, `?`→`_` — terms are
+    [a-z0-9]+ so the translation is lossless), capped at
+    `max_expansions` by (df desc, term asc), scored as a plain OR
+    query, each expanded term with its own idf."""
+    like = (pattern.lower().replace("%", "").replace("_", "")
+            .replace("*", "%").replace("?", "_").replace("'", "''"))
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS term
+  FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::INT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+dfreq AS (
+  SELECT term, df FROM vocab
+  WHERE term LIKE '{like}'
   ORDER BY df DESC, term ASC
   LIMIT {int(max_expansions)}
 ),

@@ -1,0 +1,109 @@
+"""Filter-context spec shared by the Spark and serving query paths.
+
+ES bool-query *filter context* (non-scoring) over the doc_attrs table,
+as one Python dict per query — the shape ES's request DSL collapses to
+after parsing (reference: filters forwarded verbatim to ES,
+/root/reference/src/search-ingest/elastic.cr — ES evaluates them as
+Lucene bitsets; here they become pushed-down parquet predicates):
+
+    {"lang": "es"}                          term   (equality)
+    {"lang": ["es", "fr"]}                  terms  (match any)
+    {"lat": {"gte": -10.0, "lt": 40.0}}     range  (gte/gt/lte/lt)
+
+and conjunctions of the above ({"lang": "es", "lat": {...}}: AND).
+
+One spec, two compilers: `spark_cond` builds a pyspark Column (pushed
+into the doc_attrs parquet scan by Catalyst — PushedFilters shows
+GreaterThanOrEqual/LessThan), `arrow_cond` builds the identical
+pyarrow.compute expression for the Spark-free serving path (pyarrow
+prunes row groups with the same min/max stats).  Keeping both
+compilers in one module is what guarantees the two paths stay
+semantically identical — the bitwise parity tests then only have to
+cover the scoring kernel.
+
+Range endpoints are evaluated with the SAME comparison ops both sides
+(>=, >, <=, <) so a doc qualifies on one path iff it qualifies on the
+other, including float-equal boundary values.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+_RANGE_OPS = ("gte", "gt", "lte", "lt")
+
+
+def _is_range(v: Any) -> bool:
+    return isinstance(v, Mapping)
+
+
+def _check_range(col: str, v: Mapping) -> None:
+    bad = set(v) - set(_RANGE_OPS)
+    if bad or not v:
+        raise ValueError(
+            f"range filter on {col!r} must use keys from {_RANGE_OPS}, "
+            f"got {sorted(v) if v else 'empty dict'}"
+        )
+
+
+def spark_cond(attr_filter: dict):
+    """Compile the filter spec to one pyspark Column (AND of clauses)."""
+    from pyspark.sql import functions as F
+
+    cond = None
+    for c, v in attr_filter.items():
+        if _is_range(v):
+            _check_range(c, v)
+            e = None
+            for op, bound in v.items():
+                cl = {
+                    "gte": F.col(c) >= bound, "gt": F.col(c) > bound,
+                    "lte": F.col(c) <= bound, "lt": F.col(c) < bound,
+                }[op]
+                e = cl if e is None else e & cl
+        elif isinstance(v, (list, tuple, set, frozenset)):
+            e = F.col(c).isin(list(v))
+        else:
+            e = F.col(c) == v
+        cond = e if cond is None else cond & e
+    return cond
+
+
+def arrow_cond(attr_filter: dict):
+    """Compile the same spec to a pyarrow dataset filter expression."""
+    import pyarrow.compute as pc
+
+    cond = None
+    for c, v in attr_filter.items():
+        if _is_range(v):
+            _check_range(c, v)
+            e = None
+            for op, bound in v.items():
+                cl = {
+                    "gte": pc.field(c) >= bound, "gt": pc.field(c) > bound,
+                    "lte": pc.field(c) <= bound, "lt": pc.field(c) < bound,
+                }[op]
+                e = cl if e is None else e & cl
+        elif isinstance(v, (list, tuple, set, frozenset)):
+            e = pc.field(c).isin(list(v))
+        else:
+            e = pc.field(c) == v
+        cond = e if cond is None else cond & e
+    return cond
+
+
+def sql_cond(attr_filter: dict) -> str:
+    """Compile the spec to an ANSI-SQL WHERE fragment (oracle duty)."""
+    parts: list[str] = []
+    for c, v in attr_filter.items():
+        if _is_range(v):
+            _check_range(c, v)
+            sym = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
+            for op, bound in v.items():
+                parts.append(f"{c} {sym[op]} {bound!r}")
+        elif isinstance(v, (list, tuple, set, frozenset)):
+            vals = ", ".join(repr(x) for x in v)
+            parts.append(f"{c} IN ({vals})")
+        else:
+            parts.append(f"{c} = {v!r}")
+    return " AND ".join(parts)

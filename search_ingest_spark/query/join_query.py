@@ -1,0 +1,140 @@
+"""Parent/child relation queries over a replicated parent index.
+
+ES's `has_child` / `has_parent` queries (the query-side counterpart of
+the join-field machinery the ingest side builds — reference: join-field
+construction and child replication forwarded to ES at
+/root/reference/src/search-ingest/elastic.cr:259-283; ES then evaluates
+these queries against its internal parent-join doc-values).
+
+Spark-first design: the parent index is ONE doc table holding parents
+and replicated children (`_document_type`, `_join_field{name,parent}`,
+`_routing` — see schema.fan_out_to_parent / tables.TableManager), so a
+relation query is a scored aggregation + join on that table:
+
+  has_child  — score matching CHILD docs (BM25 over the child subset's
+               own corpus statistics — documented divergence from ES,
+               which scores within the whole Lucene index), aggregate
+               per `_join_field.parent` under `score_mode`
+               (sum/max/avg/count/none), join to parent docs, rank.
+  has_parent — score matching PARENT docs, propagate each parent's
+               score to its routed children (ES `score=true`), rank
+               children.
+
+Scale shape: the children→parents aggregation shuffles on the parent
+key — exactly the `_routing` key the ingest side already colocates by
+(`repartition("_routing")` at write), so at 100 TB the agg rides the
+existing partitioning instead of a fresh full shuffle; the parent join
+is an equi-join on the same key (AQE picks broadcast when one side is
+small).  No Python in the plan: scoring is Catalyst expressions
+(bm25.bm25_all_scores), aggregation is a plain groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from search_ingest_spark.query.bm25 import bm25_all_scores
+from search_ingest_spark.ranking import ranked_desc
+
+_SCORE_MODES = ("sum", "max", "avg", "count", "none")
+
+
+def has_child_topk(
+    index_df: DataFrame,
+    *,
+    child_type: str,
+    parent_type: str,
+    query_text: str,
+    k: int = 10,
+    score_mode: str = "sum",
+    mode: str = "simple",
+    round_to: int | None = None,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, score, rank) of the top-k PARENT docs having ≥1 child of
+    `child_type` matching `query_text`, ranked by the aggregated child
+    BM25 scores under `score_mode` (ties → parent id asc).
+
+    `score_mode='none'` is ES's default filter-like mode: every
+    qualifying parent scores 1.0 (rank order = parent id)."""
+    if score_mode not in _SCORE_MODES:
+        raise ValueError(f"score_mode must be one of {_SCORE_MODES}")
+    children = index_df.where(
+        (F.col("_document_type") == child_type)
+        & F.col("_join_field.parent").isNotNull()
+    ).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("text"),
+        F.col("_join_field.parent").alias("_parent"),
+    )
+    scored = bm25_all_scores(
+        children.select("doc_id", "text"), query_text, mode=mode
+    )
+    per_parent = (
+        children.select("doc_id", "_parent")
+        .join(scored, "doc_id")
+        .groupBy("_parent")
+        .agg(
+            F.sum("score").alias("_sum"),
+            F.max("score").alias("_max"),
+            F.avg("score").alias("_avg"),
+            F.count("*").cast("double").alias("_count"),
+        )
+    )
+    agg_col = {
+        "sum": F.col("_sum"), "max": F.col("_max"), "avg": F.col("_avg"),
+        "count": F.col("_count"), "none": F.lit(1.0),
+    }[score_mode]
+    parents = index_df.where(
+        F.col("_document_type") == parent_type
+    ).select(F.col(id_col).alias("id"))
+    out = (
+        parents.join(
+            per_parent.withColumn("score", agg_col)
+            .select(F.col("_parent").cast("long").alias("id"), "score"),
+            "id",
+        )
+    )
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    out = out.orderBy(F.desc("score"), F.asc("id")).limit(k)
+    return ranked_desc(out, "score", "id")
+
+
+def has_parent_children(
+    index_df: DataFrame,
+    *,
+    child_type: str,
+    parent_type: str,
+    query_text: str,
+    k: int = 10,
+    score: bool = True,
+    mode: str = "simple",
+    round_to: int | None = None,
+    id_col: str = "id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, score, rank) of the top-k CHILD docs whose parent matches
+    `query_text` — each child carries its parent's BM25 score (ES
+    has_parent `score=true`; `score=False` = filter mode, every child
+    scores 1.0).  Ties → child id asc."""
+    parents = index_df.where(
+        F.col("_document_type") == parent_type
+    ).select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    scored = bm25_all_scores(parents, query_text, mode=mode)
+    if not score:
+        scored = scored.withColumn("score", F.lit(1.0))
+    children = index_df.where(
+        (F.col("_document_type") == child_type)
+        & F.col("_join_field.parent").isNotNull()
+    ).select(
+        F.col(id_col).alias("id"),
+        F.col("_join_field.parent").cast("long").alias("doc_id"),
+    )
+    out = children.join(scored, "doc_id").select("id", "score")
+    if round_to is not None:
+        out = out.withColumn("score", F.round("score", round_to))
+    out = out.orderBy(F.desc("score"), F.asc("id")).limit(k)
+    return ranked_desc(out, "score", "id")

@@ -41,6 +41,7 @@ import pyarrow.dataset as ds
 
 from search_ingest_spark.catalog import Catalog
 from search_ingest_spark.index import build as ib
+from search_ingest_spark.query import filters
 from search_ingest_spark.query.bm25 import B, K1, analyze_query
 from search_ingest_spark.query.wand import shard_topk, split_banned
 
@@ -50,13 +51,155 @@ _META_COLS = [
 ]
 
 
-def _round_half_up(x: float, nd: int) -> float:
-    """Round half AWAY from zero at nd decimals — what Spark's F.round
-    and DuckDB's round() do (np.round banks to even)."""
-    from decimal import ROUND_HALF_UP, Decimal
+# one rounding definition shared with the kernel's cursor test
+from search_ingest_spark.query.wand import _round_half_up  # noqa: E402
 
-    return float(Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"),
-                                           rounding=ROUND_HALF_UP))
+
+# ---------------------------------------------------------------------------
+# Cross-shard PROCESS parallelism (VERDICT r03 item 4).  Threads are
+# ruled out by the GIL (measured: an 8-thread pool turned a 0.9 s query
+# into 6.1 s of lock thrash — the kernel's hot loops are Python-level);
+# a persistent spawn-pool of worker PROCESSES is the shape that works:
+#  - the parent runs the best-UB boot batch serially to establish θ;
+#  - surviving shards fan out round-robin (plan is UB-sorted, so each
+#    worker gets a UB-descending, UB-balanced chunk);
+#  - each worker re-opens the PINNED snapshot path itself — posting
+#    bytes never cross a process boundary — and returns only its ≤k
+#    candidate rows per kernel call;
+#  - the parent merges all candidate frames with the same exact lexsort
+#    as the serial path.  Workers run with θ0 = the boot θ (no live
+#    sharing): a lower θ only ADDS candidates, so the merged result is
+#    bitwise identical to the serial scan — asserted in tests.
+# This is the single-box analog of the shard fan-out a 10^12-doc
+# deployment would run across reader hosts (module docstring).
+
+_SERVE_POOL = None
+_SERVE_POOL_SIZE = 0
+# set after a pool failure (e.g. an unguarded __main__ that the
+# multiprocessing bootstrap re-executes): the process falls back to the
+# serial scan permanently rather than retrying a broken pool per query
+_SERVE_POOL_BROKEN = False
+
+
+def _serve_procs() -> int:
+    import os as _os
+    return int(_os.environ.get(
+        "SPARK_GRAFT_SERVE_PROCS",
+        str(min(8, max(2, (_os.cpu_count() or 4) // 4)))))
+
+
+def _get_serve_pool():
+    global _SERVE_POOL, _SERVE_POOL_SIZE
+    if _SERVE_POOL is None:
+        import multiprocessing as mp
+        from concurrent.futures import ProcessPoolExecutor
+
+        _SERVE_POOL_SIZE = _serve_procs()
+        # forkserver: children fork from a CLEAN server process — no
+        # parent JVM/pyarrow state (fork hazard).  Preload THIS module
+        # instead of the default __main__ (a stdin/REPL parent has no
+        # re-importable main, and re-running a script main would
+        # recurse); children then resolve _serve_worker by reference.
+        ctx = mp.get_context("forkserver")
+        ctx.set_forkserver_preload(["search_ingest_spark.query.reader"])
+        _SERVE_POOL = ProcessPoolExecutor(
+            max_workers=_SERVE_POOL_SIZE, mp_context=ctx)
+    return _SERVE_POOL
+
+
+_WORKER_DATASETS: dict = {}
+
+
+def _kernel_from_params(p: dict):
+    """Rebuild the scoring kernel from a picklable parameter dict —
+    the single construction point for parent and worker kernels."""
+    if p.get("quantized"):
+        from search_ingest_spark.query.wand import shard_topk_impact
+
+        def kernel(g, th, _extra):
+            return shard_topk_impact(g, idf=p["idf"], k=p["k"],
+                                     round_to=p["round_to"], theta0=th)
+        return kernel
+
+    excluded = p["excluded"]
+
+    def kernel(g, th, allowed):
+        banned = None
+        if excluded:
+            g, banned = split_banned(g, excluded)
+        return shard_topk(g, idf=p["idf"], k=p["k"], avgdl=p["avgdl"],
+                          match_all=p["match_all"], allowed=allowed,
+                          theta0=th, round_to=p["round_to"], banned=banned,
+                          min_match=p["min_match"], after=p["after"],
+                          required_tids=p["required_tids"])
+    return kernel
+
+
+def _scan_plan(dataset, tfilter, plan, kernel, k: int, guard: float,
+               theta0: float, batch: int, heap=None, frames=None):
+    """θ-gated serial scan over a UB-descending plan: bulk-read batches
+    of shards, run ONE merged kernel per batch under the rising shared
+    θ (never below `theta0`).  Returns (candidate frames, heap)."""
+    heap = [] if heap is None else heap
+    frames = [] if frames is None else frames
+
+    def theta() -> float:
+        t = heap[0][0] - guard if len(heap) >= k else -np.inf
+        return max(t, theta0)
+
+    i = 0
+    while i < len(plan):
+        th = theta()
+        live = [p for p in plan[i:i + batch] if p[1] >= th]
+        i += batch
+        if not live:
+            break  # UB-descending: all remaining prune too
+        tbl = dataset.to_table(
+            filter=tfilter
+            & pc.field("shard").isin([int(s) for s, _, _ in live])
+        ).to_pandas()
+        groups = {int(s): g for s, g in tbl.groupby("shard", sort=False)}
+        th = theta()
+        chunk = [c for c in live if c[1] >= th and int(c[0]) in groups]
+        if not chunk:
+            continue
+        parts = [groups[int(s)] for s, _, _ in chunk]
+        g = parts[0] if len(parts) == 1 else pd.concat(
+            parts, ignore_index=True)
+        extras = [e for _, _, e in chunk]
+        if extras[0] is None:
+            extra = None
+        else:
+            extra = extras[0] if len(extras) == 1 else np.sort(
+                np.concatenate(extras))
+        res = kernel(g, th, extra)
+        if len(res) == 0:
+            continue
+        frames.append(res)
+        for sc, d in zip(res["score"].to_numpy(), res["doc_id"].to_numpy()):
+            item = (float(sc), -int(d))
+            if len(heap) < k:
+                heapq.heappush(heap, item)
+            elif item > heap[0]:
+                heapq.heapreplace(heap, item)
+    return frames, heap
+
+
+def _serve_worker(args):
+    """Worker-process entry: scan one shard chunk against the pinned
+    snapshot path and return its candidate frames."""
+    path, chunk, tids, params, theta0, batch = args
+    dset = _WORKER_DATASETS.get(path)
+    if dset is None:
+        dset = _WORKER_DATASETS[path] = ds.dataset(
+            path, partitioning="hive")
+    kernel = _kernel_from_params(params)
+    guard = (10.0 ** -params["round_to"]
+             if params.get("round_to") is not None else 0.0)
+    tfilter = pc.field("term_id").isin(tids)
+    frames, _ = _scan_plan(dset, tfilter, chunk, kernel, params["k"],
+                           guard, theta0, batch)
+    return frames
 
 
 class LocalSearcher:
@@ -75,9 +218,10 @@ class LocalSearcher:
         self.avgdl = float(stats["avgdl"])
         self.mode = stats["analyzer"]
         self._dict = ds.dataset(cat.data_path(ib.TERM_DICT_TABLE))
-        self._postings = ds.dataset(
-            cat.data_path(ib.POSTINGS_TABLE), partitioning="hive"
-        )
+        # snapshot paths are PINNED at construction — worker processes
+        # re-open the same generation regardless of later commits
+        self._postings_path = cat.data_path(ib.POSTINGS_TABLE)
+        self._postings = ds.dataset(self._postings_path, partitioning="hive")
 
     def plan(self, query_text: str) -> dict[int, float]:
         terms = sorted(set(analyze_query(query_text, mode=self.mode)))
@@ -97,7 +241,11 @@ class LocalSearcher:
              match_all: bool = False,
              attr_filter: dict | None = None,
              round_to: int | None = None,
-             exclude_text: str | None = None) -> list[tuple[int, float, int]]:
+             exclude_text: str | None = None,
+             min_match: int | None = None,
+             search_after: tuple[float, int] | None = None,
+             required_text: str | None = None,
+             ) -> list[tuple[int, float, int]]:
         """[(doc_id, score, rank)] — bitwise identical to Searcher.topk.
 
         Three-stage shared-θ execution (module docstring): metadata-only
@@ -113,17 +261,60 @@ class LocalSearcher:
         `exclude_text` = ES bool must_not, same semantics and ban-set
         mechanics as Searcher.topk: excluded terms ride the same pruned
         scan, contribute ZERO to every shard upper bound (they can only
-        remove docs), and the kernel splits them into a ban set."""
-        idf = self.plan(query_text)
-        n_terms = len(set(analyze_query(query_text, mode=self.mode)))
-        if not idf or (match_all and len(idf) < n_terms):
+        remove docs), and the kernel splits them into a ban set.
+
+        `min_match` / `search_after` / `required_text` mirror
+        Searcher.topk exactly (minimum_should_match; stateless cursor
+        pagination with the rounded comparison re-applied at the final
+        stage; ES bool `must` clauses with `query_text` as the scored
+        `should` set) — bitwise parity asserted in tests."""
+        idf = self.plan(query_text) if query_text else {}
+        n_terms = (len(set(analyze_query(query_text, mode=self.mode)))
+                   if query_text else 0)
+        required_tids: frozenset[int] | None = None
+        if required_text is not None:
+            req_idf = self.plan(required_text)
+            n_req = len(set(analyze_query(required_text, mode=self.mode)))
+            if len(req_idf) < n_req or not req_idf:
+                return []
+            required_tids = frozenset(req_idf)
+            idf = {**idf, **req_idf}
+            if (min_match is not None
+                    and (len(idf) - len(req_idf)) < min_match):
+                return []
+        if (not idf or (match_all and len(idf) < n_terms)
+                or (required_tids is None and min_match is not None
+                    and len(idf) < min_match)):
             return []
         excluded: frozenset[int] = (
             frozenset(self.plan(exclude_text)) if exclude_text else frozenset()
         )
         return self._topk_from_idf(idf, k, match_all=match_all,
                                    attr_filter=attr_filter,
-                                   round_to=round_to, excluded=excluded)
+                                   round_to=round_to, excluded=excluded,
+                                   min_match=min_match, after=search_after,
+                                   required_tids=required_tids)
+
+    def bool_topk(self, *, must: str | None = None,
+                  should: str | None = None,
+                  must_not: str | None = None,
+                  filter: dict | None = None,  # noqa: A002 — ES field name
+                  minimum_should_match: int | None = None,
+                  k: int = 10, round_to: int | None = None,
+                  ) -> list[tuple[int, float, int]]:
+        """ES composed `bool` request on the serving path — same
+        request shape and semantics as Searcher.bool_topk, bitwise
+        identical results (parity tests)."""
+        if must is None and should is None:
+            raise ValueError("bool query needs must and/or should clauses")
+        msm = minimum_should_match
+        if must is None and msm is None:
+            msm = 1
+        return self.topk(
+            should or "", k, round_to=round_to, min_match=msm,
+            attr_filter=filter, exclude_text=must_not,
+            required_text=must,
+        )
 
     def plan_prefix(self, prefix: str,
                     max_expansions: int = 50) -> dict[int, float]:
@@ -160,11 +351,123 @@ class LocalSearcher:
             return []
         return self._topk_from_idf(idf, k, round_to=round_to)
 
+    def plan_wildcard(self, pattern: str,
+                      max_expansions: int = 50) -> dict[int, float]:
+        """ES `wildcard` expansion over the pyarrow dictionary —
+        identical rewrite to wand.Searcher.plan_wildcard: the literal
+        prefix before the first wildcard prunes the term-sorted scan to
+        a range, the full pattern is applied as an anchored regex, and
+        the expansion is capped at `max_expansions` by (df desc, term
+        asc)."""
+        import re as _re
+
+        p = pattern.lower()
+        if not p:
+            return {}
+        cut = min((p.index(c) for c in "*?" if c in p), default=len(p))
+        flt = None
+        if cut > 0:
+            lo = p[:cut]
+            hi = lo[:-1] + chr(ord(lo[-1]) + 1)
+            flt = (pc.field("term") >= lo) & (pc.field("term") < hi)
+        tbl = self._dict.to_table(
+            columns=["term", "term_id", "df"], filter=flt
+        ).to_pandas()
+        if len(tbl) == 0:
+            return {}
+        rx = _re.compile("^" + "".join(
+            ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+            for ch in p
+        ) + "$")
+        tbl = tbl[tbl["term"].map(lambda t: rx.match(t) is not None)]
+        if len(tbl) == 0:
+            return {}
+        tbl = tbl.sort_values(["df", "term"], ascending=[False, True],
+                              kind="stable").head(int(max_expansions))
+        n = self.n_docs
+        return {
+            int(t): float(np.log(1.0 + (n - d + 0.5) / (d + 0.5)))
+            for t, d in zip(tbl["term_id"], tbl["df"])
+        }
+
+    def topk_wildcard(self, pattern: str, k: int = 10, *,
+                      max_expansions: int = 50,
+                      round_to: int | None = None,
+                      ) -> list[tuple[int, float, int]]:
+        """ES wildcard query on the serving path — bitwise identical to
+        Searcher.topk_wildcard (same expansion plan, same kernel)."""
+        idf = self.plan_wildcard(pattern, max_expansions)
+        if not idf:
+            return []
+        return self._topk_from_idf(idf, k, round_to=round_to)
+
+    def plan_fuzzy(self, query_text: str,
+                   fuzziness: int = 1) -> dict[int, float]:
+        """ES match-`fuzziness` expansion over the pyarrow dictionary —
+        identical rewrite to wand.Searcher.plan_fuzzy: every vocabulary
+        term within `fuzziness` Levenshtein edits of any analyzed query
+        term, each scoring with its own idf.  The utf8_length band
+        prefilter is pushed into the dictionary scan so the Python
+        edit-distance evaluation touches only plausible rows (the
+        Catalyst analog uses F.length the same way)."""
+        terms = sorted(set(analyze_query(query_text, mode=self.mode)))
+        if not terms:
+            return {}
+        f = int(fuzziness)
+        lens = [len(t) for t in terms]
+        band = (pc.utf8_length(pc.field("term")) >= min(lens) - f) & (
+            pc.utf8_length(pc.field("term")) <= max(lens) + f
+        )
+        tbl = self._dict.to_table(
+            columns=["term", "term_id", "df"], filter=band
+        ).to_pandas()
+        if len(tbl) == 0:
+            return {}
+
+        def _lev(a: str, b: str, cap: int) -> int:
+            # plain Levenshtein (insert/delete/substitute, no
+            # transposition) — matches Spark's F.levenshtein
+            if abs(len(a) - len(b)) > cap:
+                return cap + 1
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                                   prev[j - 1] + (ca != cb)))
+                if min(cur) > cap:
+                    return cap + 1
+                prev = cur
+            return prev[-1]
+
+        mask = tbl["term"].map(
+            lambda t: any(_lev(t, q, f) <= f for q in terms)
+        )
+        tbl = tbl[mask]
+        n = self.n_docs
+        return {
+            int(t): float(np.log(1.0 + (n - d + 0.5) / (d + 0.5)))
+            for t, d in zip(tbl["term_id"], tbl["df"])
+        }
+
+    def topk_fuzzy(self, query_text: str, k: int = 10, *,
+                   fuzziness: int = 1, round_to: int | None = None,
+                   ) -> list[tuple[int, float, int]]:
+        """ES fuzzy match on the serving path — bitwise identical to
+        Searcher.topk_fuzzy (same expansion plan, same kernel)."""
+        idf = self.plan_fuzzy(query_text, fuzziness)
+        if not idf:
+            return []
+        return self._topk_from_idf(idf, k, round_to=round_to)
+
     def _topk_from_idf(self, idf: dict[int, float], k: int, *,
                        match_all: bool = False,
                        attr_filter: dict | None = None,
                        round_to: int | None = None,
                        excluded: frozenset[int] = frozenset(),
+                       min_match: int | None = None,
+                       after: tuple[float, int] | None = None,
+                       required_tids: frozenset[int] | None = None,
                        ) -> list[tuple[int, float, int]]:
         tids = sorted({int(t) for t in idf} | excluded)
         tfilter = pc.field("term_id").isin(tids)
@@ -176,14 +479,10 @@ class LocalSearcher:
             return []
         allowed_by_shard: dict[int, np.ndarray] | None = None
         if attr_filter:
-            cond = None
-            for c, v in attr_filter.items():
-                # scalar = ES `term`; list/tuple/set = ES `terms`
-                if isinstance(v, (list, tuple, set, frozenset)):
-                    e = pc.field(c).isin(list(v))
-                else:
-                    e = pc.field(c) == v
-                cond = e if cond is None else cond & e
+            # scalar = `term`; list = `terms`; dict with gte/gt/lte/lt
+            # = ES `range` — query/filters.py compiles the SAME spec
+            # for the Spark path, so the two paths can't drift
+            cond = filters.arrow_cond(attr_filter)
             attrs = ds.dataset(
                 self.cat.data_path(ib.DOC_ATTRS_TABLE), partitioning="hive"
             ).to_table(columns=["shard", "doc_id"], filter=cond).to_pandas()
@@ -219,17 +518,18 @@ class LocalSearcher:
                     continue
             plan.append((int(s), float(sub), allowed))
 
-        # stage 3: adaptive shared-θ execution
-        def kernel(g: pd.DataFrame, th: float, allowed) -> pd.DataFrame:
-            banned = None
-            if excluded:
-                g, banned = split_banned(g, excluded)
-            return shard_topk(g, idf=idf, k=k, avgdl=self.avgdl,
-                              match_all=match_all, allowed=allowed, theta0=th,
-                              round_to=round_to, banned=banned)
-
-        return self._run_plan(self._postings, tfilter, plan, kernel, k,
-                              round_to)
+        # stage 3: adaptive shared-θ execution (kernel built from the
+        # same picklable params the worker processes use)
+        params = {
+            "idf": idf, "k": k, "avgdl": self.avgdl,
+            "match_all": match_all, "round_to": round_to,
+            "excluded": excluded, "min_match": min_match, "after": after,
+            "required_tids": required_tids,
+        }
+        return self._run_plan(self._postings, tfilter, plan,
+                              _kernel_from_params(params), k,
+                              round_to, after=after,
+                              par=(self._postings_path, tids, params))
 
     # shards fetched per bulk read: each pyarrow to_table pays
     # fragment-planning + file-open overhead (~3 ms even warm), and each
@@ -241,87 +541,95 @@ class LocalSearcher:
     # descending-UB segment ordering then prunes ACROSS shards).
     _SHARDS_PER_BATCH = 64
 
+    # surviving shards (after the serial boot batch) fewer than this run
+    # serially — a spawn-pool round trip costs ~10 ms; only corpus-scale
+    # residues are worth shipping out
+    _PAR_MIN_SHARDS = 24
+    # serial boot batch when a parallel tail is possible: just enough
+    # best-UB shards to establish a near-final θ (the plan is UB-sorted)
+    _PAR_BOOT = 24
+    # target shards per worker chunk (workers re-batch internally)
+    _PAR_CHUNK_TARGET = 8
+    # shards per worker batch inside a parallel chunk
+    _PAR_BATCH = 32
+
     def _run_plan(self, dataset, tfilter, plan, kernel, k: int,
-                  round_to: int | None) -> list[tuple[int, float, int]]:
+                  round_to: int | None,
+                  after: tuple[float, int] | None = None,
+                  par: tuple | None = None,
+                  ) -> list[tuple[int, float, int]]:
         """Shared stage-3 executor: θ-gated batched reads + merged
-        kernels.
+        kernels (_scan_plan), with optional cross-shard PROCESS
+        parallelism for corpus-scale plans.
 
-        `plan` = [(shard, static_ub, extra)], UB-descending.  Loop:
-        re-gate the next _SHARDS_PER_BATCH shards on the risen global θ
-        (posting BYTES of pruned shards are never read; the plan is
-        UB-sorted, so the first fully-pruned batch proves every later
-        one prunes too), bulk-read the survivors in one to_table, and
-        run them as ONE merged kernel call under the shared θ.
+        `plan` = [(shard, static_ub, extra)], UB-descending: re-gate
+        each batch on the risen global θ (posting BYTES of pruned
+        shards are never read; the first fully-pruned batch proves
+        every later one prunes too), bulk-read survivors in one
+        to_table, and score them as ONE merged kernel call under the
+        shared θ.  `extra` (per-shard allowed-doc filters) is
+        homogeneous across a query's plan and shards partition the
+        doc-id space, so merged chunks concatenate their sorted
+        allowed arrays losslessly.
 
-        `extra` (per-shard allowed-doc filters) is homogeneous across a
-        query's plan — all None, or all arrays (filter-empty shards
-        never enter the plan) — and shards partition the doc-id space,
-        so merged chunks concatenate their sorted allowed arrays
-        losslessly."""
-        heap: list[tuple[float, int]] = []   # (score, -doc_id), weakest first
-        frames: list[pd.DataFrame] = []
+        `par` = (snapshot_path, term_ids, kernel_params) enables the
+        parallel tail: after the boot batch fixes θ, surviving shards
+        fan out to the persistent worker pool (see module comment);
+        candidates merge losslessly, so results stay bitwise identical
+        to the serial scan."""
+        global _SERVE_POOL, _SERVE_POOL_BROKEN
         guard = 10.0 ** -round_to if round_to is not None else 0.0
-
-        def theta() -> float:
-            # guard band: when ranking on ROUNDED scores, a doc within
-            # one rounding ulp of the kth raw score can round-tie and
-            # win on doc_id — keep it (same rule as wand.shard_topk)
-            return heap[0][0] - guard if len(heap) >= k else -np.inf
-
-        def run_chunk(chunk: list, groups: dict) -> None:
-            th = theta()
-            chunk = [c for c in chunk if c[1] >= th and int(c[0]) in groups]
-            if not chunk:
-                return
-            parts = [groups[int(s)] for s, _, _ in chunk]
-            g = parts[0] if len(parts) == 1 else pd.concat(
-                parts, ignore_index=True
-            )
-            extras = [e for _, _, e in chunk]
-            if extras[0] is None:
-                extra = None
-            else:
-                extra = extras[0] if len(extras) == 1 else np.sort(
-                    np.concatenate(extras)
-                )
-            res = kernel(g, th, extra)
-            if len(res) == 0:
-                return
-            frames.append(res)
-            for sc, d in zip(res["score"].to_numpy(),
-                             res["doc_id"].to_numpy()):
-                item = (float(sc), -int(d))
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
-
         if not plan:
             return []
-        # ONE merged kernel per batch, strictly serial.  Threads were
-        # measured counterproductive at every size on this kernel: the
-        # hot loops (varint block decode, per-segment gather) are
-        # Python-level and HOLD the GIL, so an 8-thread pool turned a
-        # 0.9 s single-thread query into 6.1 s of lock thrash on a
-        # 1.2M-doc corpus (profiled: 42 s of summed kernel wall for
-        # 0.7 s of work).  Serial merged batches also give the best
-        # pruning: each batch's segments are globally UB-ordered inside
-        # one kernel, and θ carries across batches via theta0.
-        i = 0
-        while i < len(plan):
-            th = theta()
-            live = [p for p in plan[i:i + self._SHARDS_PER_BATCH]
-                    if p[1] >= th]
-            i += self._SHARDS_PER_BATCH
-            if not live:
-                break  # UB-descending: all remaining prune too
-            tbl = dataset.to_table(
-                filter=tfilter
-                & pc.field("shard").isin([int(s) for s, _, _ in live])
-            ).to_pandas()
-            groups = {int(s): g
-                      for s, g in tbl.groupby("shard", sort=False)}
-            run_chunk(live, groups)
+        par_possible = (
+            par is not None and not _SERVE_POOL_BROKEN
+            and len(plan) >= self._PAR_BOOT + self._PAR_MIN_SHARDS)
+        n_boot = self._PAR_BOOT if par_possible else self._SHARDS_PER_BATCH
+        boot = plan[:n_boot]
+        frames, heap = _scan_plan(dataset, tfilter, boot, kernel, k,
+                                  guard, -np.inf, self._SHARDS_PER_BATCH)
+        rest = plan[n_boot:]
+        if rest:
+            th = heap[0][0] - guard if len(heap) >= k else -np.inf
+            live = [p for p in rest if p[1] >= th]
+            done = False
+            if (par is not None and not _SERVE_POOL_BROKEN
+                    and len(live) >= self._PAR_MIN_SHARDS):
+                path, tids, params = par
+                try:
+                    pool = _get_serve_pool()
+                    n = max(1, min(_SERVE_POOL_SIZE,
+                                   (len(live) + self._PAR_CHUNK_TARGET - 1)
+                                   // self._PAR_CHUNK_TARGET))
+                    # stride split keeps each chunk UB-descending and
+                    # UB-balanced across workers
+                    chunks = [live[j::n] for j in range(n)]
+                    futs = [pool.submit(
+                        _serve_worker,
+                        (path, c, tids, params, th, self._PAR_BATCH))
+                        for c in chunks]
+                    # gather fully BEFORE merging: a partial merge +
+                    # serial fallback would duplicate candidates
+                    got = [f.result() for f in futs]
+                    for fr in got:
+                        frames.extend(fr)
+                    done = True
+                except Exception:
+                    # e.g. BrokenProcessPool under an unguarded
+                    # __main__ (the mp bootstrap re-executes it) —
+                    # disable the pool for this process and serve
+                    # serially; results are identical either way
+                    _SERVE_POOL_BROKEN = True
+                    try:
+                        _SERVE_POOL.shutdown(wait=False,
+                                             cancel_futures=True)
+                    except Exception:
+                        pass
+                    _SERVE_POOL = None
+            if not done and live:
+                _scan_plan(dataset, tfilter, live, kernel, k, guard,
+                           th, self._SHARDS_PER_BATCH,
+                           heap=heap, frames=frames)
         if not frames:
             return []
         allr = pd.concat(frames, ignore_index=True)
@@ -331,9 +639,19 @@ class LocalSearcher:
             # bank to even) — k-bounded candidate set, so per-value cost
             # is irrelevant
             scores = np.array([_round_half_up(s, round_to) for s in scores])
-        order = np.lexsort((allr["doc_id"].to_numpy(), -scores))[:k]
+        doc_ids = allr["doc_id"].to_numpy()
+        if after is not None:
+            # re-apply the EXACT rounded cursor comparison (the kernel
+            # is overinclusive by one rounding ulp) — mirrors the Spark
+            # path's final-stage where clause
+            s_a, d_a = float(after[0]), int(after[1])
+            keep = (scores < s_a) | ((scores == s_a) & (doc_ids > d_a))
+            scores, doc_ids = scores[keep], doc_ids[keep]
+            if len(doc_ids) == 0:
+                return []
+        order = np.lexsort((doc_ids, -scores))[:k]
         return [
-            (int(allr["doc_id"].iloc[i]), float(scores[i]), r + 1)
+            (int(doc_ids[i]), float(scores[i]), r + 1)
             for r, i in enumerate(order)
         ]
 
@@ -380,18 +698,18 @@ class LocalSearcher:
         )
         plan = [(int(s), float(u), None) for s, u in bounds.items()]
 
-        def kernel(g: pd.DataFrame, th: float, _extra) -> pd.DataFrame:
-            return shard_topk_impact(g, idf=idf, k=k, round_to=round_to,
-                                     theta0=th)
-
-        return self._run_plan(pq, tfilter, plan, kernel, k, round_to)
+        params = {"quantized": True, "idf": idf, "k": k,
+                  "round_to": round_to}
+        return self._run_plan(pq, tfilter, plan,
+                              _kernel_from_params(params), k, round_to,
+                              par=(self._pq_path, tids, params))
 
     def _postings_q(self):
         got = getattr(self, "_pq_ds", None)
         if got is None:
-            got = self._pq_ds = ds.dataset(
-                self.cat.data_path(ib.POSTINGS_Q_TABLE), partitioning="hive"
-            )
+            self._pq_path = self.cat.data_path(ib.POSTINGS_Q_TABLE)
+            got = self._pq_ds = ds.dataset(self._pq_path,
+                                           partitioning="hive")
         return got
 
     # -- stored-fields serving (doc_store column family) ---------------------

@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 
 from search_ingest_spark.catalog import Catalog
 from search_ingest_spark.index import build as ib
+from search_ingest_spark.query import filters
 from search_ingest_spark.index.codec import decode_block, decode_blocks_bulk
 from search_ingest_spark.query.bm25 import B, K1, analyze_query
 
@@ -52,6 +53,17 @@ from search_ingest_spark.query.bm25 import B, K1, analyze_query
 # Python segment loop's fixed cost while keeping pruning block-accurate
 # up to ~_MAX_SEGMENTS block boundaries per frame
 _MAX_SEGMENTS = 1024
+
+
+def _round_half_up(x: float, nd: int) -> float:
+    """Round half AWAY from zero at nd decimals — what Spark's F.round
+    and DuckDB's round() do (np.round banks to even).  Used by the
+    search_after cursor test (ambiguous band only) and the serving
+    path's final ranking stage — one definition so they cannot drift."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"),
+                                           rounding=ROUND_HALF_UP))
 
 
 class Searcher:
@@ -97,7 +109,8 @@ class Searcher:
              attr_filter: dict | None = None,
              attr_where=None,
              exclude_text: str | None = None,
-             search_after: tuple[float, int] | None = None) -> DataFrame:
+             search_after: tuple[float, int] | None = None,
+             required_text: str | None = None) -> DataFrame:
         """(doc_id, score, rank) — rank-identical to the brute-force oracle.
 
         `match_all=True` = conjunctive (AND) query.  A query with terms
@@ -129,12 +142,36 @@ class Searcher:
         depth-independent — page 1000 costs the same as page 1, unlike
         from/size.  The kernel keeps candidates at/below the cursor
         (overinclusive by one rounding ulp) and this method re-applies
-        the exact rounded comparison before the global limit."""
-        idf = self.plan(query_text)
+        the exact rounded comparison before the global limit.
+
+        `required_text` = ES bool `must` clauses alongside `query_text`
+        as the `should` clauses: docs must contain EVERY analyzed
+        required term; all matched terms (must and should) contribute
+        additively to the score; `min_match` then counts SHOULD matches
+        only (ES minimum_should_match with must present).  A term in
+        both texts is treated as must (scored once).  See bool_topk for
+        the request-shaped wrapper."""
+        idf = self.plan(query_text) if query_text else {}
         out_schema = "doc_id long, score double"
-        n_query_terms = len(set(analyze_query(query_text, mode=self.mode)))
+        n_query_terms = (len(set(analyze_query(query_text, mode=self.mode)))
+                         if query_text else 0)
+        required_tids: frozenset[int] | None = None
+        if required_text is not None:
+            req_idf = self.plan(required_text)
+            n_req = len(set(analyze_query(required_text, mode=self.mode)))
+            if len(req_idf) < n_req or not req_idf:
+                # a must term absent from the dictionary matches nothing
+                return self.spark.createDataFrame(
+                    [], out_schema + ", rank int")
+            required_tids = frozenset(req_idf)
+            idf = {**idf, **req_idf}  # must wins on overlap (same idf)
+            if (min_match is not None
+                    and (len(idf) - len(req_idf)) < min_match):
+                return self.spark.createDataFrame(
+                    [], out_schema + ", rank int")
         if (not idf or (match_all and len(idf) < n_query_terms)
-                or (min_match is not None and len(idf) < min_match)):
+                or (required_tids is None and min_match is not None
+                    and len(idf) < min_match)):
             return self.spark.createDataFrame([], out_schema + ", rank int")
         excluded: frozenset[int] = (
             frozenset(self.plan(exclude_text)) if exclude_text else frozenset()
@@ -144,13 +181,11 @@ class Searcher:
         pruned = self.postings.where(F.col("term_id").isin([int(t) for t in scan_ids]))
         if attr_filter or attr_where is not None:
             attrs = self.cat.read(ib.DOC_ATTRS_TABLE)
-            for c, v in (attr_filter or {}).items():
-                # scalar = ES `term` filter; list/tuple/set = ES `terms`
-                # (match ANY of the values)
-                if isinstance(v, (list, tuple, set, frozenset)):
-                    attrs = attrs.where(F.col(c).isin(list(v)))
-                else:
-                    attrs = attrs.where(F.col(c) == v)
+            if attr_filter:
+                # scalar = ES `term`; list = ES `terms`; dict with
+                # gte/gt/lte/lt = ES `range` (query/filters.py — one
+                # spec compiled identically for both query paths)
+                attrs = attrs.where(filters.spark_cond(attr_filter))
             if attr_where is not None:
                 attrs = attrs.where(attr_where)
             avgdl, _idf = self.avgdl, idf
@@ -169,7 +204,8 @@ class Searcher:
                 return shard_topk(post_pdf, idf=_idf, k=k, avgdl=avgdl,
                                   match_all=match_all, round_to=round_to,
                                   allowed=allowed, min_match=min_match,
-                                  banned=banned, after=search_after)
+                                  banned=banned, after=search_after,
+                                  required_tids=required_tids)
 
             per_shard = (
                 pruned.groupBy("shard")
@@ -179,7 +215,8 @@ class Searcher:
         else:
             scorer = _make_shard_scorer(idf, k, self.avgdl, match_all, round_to,
                                         min_match, excluded_tids=excluded,
-                                        after=search_after)
+                                        after=search_after,
+                                        required_tids=required_tids)
             per_shard = pruned.groupBy("shard").applyInPandas(
                 scorer, schema=out_schema
             )
@@ -198,6 +235,40 @@ class Searcher:
 
         return ranked_desc(topk, "score", "doc_id")
 
+
+    # -- composed bool query --------------------------------------------------
+    def bool_topk(self, *, must: str | None = None,
+                  should: str | None = None,
+                  must_not: str | None = None,
+                  filter: dict | None = None,  # noqa: A002 — ES field name
+                  minimum_should_match: int | None = None,
+                  k: int = 10, round_to: int | None = None) -> DataFrame:
+        """ES's canonical composed `bool` request in one kernel pass
+        (reference: queries forwarded to ES's bool DSL, elastic.cr):
+
+          must     — AND semantics, scored
+          should   — additive scoring, optional unless
+                     minimum_should_match (counted over should only
+                     when must is present, ES semantics)
+          must_not — ban set, candidates only (df/avgdl untouched)
+          filter   — non-scoring filter context (term/terms/range spec,
+                     query/filters.py)
+
+        All four clause types ride the ONE pruned postings scan + one
+        per-shard kernel invocation — no extra jobs or shuffles vs a
+        plain match query.  When only should clauses are given,
+        minimum_should_match defaults to 1 (ES's default for a pure
+        should bool)."""
+        if must is None and should is None:
+            raise ValueError("bool query needs must and/or should clauses")
+        msm = minimum_should_match
+        if must is None and msm is None:
+            msm = 1  # pure-should bool: ES default
+        return self.topk(
+            should or "", k, round_to=round_to, min_match=msm,
+            attr_filter=filter, exclude_text=must_not,
+            required_text=must,
+        )
 
     # -- fuzzy execution ------------------------------------------------------
     def plan_fuzzy(self, query_text: str, fuzziness: int = 1) -> dict[int, float]:
@@ -304,6 +375,70 @@ class Searcher:
 
         return ranked_desc(topk, "score", "doc_id")
 
+    # -- wildcard execution ---------------------------------------------------
+    def plan_wildcard(
+        self, pattern: str, max_expansions: int = 50
+    ) -> dict[int, float]:
+        """term_id → idf for dictionary terms matching an ES `wildcard`
+        pattern (`*` = any run, `?` = exactly one char), capped at
+        `max_expansions` by (df desc, term asc) — the same deterministic
+        rewrite as plan_prefix.  The literal prefix before the first
+        wildcard narrows the term-sorted dictionary scan to a pruned
+        range (ES walks a compiled automaton over its FST; the analog
+        here is range + regex over the tiny dictionary table)."""
+        p = pattern.lower()
+        if not p:
+            return {}
+        cut = min((p.index(c) for c in "*?" if c in p), default=len(p))
+        scan = self.term_dict
+        if cut > 0:
+            lo = p[:cut]
+            hi = lo[:-1] + chr(ord(lo[-1]) + 1)
+            scan = scan.where((F.col("term") >= lo) & (F.col("term") < hi))
+        import re as _re
+
+        rx = "^" + "".join(
+            ".*" if ch == "*" else "." if ch == "?" else _re.escape(ch)
+            for ch in p
+        ) + "$"
+        rows = (
+            scan.where(F.col("term").rlike(rx))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(int(max_expansions))
+            .select("term_id", "df")
+            .collect()
+        )
+        n = self.n_docs
+        return {
+            int(r["term_id"]):
+                float(np.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5)))
+            for r in rows
+        }
+
+    def topk_wildcard(
+        self, pattern: str, k: int = 10, *, max_expansions: int = 50,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES wildcard query: the expansion plan feeds the unchanged
+        WAND kernel as an OR query, each expanded term scoring with its
+        own idf (same documented divergence from ES's blended-df
+        rewrite as topk_prefix/topk_fuzzy)."""
+        idf = self.plan_wildcard(pattern, max_expansions)
+        out_schema = "doc_id long, score double"
+        if not idf:
+            return self.spark.createDataFrame([], out_schema + ", rank int")
+        pruned = self.postings.where(
+            F.col("term_id").isin([int(t) for t in idf])
+        )
+        scorer = _make_shard_scorer(idf, k, self.avgdl, False, round_to)
+        topk = pruned.groupBy("shard").applyInPandas(scorer, schema=out_schema)
+        if round_to is not None:
+            topk = topk.withColumn("score", F.round("score", round_to))
+        topk = topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        from search_ingest_spark.ranking import ranked_desc
+
+        return ranked_desc(topk, "score", "doc_id")
+
     # -- quantized execution --------------------------------------------------
     def topk_quantized(
         self, query_text: str, k: int = 10, *, round_to: int | None = None,
@@ -389,7 +524,8 @@ def _make_shard_scorer(idf: dict[int, float], k: int, avgdl: float,
                        match_all: bool = False, round_to: int | None = None,
                        min_match: int | None = None,
                        excluded_tids: frozenset[int] | None = None,
-                       after: tuple[float, int] | None = None):
+                       after: tuple[float, int] | None = None,
+                       required_tids: frozenset[int] | None = None):
     """Build the per-shard applyInPandas kernel (closure ships idf/k)."""
 
     def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -398,7 +534,8 @@ def _make_shard_scorer(idf: dict[int, float], k: int, avgdl: float,
             pdf, banned = split_banned(pdf, excluded_tids)
         return shard_topk(pdf, idf=idf, k=k, avgdl=avgdl, match_all=match_all,
                           round_to=round_to, min_match=min_match,
-                          banned=banned, after=after)
+                          banned=banned, after=after,
+                          required_tids=required_tids)
 
     return scorer
 
@@ -418,8 +555,6 @@ def split_banned(
     if not ex_mask.any():
         return pdf, None
     ex = pdf[ex_mask]
-    if len(ex) == 0:
-        return pdf[~ex_mask], None
     d_all, _tf, _dl, _off = decode_blocks_bulk(
         list(ex["data"]),
         ex["first_doc_id"].to_numpy(np.int64),
@@ -428,15 +563,92 @@ def split_banned(
     return pdf[~ex_mask], np.unique(d_all)
 
 
+def _bm25_model(idf: dict[int, float], avgdl: float, k1: float, b: float):
+    """Scoring model for the EXACT path: per-block upper bounds from
+    (max_tf, min_dl) and per-term bulk decode of (doc, tf, dl) varint
+    streams into BM25 contributions.  The expressions are verbatim the
+    ones shard_topk carried inline before the model split (bitwise
+    identity to the oracle depends on the op order staying fixed)."""
+
+    def block_ub(pdf: pd.DataFrame, tid: np.ndarray) -> np.ndarray:
+        # Per-block upper bound from (max_tf, min_dl): the tf-norm is
+        # increasing in tf and decreasing in dl, so evaluating it at
+        # (max_tf, min_dl) under the CURRENT avgdl bounds every posting
+        # in the block.  Inflated 1e-9 relative so float rounding can
+        # never undercut a true doc score computed with the same ops.
+        mtf = pdf["max_tf"].to_numpy(np.float64)
+        mdl = pdf["min_dl"].to_numpy(np.float64)
+        return (
+            np.array([idf[t] for t in tid])
+            * ((mtf * (k1 + 1.0)) / (mtf + k1 * (1.0 - b + b * mdl / avgdl)))
+            * (1.0 + 1e-9)
+        )
+
+    def decode_term(t: int, data_list: list, firsts: np.ndarray,
+                    ndocs: np.ndarray):
+        d_all, tf, dl, offs = decode_blocks_bulk(data_list, firsts, ndocs)
+        # mirrors bm25.idf_expr * bm25.tf_norm_expr, same op order —
+        # per-term partial products stay bitwise identical to the
+        # brute-force oracle's
+        contrib_all = idf[int(t)] * (
+            (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        )
+        return d_all, contrib_all, offs
+
+    return block_ub, decode_term
+
+
+def _impact_model(idf: dict[int, float]):
+    """Scoring model for the QUANTIZED path: exact per-block bound from
+    the stored one-byte max_impact, contributions idf*(q+0.5)/SCALE
+    (codec module doc; same op order as bm25.bm25_quantized_oracle_sql)."""
+    from search_ingest_spark.index.codec import (
+        IMPACT_SCALE,
+        decode_impact_blocks_bulk,
+    )
+
+    def block_ub(pdf: pd.DataFrame, tid: np.ndarray) -> np.ndarray:
+        mimp = pdf["max_impact"].to_numpy(np.float64)
+        return (
+            np.array([idf[t] for t in tid])
+            * ((mimp + 0.5) / IMPACT_SCALE)
+            * (1.0 + 1e-9)
+        )
+
+    def decode_term(t: int, data_list: list, firsts: np.ndarray,
+                    ndocs: np.ndarray):
+        d_all, q_all, offs = decode_impact_blocks_bulk(
+            data_list, firsts, ndocs
+        )
+        contrib_all = idf[int(t)] * (
+            (q_all.astype(np.float64) + 0.5) / IMPACT_SCALE
+        )
+        return d_all, contrib_all, offs
+
+    return block_ub, decode_term
+
+
 def shard_topk(
-    pdf: pd.DataFrame, *, idf: dict[int, float], k: int, avgdl: float,
+    pdf: pd.DataFrame, *, idf: dict[int, float], k: int, avgdl: float = 1.0,
     k1: float = K1, b: float = B, match_all: bool = False,
     round_to: int | None = None, allowed: np.ndarray | None = None,
     theta0: float = -np.inf, min_match: int | None = None,
     banned: np.ndarray | None = None,
     after: tuple[float, int] | None = None,
+    model=None,
+    required_tids: frozenset[int] | None = None,
 ) -> pd.DataFrame:
     """Exact top-k for one shard's query-term postings (block-max pruning).
+
+    `required_tids` = ES composed `bool`: the MUST subset of the query
+    terms.  A doc qualifies iff it contains every required term AND at
+    least `min_match` of the remaining (SHOULD) terms; ALL matched
+    terms contribute additively to the score (ES's must+should
+    scoring).  Mutually exclusive with match_all (which is the special
+    case required_tids == all terms); when required_tids is given,
+    min_match counts SHOULD matches only — ES minimum_should_match in
+    the presence of must clauses.  The OR upper bounds stay valid
+    (qualification only drops docs), so pruning stays exact.
 
     `match_all=True` = conjunctive (AND) semantics: only docs containing
     EVERY query term qualify (ES `operator: and`); the OR upper bounds
@@ -457,6 +669,12 @@ def shard_topk(
     Dropping docs can only lower scores, so every upper bound stays
     valid and pruning stays exact.
 
+    `model` selects the scoring arithmetic: a (block_ub, decode_term)
+    pair (see _bm25_model / _impact_model); None = exact BM25.  The
+    segment/prune/heap machinery is model-independent, so the quantized
+    path shares every qualifier (match_all/min_match/banned/allowed/
+    after) with the exact path.
+
     Pure function over the postings rows of ONE shard — unit-testable
     without Spark."""
     if banned is not None and len(banned) == 0:
@@ -465,21 +683,16 @@ def shard_topk(
         return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
                              "score": pd.array([], dtype="float64")})
     term_ids = sorted(idf)
-    term_order = {t: i for i, t in enumerate(term_ids)}
-
-    # Per-block upper bound from (max_tf, min_dl): the tf-norm is
-    # increasing in tf and decreasing in dl, so evaluating it at
-    # (max_tf, min_dl) under the CURRENT avgdl bounds every posting in
-    # the block.  Inflated 1e-9 relative so float rounding can never
-    # undercut a true doc score computed with the same ops.
-    tid = pdf["term_id"].to_numpy(np.int64)
-    mtf = pdf["max_tf"].to_numpy(np.float64)
-    mdl = pdf["min_dl"].to_numpy(np.float64)
-    ub = (
-        np.array([idf[t] for t in tid])
-        * ((mtf * (k1 + 1.0)) / (mtf + k1 * (1.0 - b + b * mdl / avgdl)))
-        * (1.0 + 1e-9)
+    if required_tids is not None and not required_tids <= set(term_ids):
+        # a must term absent from the scored set can never be matched
+        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                             "score": pd.array([], dtype="float64")})
+    block_ub, decode_term = model if model is not None else _bm25_model(
+        idf, avgdl, k1, b
     )
+
+    tid = pdf["term_id"].to_numpy(np.int64)
+    ub = block_ub(pdf, tid)
     first = pdf["first_doc_id"].to_numpy(np.int64)
     last = pdf["last_doc_id"].to_numpy(np.int64)
 
@@ -558,21 +771,16 @@ def shard_topk(
         vectorized pass (decode_blocks_bulk ≈ 18x per-block decode —
         numpy call overhead dominated the serving path's kernel time);
         a term every one of whose segments prunes is never decoded.
-        The contribution arithmetic is the same elementwise expression
-        as before (mirrors bm25.idf_expr * bm25.tf_norm_expr), so
-        per-term partial products stay bitwise identical to the
-        brute-force oracle's."""
+        The contribution arithmetic lives in the model's decode_term
+        (same elementwise expression order as the oracles)."""
         if t in terms_decoded:
             return
         terms_decoded.add(t)
         rows = rows_by_term[t]
         if len(rows) == 0:
             return
-        d_all, tf, dl, offs = decode_blocks_bulk(
-            [datas[r] for r in rows], first[rows], ndocs[rows]
-        )
-        contrib_all = idf[int(t)] * (
-            (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        d_all, contrib_all, offs = decode_term(
+            t, [datas[r] for r in rows], first[rows], ndocs[rows]
         )
         for i, r in enumerate(rows):
             decoded[int(r)] = (d_all[offs[i]:offs[i + 1]],
@@ -586,7 +794,9 @@ def shard_topk(
         # in term order (deterministic float accumulation)
         seg_docs: list[np.ndarray] = []
         seg_contrib: list[np.ndarray] = []
+        seg_isreq: list[bool] = []  # parallel: append came from a MUST term
         for t in term_ids:
+            t_isreq = required_tids is not None and t in required_tids
             rows = rows_by_term[t]
             ft = first_by_term[t]
             lt = last_by_term[t]
@@ -614,6 +824,7 @@ def shard_topk(
                 if m.any():
                     seg_docs.append(d[m])
                     seg_contrib.append(c[m])
+                    seg_isreq.append(t_isreq)
                 j += 1
         if not seg_docs:
             continue
@@ -626,28 +837,52 @@ def shard_topk(
         docs_u = np.unique(np.concatenate(seg_docs))
         scores_u = np.zeros(len(docs_u), dtype=np.float64)
         nmatch = np.zeros(len(docs_u), dtype=np.int32)
-        for d_arr, c_arr in zip(seg_docs, seg_contrib):
+        nmatch_req = (np.zeros(len(docs_u), dtype=np.int32)
+                      if required_tids is not None else None)
+        for ai, (d_arr, c_arr) in enumerate(zip(seg_docs, seg_contrib)):
             idxs = np.searchsorted(docs_u, d_arr)
             scores_u[idxs] += c_arr
             nmatch[idxs] += 1
-        need = len(term_ids) if match_all else (min_match or 0)
-        if need > 1:
-            qual = nmatch >= need
+            if nmatch_req is not None and seg_isreq[ai]:
+                nmatch_req[idxs] += 1
+        if required_tids is not None:
+            # composed bool: ALL must terms + ≥min_match should terms
+            qual = (nmatch_req == len(required_tids)) & (
+                nmatch - nmatch_req >= (min_match or 0)
+            )
             docs_u, scores_u = docs_u[qual], scores_u[qual]
             if len(docs_u) == 0:
                 continue
+        else:
+            need = len(term_ids) if match_all else (min_match or 0)
+            if need > 1:
+                qual = nmatch >= need
+                docs_u, scores_u = docs_u[qual], scores_u[qual]
+                if len(docs_u) == 0:
+                    continue
         if after is not None:
             # search_after cursor (s, d): only docs strictly after that
-            # sort position qualify.  Drop docs PROVABLY at/before the
-            # cursor (raw >= s rounds to >= s; raw > s + one ulp rounds
-            # above s) and keep the rest — overinclusive by at most one
-            # rounding ulp; the caller's final stage re-applies the
-            # exact rounded comparison.  θ then tracks the kth best
-            # QUALIFIED doc, so pruning stays exact for this page.
+            # sort position on ROUNDED scores qualify.  The test must be
+            # EXACT here, not merely overinclusive: the θ heap below
+            # feeds on these rows, and one cursor-adjacent spurious doc
+            # (raw just above s, rounding above s) would displace the
+            # true kth and inflate θ by the whole cursor-to-kth gap —
+            # pruning real page-2 docs (observed on merged multi-shard
+            # frames, where competition is global).  Docs outside the
+            # ±guard band are resolved by the raw comparison; the few
+            # ambiguous ones get the same HALF_UP decimal rounding the
+            # final stage uses, so kernel and final stage agree.
             s_a, d_a = after
-            qual_a = (scores_u <= s_a + guard) & ~(
-                (scores_u >= s_a) & (docs_u <= d_a)
-            )
+            if round_to is None:
+                qual_a = (scores_u < s_a) | (
+                    (scores_u == s_a) & (docs_u > d_a)
+                )
+            else:
+                qual_a = scores_u < s_a - guard
+                amb = ~qual_a & (scores_u <= s_a + guard)
+                for i in np.flatnonzero(amb):
+                    r = _round_half_up(float(scores_u[i]), round_to)
+                    qual_a[i] = r < s_a or (r == s_a and int(docs_u[i]) > d_a)
             docs_u, scores_u = docs_u[qual_a], scores_u[qual_a]
             if len(docs_u) == 0:
                 continue
@@ -686,158 +921,25 @@ def shard_topk(
 def shard_topk_impact(
     pdf: pd.DataFrame, *, idf: dict[int, float], k: int,
     round_to: int | None = None, theta0: float = -np.inf,
+    match_all: bool = False, allowed: np.ndarray | None = None,
+    min_match: int | None = None, banned: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> pd.DataFrame:
     """Exact top-k under QUANTIZED scoring for one shard's impact blocks.
 
-    Same segment/prune/merge machinery as shard_topk, but contributions
-    come from the one-byte impacts (idf * (q+0.5)/IMPACT_SCALE) and the
-    per-block bound is idf * (max_impact+0.5)/IMPACT_SCALE — exact, so
-    pruning is tighter.  "Exact" here means: the top-k under the
-    quantized scoring function, which is what the quantized oracle
-    models."""
-    from search_ingest_spark.index.codec import (
-        IMPACT_SCALE,
-        decode_impact_blocks_bulk,
+    Same segment/prune/merge machinery as shard_topk — literally: this
+    is shard_topk under _impact_model, where contributions come from
+    the one-byte impacts (idf * (q+0.5)/IMPACT_SCALE) and the per-block
+    bound is idf * (max_impact+0.5)/IMPACT_SCALE — exact, so pruning is
+    tighter.  "Exact" here means: the top-k under the quantized scoring
+    function, which is what the quantized oracle models.  All of
+    shard_topk's qualifiers (match_all/min_match/banned/allowed/after)
+    apply unchanged; fixes to the shared kernel land on both paths."""
+    return shard_topk(
+        pdf, idf=idf, k=k, round_to=round_to, theta0=theta0,
+        match_all=match_all, allowed=allowed, min_match=min_match,
+        banned=banned, after=after, model=_impact_model(idf),
     )
-
-    if len(pdf) == 0:
-        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
-                             "score": pd.array([], dtype="float64")})
-    term_ids = sorted(idf)
-    tid = pdf["term_id"].to_numpy(np.int64)
-    mimp = pdf["max_impact"].to_numpy(np.float64)
-    ub = (
-        np.array([idf[t] for t in tid])
-        * ((mimp + 0.5) / IMPACT_SCALE)
-        * (1.0 + 1e-9)
-    )
-    first = pdf["first_doc_id"].to_numpy(np.int64)
-    last = pdf["last_doc_id"].to_numpy(np.int64)
-
-    starts = np.concatenate([first, last + 1])
-    deltas = np.concatenate([ub, -ub])
-    order = np.argsort(starts, kind="stable")
-    bounds = starts[order]
-    seg_ub = np.cumsum(deltas[order])
-    mag = np.cumsum(np.abs(deltas[order]))
-    seg_ub = seg_ub + mag * (np.arange(1, len(seg_ub) + 1) * 2.3e-16)
-    uniq_mask = np.concatenate([bounds[1:] != bounds[:-1], [True]])
-    seg_lo = bounds[uniq_mask]
-    seg_ub = seg_ub[uniq_mask]
-    seg_hi = np.concatenate([seg_lo[1:] - 1, [int(last.max())]])
-    live = seg_ub > 1e-12
-    seg_lo, seg_hi, seg_ub = seg_lo[live], seg_hi[live], seg_ub[live]
-    # cap the segment count: past a few thousand segments the Python
-    # loop's fixed per-iteration cost (searchsorted + slicing + heap)
-    # dominates the kernel.  Merge runs of ADJACENT segments and bound
-    # the union by its members' max UB — still a valid upper bound, so
-    # pruning stays exact (merely coarser) and scores/results are
-    # unchanged; the per-term bulk decode makes the wider gather cheap.
-    if len(seg_lo) > _MAX_SEGMENTS:
-        width = -(-len(seg_lo) // _MAX_SEGMENTS)
-        starts = np.arange(0, len(seg_lo), width)
-        seg_ub = np.maximum.reduceat(seg_ub, starts)
-        seg_hi = seg_hi[np.minimum(starts + width - 1, len(seg_hi) - 1)]
-        seg_lo = seg_lo[starts]
-
-    heap: list[tuple[float, int]] = []
-    results_docs: list[np.ndarray] = []
-    results_scores: list[np.ndarray] = []
-    decoded: dict[int, tuple[np.ndarray, np.ndarray]] = {}
-    rows_by_term: dict[int, np.ndarray] = {}
-    first_by_term: dict[int, np.ndarray] = {}
-    last_by_term: dict[int, np.ndarray] = {}
-    for t in term_ids:
-        rows = np.flatnonzero(tid == t)
-        rows = rows[np.argsort(first[rows], kind="stable")]
-        rows_by_term[t] = rows
-        first_by_term[t] = first[rows]
-        last_by_term[t] = last[rows]
-    datas = pdf["data"].to_numpy(object)
-    ndocs = pdf["n_docs"].to_numpy(np.int64)
-    guard = 10.0 ** -round_to if round_to is not None else 0.0
-
-    def theta() -> float:
-        own = heap[0][0] - guard if len(heap) >= k else -np.inf
-        return own if own > theta0 else theta0
-
-    terms_decoded: set[int] = set()
-
-    def ensure_term(t: int) -> None:
-        # lazy per-term BULK decode, same rationale as shard_topk's
-        if t in terms_decoded:
-            return
-        terms_decoded.add(t)
-        rows = rows_by_term[t]
-        if len(rows) == 0:
-            return
-        d_all, q_all, offs = decode_impact_blocks_bulk(
-            [datas[r] for r in rows], first[rows], ndocs[rows]
-        )
-        # same op order as the oracle: idf * ((q + 0.5) / SCALE)
-        contrib_all = idf[int(t)] * (
-            (q_all.astype(np.float64) + 0.5) / IMPACT_SCALE
-        )
-        for i, r in enumerate(rows):
-            decoded[int(r)] = (d_all[offs[i]:offs[i + 1]],
-                               contrib_all[offs[i]:offs[i + 1]])
-
-    for si in np.argsort(-seg_ub, kind="stable"):
-        if seg_ub[si] < theta():
-            break
-        lo, hi = int(seg_lo[si]), int(seg_hi[si])
-        seg_docs: list[np.ndarray] = []
-        seg_contrib: list[np.ndarray] = []
-        for t in term_ids:
-            rows = rows_by_term[t]
-            ft = first_by_term[t]
-            lt = last_by_term[t]
-            i0 = int(np.searchsorted(ft, lo, side="left"))
-            while i0 > 0 and lt[i0 - 1] >= lo:
-                i0 -= 1
-            j = i0
-            if j < len(rows) and ft[j] <= hi:
-                ensure_term(t)
-            while j < len(rows) and ft[j] <= hi:
-                d, c = decoded[int(rows[j])]
-                m = (d >= lo) & (d <= hi)
-                if m.any():
-                    seg_docs.append(d[m])
-                    seg_contrib.append(c[m])
-                j += 1
-        if not seg_docs:
-            continue
-        docs_u = np.unique(np.concatenate(seg_docs))
-        scores_u = np.zeros(len(docs_u), dtype=np.float64)
-        for d_arr, c_arr in zip(seg_docs, seg_contrib):
-            idxs = np.searchsorted(docs_u, d_arr)
-            scores_u[idxs] += c_arr
-        results_docs.append(docs_u)
-        results_scores.append(scores_u)
-        if k > 0:
-            cand = np.argsort(-scores_u, kind="stable")[:k]
-            for ci in cand:
-                item = (float(scores_u[ci]), -int(docs_u[ci]))
-                if len(heap) < k:
-                    heapq.heappush(heap, item)
-                elif item > heap[0]:
-                    heapq.heapreplace(heap, item)
-
-    if not results_docs:
-        return pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
-                             "score": pd.array([], dtype="float64")})
-    docs_all = np.concatenate(results_docs)
-    scores_all = np.concatenate(results_scores)
-    order_all = np.lexsort((docs_all, -scores_all))
-    if round_to is not None and k > 0 and len(order_all) > k:
-        kth = scores_all[order_all[k - 1]]
-        top = order_all[scores_all[order_all] >= kth - guard]
-    else:
-        top = order_all[:k]
-    return pd.DataFrame({
-        "doc_id": docs_all[top].astype(np.int64),
-        "score": scores_all[top].astype(np.float64),
-    })
 
 
 def iter_empty(_: Iterator) -> Iterator[pd.DataFrame]:  # pragma: no cover
