@@ -19,6 +19,7 @@ import json
 import os
 import re
 import shutil
+import threading
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,6 +48,12 @@ class Catalog:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._txn: list[dict] | None = None
+        # serializes txn staging across driver threads: the incremental
+        # batch submits its table writes to a concurrent fan-out, so
+        # entries for DISTINCT tables may be appended from several
+        # threads (appends are GIL-atomic, but the lock makes the
+        # append + shadow-scan pair explicitly safe)
+        self._txn_mu = threading.Lock()
         self._recover_txn()
 
     # -- paths -------------------------------------------------------------
@@ -61,9 +68,10 @@ class Catalog:
         # transaction shadows the committed one for THIS writer's reads;
         # a pending tombstone (meta None) shadows it as absent
         if self._txn is not None:
-            for e in reversed(self._txn):
-                if e["name"] == name:
-                    return e["meta"]
+            with self._txn_mu:
+                for e in reversed(self._txn):
+                    if e["name"] == name:
+                        return e["meta"]
         try:
             with open(self._meta_path(name)) as fh:
                 return json.load(fh)
@@ -154,7 +162,8 @@ class Catalog:
     def _publish(self, name: str, meta: dict, cleanup: list[str]) -> None:
         entry = {"name": name, "meta": meta, "cleanup": cleanup}
         if self._txn is not None:
-            self._txn.append(entry)
+            with self._txn_mu:
+                self._txn.append(entry)
             return
         self._apply_publish(entry)
 
@@ -181,7 +190,8 @@ class Catalog:
         leaves the table intact, preserving all-or-nothing batch replay
         (the incremental splice drops doc_attrs mid-transaction)."""
         if self._txn is not None:
-            self._txn.append({"name": name, "meta": None, "cleanup": []})
+            with self._txn_mu:
+                self._txn.append({"name": name, "meta": None, "cleanup": []})
             return
         shutil.rmtree(self._dir(name), ignore_errors=True)
 
@@ -398,6 +408,119 @@ class Catalog:
         prev = self._load_meta(name)
         cleanup = [prev["current"]] if prev and prev["current"] != gen else []
         self._publish(name, meta, cleanup)
+
+    def read_small(self, name: str) -> list[dict]:
+        """Driver-side read of a TINY table (stats, counters) via
+        pyarrow — no Spark job.  Honors the txn shadow through
+        data_path, so in-transaction readers see their staged writes.
+        Local-mode job scheduling costs ~0.3 s per action; the
+        incremental batch path reads these one-row tables several
+        times, which dominated its fixed cost (VERDICT r03 item 3)."""
+        import pyarrow.dataset as ds
+
+        return ds.dataset(self.data_path(name)).to_table().to_pylist()
+
+    _PA_TYPES = {
+        "long": "int64", "bigint": "int64", "int": "int32",
+        "double": "float64", "string": "string",
+    }
+
+    def write_small(self, name: str, rows: list[tuple], ddl: str) -> None:
+        """Driver-side write of a TINY table via pyarrow — no Spark
+        job; identical snapshot/meta/txn semantics to write().  `ddl`
+        is a Spark DDL schema string ('a long, b double, ...'); the
+        published meta stores the equivalent Spark schema so read()
+        round-trips exactly."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from pyspark.sql import types as T
+
+        schema = T._parse_datatype_string(ddl)
+        names = [f.name for f in schema.fields]
+        pa_fields = []
+        for f in schema.fields:
+            tn = f.dataType.simpleString()
+            if tn not in self._PA_TYPES:
+                raise ValueError(f"write_small supports {sorted(self._PA_TYPES)}"
+                                 f" columns only, got {tn} for {f.name!r}")
+            pa_fields.append(pa.field(f.name, getattr(pa, self._PA_TYPES[tn])()))
+        cols = list(zip(*rows)) if rows else [[] for _ in names]
+        tbl = pa.table(
+            {n: pa.array(list(c), type=fld.type)
+             for n, c, fld in zip(names, cols, pa_fields)}
+        )
+        tdir = self._dir(name)
+        os.makedirs(tdir, exist_ok=True)
+        gen = f"snap-{uuid.uuid4().hex[:12]}"
+        target = os.path.join(tdir, gen)
+        os.makedirs(target)
+        pq.write_table(tbl, os.path.join(target, "part-00000.parquet"))
+        meta = {"current": gen, "schema": json.dumps(schema.jsonValue())}
+        prev = self._load_meta(name)
+        cleanup = [prev["current"]] if prev and prev["current"] != gen else []
+        self._publish(name, meta, cleanup)
+
+    _ARROW_TYPES = {
+        "long": "int64", "bigint": "int64", "int": "int32",
+        "integer": "int32", "string": "string", "double": "float64",
+        "float": "float32", "boolean": "bool_", "binary": "binary",
+    }
+
+    def arrow_dataset(self, name: str):
+        """pyarrow dataset over the table's CURRENT snapshot with the
+        PUBLISHED schema — discovery never opens a data file (default
+        pyarrow inference reads an arbitrary fragment's footer, which
+        would break the O(dirty) contract: a partition-pruned point-
+        read must not touch clean partitions).  Hive partition columns
+        are detected from the snapshot's directory names."""
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+
+        root = self.data_path(name)
+        spark_schema = self.get_mapping(name)
+        part_names = {
+            d.split("=", 1)[0] for d in os.listdir(root)
+            if "=" in d and os.path.isdir(os.path.join(root, d))
+        }
+
+        def _pa_field(f):
+            tn = f.dataType.simpleString()
+            if tn not in self._ARROW_TYPES:
+                raise ValueError(
+                    f"arrow_dataset: unsupported column type {tn} "
+                    f"for {f.name!r} in table {name!r}")
+            return pa.field(f.name, getattr(pa, self._ARROW_TYPES[tn])())
+
+        full = pa.schema([_pa_field(f) for f in spark_schema.fields])
+        if part_names:
+            part_schema = pa.schema(
+                [full.field(n) for n in full.names if n in part_names])
+            return pads.dataset(
+                root, schema=full,
+                partitioning=pads.partitioning(part_schema, flavor="hive"))
+        return pads.dataset(root, schema=full)
+
+    def write_small_arrow(self, name: str, tbl) -> None:
+        """Driver-side snapshot write of a pyarrow Table into an
+        EXISTING table, keeping its published Spark schema (so read()
+        round-trips exactly).  Same snapshot/meta/txn semantics as
+        write(); no Spark job.  Used by the incremental micro-batch
+        path for dictionary-class tables."""
+        import pyarrow.parquet as pq
+
+        meta = self._load_meta(name)
+        if meta is None:
+            raise FileNotFoundError(
+                f"write_small_arrow requires an existing table: {name}")
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        tbl = tbl.select([f.name for f in schema.fields])
+        tdir = self._dir(name)
+        gen = f"snap-{uuid.uuid4().hex[:12]}"
+        target = os.path.join(tdir, gen)
+        os.makedirs(target)
+        pq.write_table(tbl, os.path.join(target, "part-00000.parquet"))
+        self._publish(name, {"current": gen, "schema": meta["schema"]},
+                      [meta["current"]])
 
     def replace_partitions(
         self,

@@ -55,6 +55,14 @@ def get_spark(
         # cluster's distributed shuffle would not be
         .config("spark.local.dir", _local_dir())
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # partition discovery over local paths is microseconds of
+        # driver-side listing; the default threshold (32 dirs) instead
+        # schedules a Spark JOB per read of a >32-partition table —
+        # ~0.3 s of pure scheduling each, which dominated the
+        # incremental micro-batch (4 partitioned-table reads/batch).
+        # A cluster against object storage would LOWER this again.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                "10000")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

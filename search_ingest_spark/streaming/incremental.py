@@ -61,6 +61,18 @@ from search_ingest_spark.catalog import Catalog
 from search_ingest_spark.index import build as ib
 from search_ingest_spark.index.build import dense_ids
 
+
+def _prof(label: str, t0: float) -> float:
+    """Env-gated stage timer (SPARK_GRAFT_PROF=1): prints the elapsed
+    time of a batch section.  Returns a fresh t0 for chaining."""
+    import os as _os
+    import time as _time
+
+    t1 = _time.perf_counter()
+    if _os.environ.get("SPARK_GRAFT_PROF"):
+        print(f"    [prof] {label}: {t1 - t0:.2f}s", flush=True)
+    return t1
+
 DOCS_TABLE = "docs"
 DOC_IDS_TABLE = "doc_ids"
 COUNTERS_TABLE = "counters"
@@ -72,6 +84,19 @@ N_ID_BUCKETS = 256
 # change-batch schema: (url, warc_ts, html?, text?, lang?, _op)
 OP_UPSERT = "upsert"
 OP_DELETE = "delete"
+
+# batches at or under this many events take the driver-resolved control
+# plane (collect url/op/bucket — never text — and resolve ids with a
+# pyarrow point-read, the ES-bulk analog); larger batches (backlog
+# replays) take the distributed join path.  100k control rows ≈ a few
+# MB of driver memory.
+MICRO_BATCH_CAP = 100_000
+
+# dictionaries at or under this many terms take the driver-side delta
+# path inside the micro-batch splice (a few hundred MB of driver memory
+# at the cap); larger vocabularies keep the distributed dictionary
+# rewrite.
+DRIVER_DICT_MAX_ROWS = 5_000_000
 
 
 def latest_per_key(df: DataFrame, key: str, ts: str, payload_cols: list[str]) -> DataFrame:
@@ -172,7 +197,28 @@ class PageIndexer:
 
     # -- changefeed batch (A2/A13-A15) ---------------------------------------
     def apply_changes(self, changes: DataFrame) -> ChangeStats:
-        """Apply one micro-batch of (url, warc_ts, html/text, _op) events."""
+        """Apply one micro-batch of (url, warc_ts, html/text, _op) events.
+
+        Latency shape (VERDICT r03 item 3): a micro-batch is dominated
+        by per-JOB fixed cost (scheduling + stage planning), not data —
+        so the batch (a) sizes its shuffles to the BATCH, not the
+        session (a 50-doc batch under 32-way shuffles pays 32 tasks of
+        pure scheduling per stage), and (b) runs independent table
+        writes on concurrent driver threads (Spark's scheduler accepts
+        jobs from multiple threads; the txn journal is append-only and
+        order-independent across distinct tables)."""
+        old_shuf = self.spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            return self._apply_changes_impl(changes, old_shuf)
+        finally:
+            self.spark.conf.set("spark.sql.shuffle.partitions", old_shuf)
+
+    def _apply_changes_impl(self, changes: DataFrame,
+                            old_shuf: str) -> ChangeStats:
+        from concurrent.futures import ThreadPoolExecutor
+
+        import time as _time
+        _t = _time.perf_counter()
         spark, cat = self.spark, self.cat
         # Last-writer-wins PER URL across BOTH op kinds (the reference
         # consumes events in order, so a delete after an upsert in the
@@ -184,54 +230,150 @@ class PageIndexer:
             F.coalesce(F.col("text"), extract_text_udf(F.col("html"))).alias("text"),
             "_op",
         )
-        latest = latest_per_key(ev, "url", "warc_ts", ["_op", "text"])
+        # batch-proportional shuffle width: a change stream's own
+        # partition count tracks its volume (a micro-batch arrives in a
+        # handful of partitions, a backlog replay in hundreds); tiny
+        # batches under session-wide shuffles pay per-task scheduling
+        # for empty tasks in every stage.  Never exceeds the session
+        # setting; restored in the outer finally.
+        batch_shuf = max(8, min(int(old_shuf),
+                                changes.rdd.getNumPartitions()))
+        spark.conf.set("spark.sql.shuffle.partitions", str(batch_shuf))
+        # cache the (tiny) resolved batch: the html-extract UDF and the
+        # last-writer-wins window would otherwise re-run in every one
+        # of the downstream actions (VERDICT r03 item 3 — the batch
+        # fixed cost was dominated by repeated job scheduling, not data)
+        latest = latest_per_key(ev, "url", "warc_ts", ["_op", "text"]).persist()
         ups = latest.where(F.col("_op") == OP_UPSERT).select("url", "warc_ts", "text")
         dels = latest.where(F.col("_op") == OP_DELETE).select("url")
 
-        # touched id-buckets (O(batch) driver traffic — bucket ids only)
-        dirty_buckets = sorted({
-            r[0]
-            for r in ups.select(_bucket_col().alias("b"))
-            .unionByName(dels.select(_bucket_col().alias("b")))
-            .distinct().collect()
-        })
-        # the url→id join reads ONLY those buckets (partition pruning)
-        doc_ids_sub = cat.read(DOC_IDS_TABLE).where(
-            F.col("id_bucket").isin(dirty_buckets)
-        )
+        old_counters = cat.read_small(COUNTERS_TABLE)[0]
+        base = int(old_counters["max_doc_id"]) + 1
+        is_up = F.col("_op") == OP_UPSERT
+        upserts_cached = None
+        del_ids = None
 
-        # id assignment: keep existing, extend for new urls (dense append)
-        known = ups.join(doc_ids_sub.select("url", "doc_id"), "url", "inner")
-        novel = ups.join(doc_ids_sub.select("url"), "url", "left_anti")
-        base = int(cat.read(COUNTERS_TABLE).first()["max_doc_id"]) + 1
-        novel_ids = dense_ids(novel.select("url"), "url", "_rk0").withColumn(
-            "doc_id", F.col("_rk0") + F.lit(base)
-        ).drop("_rk0")
-        upserts = (
-            known.withColumn("_new", F.lit(0))
-            .unionByName(
-                novel.join(novel_ids, "url")
-                .select(*known.columns).withColumn("_new", F.lit(1))
+        # ---- control plane: resolve urls → ids, counts, dirty sets ------
+        # MICRO-batch path (the changefeed steady state): collect the
+        # batch's CONTROL columns — url, op, bucket; never the text —
+        # and resolve ids with a pyarrow point-read of the touched
+        # mapping buckets, entirely driver-side.  This is the ES-bulk
+        # analog (ids resolved by point lookup, not by join) and
+        # replaces two shuffle-join probe jobs with one narrow collect.
+        # A batch over the cap (a backlog replay) falls back to the
+        # distributed join path below; the limit+1 collect is the probe.
+        ctl = (
+            latest.select("url", "_op", _bucket_col().alias("b"))
+            .limit(MICRO_BATCH_CAP + 1).collect()
+        )
+        _t = _prof("ctl-probe", _t)
+        if len(ctl) <= MICRO_BATCH_CAP:
+            dirty_buckets = sorted({int(r["b"]) for r in ctl})
+            urls_up = [r["url"] for r in ctl if r["_op"] == OP_UPSERT]
+            urls_del = [r["url"] for r in ctl if r["_op"] == OP_DELETE]
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pads
+
+            id_tbl = cat.arrow_dataset(DOC_IDS_TABLE).to_table(
+                columns=["url", "doc_id"],
+                filter=pc.field("id_bucket").isin(dirty_buckets)
+                & pc.field("url").isin(urls_up + urls_del),
             )
-        )
-        row = upserts.agg(
-            F.count("*").alias("n_up"), F.sum("_new").alias("n_new")
-        ).first()
-        n_up, n_new = int(row["n_up"]), int(row["n_new"] or 0)
-        upserts = upserts.drop("_new")
+            idmap = dict(zip(id_tbl["url"].to_pylist(),
+                             id_tbl["doc_id"].to_pylist()))
+            # dense append in url order — identical ids to the
+            # distributed path's dense_ids (both sort by url codepoints)
+            novel_urls = sorted(u for u in urls_up if u not in idmap)
+            novel_ids = {u: base + i for i, u in enumerate(novel_urls)}
+            n_up, n_new, n_del = len(urls_up), len(novel_urls), 0
+            touched_ids = []
+            ids_rows = []
+            for u in urls_up:
+                did = idmap.get(u)
+                if did is None:
+                    did = novel_ids[u]
+                ids_rows.append((u, int(did)))
+                touched_ids.append(int(did))
+            for u in urls_del:
+                did = idmap.get(u)
+                if did is not None:
+                    n_del += 1
+                    touched_ids.append(int(did))
+            dirty = sorted({d // self.docs_per_shard for d in touched_ids})
+            ids_df = spark.createDataFrame(
+                ids_rows or [], "url string, doc_id long"
+            )
+            # text stays distributed: one broadcast hash join against
+            # the cached batch (narrow, no shuffle)
+            upserts = (
+                latest.where(is_up).select("url", "warc_ts", "text")
+                .join(F.broadcast(ids_df), "url")
+            )
+            # the mapping rewrite below still reads the touched buckets
+            # as a (pruned) Spark frame
+            doc_ids_sub = cat.read(DOC_IDS_TABLE).where(
+                F.col("id_bucket").isin(dirty_buckets)
+            )
+        else:
+            # ---- distributed fallback (backlog replay) ------------------
+            # touched id-buckets (O(batch) driver traffic — bucket ids)
+            dirty_buckets = sorted({
+                r[0]
+                for r in ups.select(_bucket_col().alias("b"))
+                .unionByName(dels.select(_bucket_col().alias("b")))
+                .distinct().collect()
+            })
+            # the url→id join reads ONLY those buckets (partition
+            # pruning).  ONE left join resolves every event against the
+            # mapping — upsert-known / upsert-novel / delete-known all
+            # split from the same frame (the mapping is unique per url,
+            # so left join + null test is exactly the inner/anti pair)
+            doc_ids_sub = cat.read(DOC_IDS_TABLE).where(
+                F.col("id_bucket").isin(dirty_buckets)
+            )
+            resolved = latest.join(
+                doc_ids_sub.select("url", "doc_id"), "url", "left"
+            )
+            known = resolved.where(is_up & F.col("doc_id").isNotNull()).select(
+                "url", "warc_ts", "text", "doc_id"
+            )
+            # dense ids are bucket-count-invariant (globally key-ordered
+            # for any n_buckets) — size the range stage to the batch
+            novel = dense_ids(
+                resolved.where(is_up & F.col("doc_id").isNull())
+                .select("url", "warc_ts", "text"),
+                "url", "_rk0", n_buckets=batch_shuf,
+            ).withColumn("doc_id", F.col("_rk0") + F.lit(base)).drop("_rk0")
+            upserts_cached = (
+                known.withColumn("_new", F.lit(0))
+                .unionByName(novel.withColumn("_new", F.lit(1)))
+            ).persist()
+            upserts = upserts_cached
+            del_ids = resolved.where(
+                (F.col("_op") == OP_DELETE) & F.col("doc_id").isNotNull()
+            ).select("doc_id", "url").persist()
 
-        del_ids = dels.join(doc_ids_sub.select("url", "doc_id"), "url").select(
-            "doc_id", "url"
-        )
-        n_del = del_ids.count()
-
-        # dirty-SHARD ids only cross to the driver (O(dirty shards), not
-        # O(batch docs))
-        touched = upserts.select("doc_id").unionByName(del_ids.select("doc_id"))
-        dirty = sorted({
-            r[0] for r in
-            touched.select(self._shard_col().alias("s")).distinct().collect()
-        })
+            # ONE fused probe job: upsert/new/delete counts + dirty-
+            # SHARD ids (only O(dirty shards) ids cross to the driver)
+            meta_row = (
+                upserts.select("doc_id", "_new", F.lit(0).alias("_d"))
+                .unionByName(del_ids.select(
+                    "doc_id", F.lit(0).alias("_new"), F.lit(1).alias("_d")))
+                .select("_new", "_d", self._shard_col().alias("s"))
+                .agg(
+                    F.sum(1 - F.col("_d")).alias("n_up"),
+                    F.sum("_new").alias("n_new"),
+                    F.sum("_d").alias("n_del"),
+                    F.collect_set("s").alias("shards"),
+                )
+                .first()
+            )
+            n_up = int(meta_row["n_up"] or 0)
+            n_new = int(meta_row["n_new"] or 0)
+            n_del = int(meta_row["n_del"] or 0)
+            dirty = sorted(int(s) for s in (meta_row["shards"] or []))
+            upserts = upserts.drop("_new")
+        _t = _prof("id-resolve", _t)
         n_part = max(1, min(len(dirty) or 1,
                             spark.sparkContext.defaultParallelism))
 
@@ -246,12 +388,16 @@ class PageIndexer:
             ups_rows = upserts.withColumn("shard", self._shard_col()).select(
                 "doc_id", "url", "warc_ts", "text", "shard"
             )
-            merged = docs_old.join(touched_urls, "url", "left_anti").unionByName(
-                ups_rows
-            )
-            cat.replace_partitions(
-                DOCS_TABLE, merged.repartition(n_part, "shard"), "shard",
-                dirty_values=dirty,
+            # the post-batch dirty-shard doc store, shared between the
+            # doc-store WRITE and the splice's re-TOKENIZE (previously
+            # the splice read the staged table back, forcing the write
+            # onto its critical path; sharing the cached frame makes
+            # every table write of the batch independent)
+            merged = (
+                docs_old.join(touched_urls, "url", "left_anti")
+                .unionByName(ups_rows)
+                .repartition(n_part, "shard")
+                .persist()
             )
             # url→id mapping: rewrite ONLY the touched buckets
             upd_ids = (
@@ -263,30 +409,51 @@ class PageIndexer:
                     .withColumn("id_bucket", _bucket_col())
                 )
             )
-            cat.replace_partitions(
-                DOC_IDS_TABLE,
-                upd_ids.repartition(max(1, min(len(dirty_buckets), n_part)),
-                                    "id_bucket"),
-                "id_bucket", dirty_values=dirty_buckets,
-            )
-
-            n_new_terms = self._splice_index(dirty)
-
-            old_counters = cat.read(COUNTERS_TABLE).first()
-            cat.write(
-                COUNTERS_TABLE,
-                spark.createDataFrame(
-                    [(
-                        int(old_counters["max_doc_id"]) + n_new,
-                        int(old_counters["max_term_id"]) + n_new_terms,
-                    )],
-                    "max_doc_id long, max_term_id long",
+            # every table write of the batch (docs, doc_ids, doc_lens,
+            # term_dict, postings, positions) is submitted to ONE
+            # concurrent fan-out inside _splice_index — distinct tables,
+            # dependencies carried by shared persisted frames (Spark's
+            # block manager computes a racing cached partition exactly
+            # once; in-txn staging is a GIL-atomic list append,
+            # order-independent across tables)
+            extra_writes = [
+                lambda: cat.replace_partitions(
+                    DOCS_TABLE, merged, "shard", dirty_values=dirty,
                 ),
+                lambda: cat.replace_partitions(
+                    DOC_IDS_TABLE,
+                    upd_ids.repartition(max(1, min(len(dirty_buckets), n_part)),
+                                        "id_bucket"),
+                    "id_bucket", dirty_values=dirty_buckets,
+                ),
+            ]
+            n_new_terms = self._splice_index(dirty, merged_docs=merged,
+                                             extra_writes=extra_writes)
+            _t = _prof("splice", _t)
+
+            cat.write_small(
+                COUNTERS_TABLE,
+                [(
+                    int(old_counters["max_doc_id"]) + n_new,
+                    int(old_counters["max_term_id"]) + n_new_terms,
+                )],
+                "max_doc_id long, max_term_id long",
             )
             cat.commit()
+            _t = _prof("counters+commit", _t)
         except BaseException:
             cat.rollback()
             raise
+        finally:
+            latest.unpersist()
+            if upserts_cached is not None:
+                upserts_cached.unpersist()
+            if del_ids is not None:
+                del_ids.unpersist()
+            try:
+                merged.unpersist()
+            except NameError:
+                pass
         return ChangeStats(n_up, n_del, n_new, dirty)
 
     @staticmethod
@@ -301,14 +468,29 @@ class PageIndexer:
             .agg(F.sum("pdf").alias(df_name), F.sum("pcf").alias(cf_name))
         )
 
-    def _splice_index(self, dirty_shards: list[int]) -> int:
+    def _splice_index(
+        self, dirty_shards: list[int], merged_docs: DataFrame | None = None,
+        extra_writes: list = (),
+    ) -> int:
         """Re-tokenize + re-encode only the dirty shards; DELTA-maintain
         the global term/doc stats; keep term ids stable.  Returns the
         number of newly-appended terms.  Must run inside a catalog
         transaction (reads pre-swap snapshots lazily; the txn keeps them
-        alive until commit)."""
+        alive until commit).
+
+        `merged_docs`: the caller's already-built post-batch dirty-shard
+        doc frame (persisted).  When given, the tokenize consumes it
+        directly instead of reading the staged doc table back — which
+        removes the doc-store write from the tokenize's critical path
+        and lets EVERY table write of the batch run concurrently.
+        `extra_writes`: caller-supplied zero-arg write thunks (the doc
+        store + id mapping) joined into this method's single fan-out."""
         if not dirty_shards:
+            for w in extra_writes:
+                w()
             return 0
+        import time as _time
+        _t = _time.perf_counter()
         spark, cat = self.spark, self.cat
         from search_ingest_spark.analysis import doc_terms_pandas
 
@@ -326,11 +508,18 @@ class PageIndexer:
             .groupBy("term_id")
             .agg(F.sum("n_docs").alias("odf"), F.sum("sum_tf").alias("ocf"))
         )
-        old_dl = (
-            cat.read(ib.DOC_LENS_TABLE).where(F.col("shard").isin(dirty))
-            .agg(F.count("*").alias("n"), F.sum("dl").alias("s")).first()
-        )
-        old_st = cat.read(ib.STATS_TABLE).first()
+        # old (n, Σdl) over the dirty shards + the one-row stats table:
+        # driver-side pyarrow (partition-pruned dirs; no Spark jobs —
+        # these three actions were pure fixed cost, VERDICT r03 item 3)
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+
+        dl_tbl = cat.arrow_dataset(ib.DOC_LENS_TABLE).to_table(columns=["dl"],
+                   filter=pc.field("shard").isin(dirty))
+        old_dl = {"n": dl_tbl.num_rows,
+                  "s": pc.sum(dl_tbl["dl"]).as_py() or 0}
+        old_st = cat.read_small(ib.STATS_TABLE)[0]
+        _t = _prof("splice:old-reads", _t)
 
         # tokenize ONLY the dirty shards' docs (docs is shard-partitioned);
         # the dirty token stream is cached, not persisted (same contract
@@ -342,25 +531,239 @@ class PageIndexer:
         tok_schema = "doc_id long, term string, tf int, dl int"
         if has_pos:
             tok_schema += ", positions array<int>"
-        dirty_docs = cat.read(DOCS_TABLE).where(F.col("shard").isin(dirty))
+        dirty_docs = (
+            merged_docs if merged_docs is not None
+            else cat.read(DOCS_TABLE).where(F.col("shard").isin(dirty))
+        )
         tokens_new = dirty_docs.select("doc_id", "text").mapInPandas(
             lambda it: doc_terms_pandas(it, id_col="doc_id", text_col="text",
                                         mode=mode, with_positions=has_pos),
             schema=tok_schema,
         ).withColumn("shard", self._shard_col()).persist()
 
-        # doc_lens: splice dirty shards, then delta-update (n_docs, Σdl)
+        # doc_lens: splice dirty shards; the new (n_docs, Σdl) piggyback
+        # on the WRITE job as Observation metrics — no read-back action
+        from pyspark.sql import Observation
+
+        dl_obs = Observation()
         dl_new = tokens_new.groupBy("doc_id").agg(
             F.first("dl").alias("dl"), F.first("shard").alias("shard")
-        ).select("doc_id", "dl", "shard")
-        cat.replace_partitions(
-            ib.DOC_LENS_TABLE, dl_new.repartition(n_part, "shard"), "shard",
-            dirty_values=dirty,
+        ).select("doc_id", "dl", "shard").observe(
+            dl_obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
         )
-        new_dl = (
-            cat.read(ib.DOC_LENS_TABLE).where(F.col("shard").isin(dirty))
-            .agg(F.count("*").alias("n"), F.sum("dl").alias("s")).first()
-        )
+        # term_dict: delta-maintain df/cf — subtract the dirty shards' old
+        # per-term counts, add the new; KEEP existing term ids, append new.
+        # The dictionary (vocabulary-sized) is the only fully-rewritten
+        # table; the token stream is never re-aggregated.
+        tbase = int(cat.read_small(COUNTERS_TABLE)[0]["max_term_id"]) + 1
+        # Micro-batch path: compute the delta DRIVER-SIDE when the
+        # dictionary is driver-sized (parquet metadata row count — a
+        # footer read, no scan).  The Spark chain below costs ~6 shuffle
+        # stages of pure scheduling for a 50-doc batch; the same integer
+        # arithmetic over a pyarrow read of the dictionary and the dirty
+        # postings' columnar (n_docs, sum_tf) is milliseconds, and the
+        # postings encode then joins a BROADCAST term→id subset instead
+        # of waiting on a shuffled dictionary frame.
+        dict_rows = cat.arrow_dataset(ib.TERM_DICT_TABLE).count_rows()
+        driver_dict = (merged_docs is not None
+                       and dict_rows <= DRIVER_DICT_MAX_ROWS)
+        dict_frame = None
+        nt_obs = None
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _timed(tag, w):
+            import os as _os
+            import time as _tm
+            t0 = _tm.perf_counter()
+            r = w()
+            if _os.environ.get("SPARK_GRAFT_PROF"):
+                print(f"      [prof] fanout-job[{tag}]: "
+                      f"{_tm.perf_counter() - t0:.2f}s", flush=True)
+            return r
+
+        def _enc_frame(dict_join):
+            # postings: rebuild ONLY dirty shards, splice partition dirs
+            # (same flow as the build: encode runs keyed by term string,
+            # then join the ids onto the much smaller blocks output)
+            blocks = (
+                tokens_new
+                .select("shard", "term", "doc_id", "tf", "dl")
+                .repartition(n_part, "shard")
+                .sortWithinPartitions("shard", "term", "doc_id")
+                .mapInPandas(ib._encode_partition,
+                             schema=ib.POSTINGS_ENC_SCHEMA)
+            )
+            return blocks.join(dict_join, "term").select(
+                *ib.POSTINGS_COLS
+            ).repartition(n_part, "shard")
+
+        # ---- concurrent write fan-out.  Distinct tables; dependencies
+        # carried by the shared persisted frames (merged docs, token
+        # stream, dictionary), which Spark's block manager computes
+        # exactly once under per-partition block locks.  Every read-
+        # frame above resolved its snapshot paths BEFORE any staged
+        # write, so concurrent staging can't redirect them.  Critical
+        # path drops from Σ(writes) to max(write-chain).
+        base_writes = list(zip(
+            ["docs", "doc_ids"][:len(extra_writes)], extra_writes))
+        base_writes.append(("doc_lens", lambda: cat.replace_partitions(
+            ib.DOC_LENS_TABLE, dl_new.repartition(n_part, "shard"),
+            "shard", dirty_values=dirty,
+        )))
+        if has_pos:
+            # positional component: a projection of the already-
+            # tokenized dirty stream, spliced per shard
+            pos_new = tokens_new.select("doc_id", "term", "positions", "shard")
+            base_writes.append(("positions", lambda: cat.replace_partitions(
+                ib.POSITIONS_TABLE,
+                pos_new.repartition(n_part, "shard")
+                .sortWithinPartitions("shard", "term", "doc_id"),
+                "shard", dirty_values=dirty,
+            )))
+
+        if driver_dict:
+            import numpy as np
+            import pandas as pd
+            import pyarrow as pa
+
+            n_new_terms_driver = 0
+            with ThreadPoolExecutor(len(base_writes) + 2) as pool:
+                # token-independent writes start NOW; the main thread
+                # concurrently runs the term-aggregate job (which also
+                # materializes the shared merged→tokens caches)
+                futures = [pool.submit(_timed, tag, w)
+                           for tag, w in base_writes]
+                nt_pdf = self._term_agg(tokens_new, "ndf", "ncf").toPandas()
+                _t = _prof("splice:term-agg", _t)
+                # old per-term aggregates + dictionary: columnar driver
+                # reads; the delta is the same integer arithmetic as the
+                # distributed chain
+                ot = cat.arrow_dataset(ib.POSTINGS_TABLE).to_table(columns=["term_id", "n_docs", "sum_tf"],
+                           filter=pc.field("shard").isin(dirty)).to_pandas()
+                ot = ot.groupby("term_id", as_index=False).agg(
+                    odf=("n_docs", "sum"), ocf=("sum_tf", "sum"))
+                od = cat.arrow_dataset(
+                    ib.TERM_DICT_TABLE).to_table().to_pandas()
+                m = od.merge(ot, on="term_id", how="left")
+                m["dfb"] = m["df"] - m["odf"].fillna(0).astype("int64")
+                m["cfb"] = m["cf"] - m["ocf"].fillna(0).astype("int64")
+                m = m[["term", "term_id", "dfb", "cfb"]].merge(
+                    nt_pdf, on="term", how="outer")
+                df2 = m["dfb"].fillna(0) + m["ndf"].fillna(0)
+                cf2 = m["cfb"].fillna(0) + m["ncf"].fillna(0)
+                m = m.assign(df=df2, cf=cf2)
+                live = m[df2 > 0]
+                kept_pd = live[live["term_id"].notna()]
+                # dense append in term (codepoint) order — identical ids
+                # to the Spark chain's dense_ids
+                new_pd = live[live["term_id"].isna()].sort_values(
+                    "term", kind="mergesort")
+                new_pd = new_pd.assign(term_id=np.arange(
+                    tbase, tbase + len(new_pd), dtype="int64"))
+                n_new_terms_driver = len(new_pd)
+                dict_pd = pd.concat([
+                    kept_pd[["term", "term_id", "df", "cf"]],
+                    new_pd[["term", "term_id", "df", "cf"]],
+                ]).sort_values("term", kind="mergesort").astype(
+                    {"term_id": "int64", "df": "int64", "cf": "int64"})
+                dict_tbl = pa.table({
+                    "term": pa.array(dict_pd["term"].tolist(),
+                                     type=pa.string()),
+                    "term_id": pa.array(dict_pd["term_id"].to_numpy()),
+                    "df": pa.array(dict_pd["df"].to_numpy()),
+                    "cf": pa.array(dict_pd["cf"].to_numpy()),
+                })
+                # the postings encode joins a BROADCAST subset — exactly
+                # the dirty stream's vocabulary (every token stays live)
+                sub = nt_pdf[["term"]].merge(
+                    dict_pd[["term", "term_id"]], on="term", how="inner")
+                enc = _enc_frame(F.broadcast(spark.createDataFrame(
+                    sub, "term string, term_id long")))
+                futures.append(pool.submit(
+                    _timed, "term_dict",
+                    lambda: cat.write_small_arrow(ib.TERM_DICT_TABLE,
+                                                  dict_tbl)))
+                futures.append(pool.submit(
+                    _timed, "postings", lambda: cat.replace_partitions(
+                        ib.POSTINGS_TABLE, enc, "shard",
+                        dirty_values=dirty)))
+                for f in futures:
+                    f.result()
+        else:
+            new_term = self._term_agg(tokens_new, "ndf", "ncf")
+            old_dict = cat.read(ib.TERM_DICT_TABLE)
+            # subtract the dirty shards' old counts (term_id-keyed, from
+            # the postings columns) ...
+            base = old_dict.join(old_term, "term_id", "left").select(
+                "term", "term_id",
+                (F.col("df") - F.coalesce("odf", F.lit(0))).alias("dfb"),
+                (F.col("cf") - F.coalesce("ocf", F.lit(0))).alias("cfb"),
+            )
+            # ... then add the fresh tokenization's counts (term-keyed)
+            merged = (
+                base.join(new_term, "term", "full_outer")
+                .select(
+                    "term", "term_id",
+                    (F.coalesce("dfb", F.lit(0))
+                     + F.coalesce("ndf", F.lit(0))).alias("df2"),
+                    (F.coalesce("cfb", F.lit(0))
+                     + F.coalesce("ncf", F.lit(0))).alias("cf2"),
+                )
+            )
+            kept = merged.where(
+                F.col("term_id").isNotNull() & (F.col("df2") > 0)
+            ).select(
+                "term", "term_id",
+                F.col("df2").alias("df"), F.col("cf2").alias("cf")
+            )
+            new_terms = merged.where(
+                F.col("term_id").isNull() & (F.col("df2") > 0)
+            ).select(
+                "term", F.col("df2").alias("df"), F.col("cf2").alias("cf")
+            )
+            # batch-sized range buckets (ids are bucket-count-invariant;
+            # a handful of appended terms doesn't need a 256-task stage)
+            new_terms = dense_ids(new_terms, "term", "_rk0",
+                                  n_buckets=n_part * 2).withColumn(
+                "term_id", F.col("_rk0") + F.lit(tbase)
+            ).drop("_rk0")
+            # the new dictionary, shared between its own write and the
+            # postings encode's term→id join (no read-back of the staged
+            # table — the postings job must not wait for the dict write)
+            dict_frame = (
+                kept.select("term", "term_id", "df", "cf")
+                .unionByName(new_terms.select("term", "term_id", "df", "cf"))
+                .persist()
+            )
+            # the appended-term count piggybacks on the dictionary WRITE
+            # as an Observation ABOVE the cache: whichever concurrent job
+            # fills the cache, the dict write's own query streams every
+            # cached row through the observe node, so the count can't be
+            # split by a cache race (new terms are exactly id ≥ tbase)
+            nt_obs = Observation()
+            dict_for_write = dict_frame.observe(
+                nt_obs,
+                F.sum((F.col("term_id") >= F.lit(tbase))
+                      .cast("long")).alias("n"),
+            )
+            enc = _enc_frame(dict_frame.select("term", "term_id"))
+            writes = base_writes + [
+                ("term_dict", lambda: cat.write(
+                    ib.TERM_DICT_TABLE, dict_for_write,
+                    sort_within_partitions=["term"])),
+                ("postings", lambda: cat.replace_partitions(
+                    ib.POSTINGS_TABLE, enc, "shard", dirty_values=dirty)),
+            ]
+            with ThreadPoolExecutor(len(writes)) as pool:
+                futures = [pool.submit(_timed, tag, w) for tag, w in writes]
+                for f in futures:
+                    f.result()
+        _t = _prof("splice:write-fanout", _t)
+
+        n_new_terms = (n_new_terms_driver if driver_dict
+                       else int(nt_obs.get["n"] or 0))
+        new_dl = dl_obs.get
         n_docs2 = int(old_st["n_docs"]) - int(old_dl["n"]) + int(new_dl["n"])
         sum_dl2 = (
             int(old_st["sum_dl"]) - int(old_dl["s"] or 0) + int(new_dl["s"] or 0)
@@ -369,83 +772,13 @@ class PageIndexer:
         # avg performs — bitwise identical to a full rebuild's avgdl
         avgdl2 = (float(sum_dl2) / float(n_docs2)) if n_docs2 else 0.0
         n_shards2 = max(int(old_st["n_shards"]), max(dirty) + 1)
-        cat.write(
+        cat.write_small(
             ib.STATS_TABLE,
-            spark.createDataFrame(
-                [(n_docs2, sum_dl2, avgdl2, n_shards2, self.mode)],
-                "n_docs long, sum_dl long, avgdl double, n_shards int, analyzer string",
-            ),
+            [(n_docs2, sum_dl2, avgdl2, n_shards2, self.mode)],
+            "n_docs long, sum_dl long, avgdl double, n_shards int, analyzer string",
         )
-
-        # term_dict: delta-maintain df/cf — subtract the dirty shards' old
-        # per-term counts, add the new; KEEP existing term ids, append new.
-        # The dictionary (vocabulary-sized) is the only fully-rewritten
-        # table; the token stream is never re-aggregated.
-        new_term = self._term_agg(tokens_new, "ndf", "ncf")
-        old_dict = cat.read(ib.TERM_DICT_TABLE)
-        # subtract the dirty shards' old counts (term_id-keyed, from the
-        # postings columns) ...
-        base = old_dict.join(old_term, "term_id", "left").select(
-            "term", "term_id",
-            (F.col("df") - F.coalesce("odf", F.lit(0))).alias("dfb"),
-            (F.col("cf") - F.coalesce("ocf", F.lit(0))).alias("cfb"),
-        )
-        # ... then add the fresh tokenization's counts (term-keyed)
-        merged = (
-            base.join(new_term, "term", "full_outer")
-            .select(
-                "term", "term_id",
-                (F.coalesce("dfb", F.lit(0)) + F.coalesce("ndf", F.lit(0))).alias("df2"),
-                (F.coalesce("cfb", F.lit(0)) + F.coalesce("ncf", F.lit(0))).alias("cf2"),
-            )
-        )
-        kept = merged.where(F.col("term_id").isNotNull() & (F.col("df2") > 0)).select(
-            "term", "term_id", F.col("df2").alias("df"), F.col("cf2").alias("cf")
-        )
-        new_terms = merged.where(F.col("term_id").isNull() & (F.col("df2") > 0)).select(
-            "term", F.col("df2").alias("df"), F.col("cf2").alias("cf")
-        )
-        tbase = int(cat.read(COUNTERS_TABLE).first()["max_term_id"]) + 1
-        new_terms = dense_ids(new_terms, "term", "_rk0").withColumn(
-            "term_id", F.col("_rk0") + F.lit(tbase)
-        ).drop("_rk0")
-        n_new_terms = new_terms.count()
-        cat.write(
-            ib.TERM_DICT_TABLE,
-            kept.select("term", "term_id", "df", "cf").unionByName(
-                new_terms.select("term", "term_id", "df", "cf")
-            ),
-            sort_within_partitions=["term"],
-        )
-        term_dict = cat.read(ib.TERM_DICT_TABLE)
-
-        # postings: rebuild ONLY dirty shards, splice partition dirs
-        # (same flow as the build: encode runs keyed by term string,
-        # then join the dense ids onto the much smaller blocks output)
-        blocks = (
-            tokens_new
-            .select("shard", "term", "doc_id", "tf", "dl")
-            .repartition(n_part, "shard")
-            .sortWithinPartitions("shard", "term", "doc_id")
-            .mapInPandas(ib._encode_partition, schema=ib.POSTINGS_ENC_SCHEMA)
-        )
-        enc = blocks.join(term_dict.select("term", "term_id"), "term").select(
-            *ib.POSTINGS_COLS
-        ).repartition(n_part, "shard")
-        cat.replace_partitions(
-            ib.POSTINGS_TABLE, enc, "shard", dirty_values=dirty,
-        )
-
-        # positional component (if the build enabled it): a projection
-        # of the already-tokenized dirty stream, spliced per shard
-        if has_pos:
-            pos_new = tokens_new.select("doc_id", "term", "positions", "shard")
-            cat.replace_partitions(
-                ib.POSITIONS_TABLE,
-                pos_new.repartition(n_part, "shard")
-                .sortWithinPartitions("shard", "term", "doc_id"),
-                "shard", dirty_values=dirty,
-            )
+        if dict_frame is not None:
+            dict_frame.unpersist()
         # the url-keyed incremental pipeline carries no filterable attr
         # columns; a stale filter table is worse than none — drop it
         # (a batch rebuild with attr_cols recreates it)
