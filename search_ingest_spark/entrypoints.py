@@ -349,6 +349,33 @@ def _q_wildcard_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(got, "doc_id long, score double, rank int")
 
 
+# ES `regexp` term query (B8 family): anchored full-term regex over the
+# dictionary, capped deterministic expansion, OR-scored through the
+# unchanged WAND kernel.  Pattern kept in the portable regex subset so
+# Spark rlike (Java), the serving path (Python re), and the DuckDB
+# oracle (RE2) agree.
+@register(
+    "bm25_regexp_topk",
+    bm25.regexp_oracle_sql("dat[ae]s?", k=10, max_expansions=8),
+)
+def _q_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).topk_regexp(
+        "dat[ae]s?", 10, max_expansions=8, round_to=4
+    )
+
+
+# Same regexp query served Spark-free.
+@register(
+    "bm25_regexp_local",
+    bm25.regexp_oracle_sql("dat[ae]s?", k=10, max_expansions=8),
+)
+def _q_regexp_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    got = _local_searcher(spark, sf_dir).topk_regexp(
+        "dat[ae]s?", 10, max_expansions=8, round_to=4
+    )
+    return spark.createDataFrame(got, "doc_id long, score double, rank int")
+
+
 # Composed bool on the SERVING path — same request as
 # bm25_bool_query_topk, Spark-free execution, same oracle.
 @register(

@@ -512,6 +512,62 @@ FROM topk
 """.strip()
 
 
+def regexp_oracle_sql(
+    pattern: str,
+    k: int = 10,
+    *,
+    max_expansions: int = 50,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> str:
+    """DuckDB SQL modeling Searcher.topk_regexp: vocabulary terms
+    FULLY matching the (portable-subset) regex, capped at
+    `max_expansions` by (df desc, term asc), scored as a plain OR
+    query, each expanded term with its own idf."""
+    rx = pattern.lower().replace("'", "''")
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS term
+  FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::INT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+dfreq AS (
+  SELECT term, df FROM vocab
+  WHERE regexp_full_match(term, '{rx}')
+  ORDER BY df DESC, term ASC
+  LIMIT {int(max_expansions)}
+),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score_raw
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, round(score_raw, {round_to})::DOUBLE AS score
+  FROM scores
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {k}
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM topk
+""".strip()
+
+
 def fuzzy_oracle_sql(
     query_text: str,
     k: int = 10,

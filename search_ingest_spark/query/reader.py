@@ -401,6 +401,53 @@ class LocalSearcher:
             return []
         return self._topk_from_idf(idf, k, round_to=round_to)
 
+    def plan_regexp(self, pattern: str,
+                    max_expansions: int = 50) -> dict[int, float]:
+        """ES `regexp` expansion over the pyarrow dictionary — identical
+        rewrite to wand.Searcher.plan_regexp: literal prefix before the
+        first regex metacharacter prunes the term-sorted scan, the full
+        pattern is applied anchored (fullmatch, like ES), capped at
+        `max_expansions` by (df desc, term asc)."""
+        import re as _re
+
+        p = pattern.lower()
+        if not p:
+            return {}
+        metas = ".?*+()[]{}|\\^$"
+        cut = min((p.index(c) for c in metas if c in p), default=len(p))
+        flt = None
+        if cut > 0:
+            lo = p[:cut]
+            hi = lo[:-1] + chr(ord(lo[-1]) + 1)
+            flt = (pc.field("term") >= lo) & (pc.field("term") < hi)
+        tbl = self._dict.to_table(
+            columns=["term", "term_id", "df"], filter=flt
+        ).to_pandas()
+        if len(tbl) == 0:
+            return {}
+        rx = _re.compile(p)
+        tbl = tbl[tbl["term"].map(lambda t: rx.fullmatch(t) is not None)]
+        if len(tbl) == 0:
+            return {}
+        tbl = tbl.sort_values(["df", "term"], ascending=[False, True],
+                              kind="stable").head(int(max_expansions))
+        n = self.n_docs
+        return {
+            int(t): float(np.log(1.0 + (n - d + 0.5) / (d + 0.5)))
+            for t, d in zip(tbl["term_id"], tbl["df"])
+        }
+
+    def topk_regexp(self, pattern: str, k: int = 10, *,
+                    max_expansions: int = 50,
+                    round_to: int | None = None,
+                    ) -> list[tuple[int, float, int]]:
+        """ES regexp query on the serving path — bitwise identical to
+        Searcher.topk_regexp (same expansion plan, same kernel)."""
+        idf = self.plan_regexp(pattern, max_expansions)
+        if not idf:
+            return []
+        return self._topk_from_idf(idf, k, round_to=round_to)
+
     def plan_fuzzy(self, query_text: str,
                    fuzziness: int = 1) -> dict[int, float]:
         """ES match-`fuzziness` expansion over the pyarrow dictionary —

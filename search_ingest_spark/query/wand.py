@@ -439,6 +439,66 @@ class Searcher:
 
         return ranked_desc(topk, "score", "doc_id")
 
+    # -- regexp execution -----------------------------------------------------
+    def plan_regexp(
+        self, pattern: str, max_expansions: int = 50
+    ) -> dict[int, float]:
+        """term_id → idf for dictionary terms fully matching an ES
+        `regexp` pattern (always anchored to the WHOLE term, like ES),
+        capped at `max_expansions` by (df desc, term asc).  The literal
+        prefix before the first regex metacharacter narrows the
+        term-sorted dictionary scan to a pruned range — the same FST-
+        walk analog as plan_wildcard.  Patterns should stay in the
+        portable subset (classes, alternation, quantifiers) shared by
+        Java regex / Python re / RE2."""
+        p = pattern.lower()
+        if not p:
+            return {}
+        metas = ".?*+()[]{}|\\^$"
+        cut = min((p.index(c) for c in metas if c in p), default=len(p))
+        scan = self.term_dict
+        if cut > 0:
+            lo = p[:cut]
+            hi = lo[:-1] + chr(ord(lo[-1]) + 1)
+            scan = scan.where((F.col("term") >= lo) & (F.col("term") < hi))
+        rows = (
+            scan.where(F.col("term").rlike("^(?:" + p + ")$"))
+            .orderBy(F.desc("df"), F.asc("term"))
+            .limit(int(max_expansions))
+            .select("term_id", "df")
+            .collect()
+        )
+        n = self.n_docs
+        return {
+            int(r["term_id"]):
+                float(np.log(1.0 + (n - r["df"] + 0.5) / (r["df"] + 0.5)))
+            for r in rows
+        }
+
+    def topk_regexp(
+        self, pattern: str, k: int = 10, *, max_expansions: int = 50,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES regexp query: the expansion plan feeds the unchanged WAND
+        kernel as an OR query, each expanded term scoring with its own
+        idf (same documented divergence from ES's blended-df rewrite as
+        topk_prefix/topk_wildcard/topk_fuzzy)."""
+        idf = self.plan_regexp(pattern, max_expansions)
+        out_schema = "doc_id long, score double"
+        if not idf:
+            return self.spark.createDataFrame([], out_schema + ", rank int")
+        pruned = self.postings.where(
+            F.col("term_id").isin([int(t) for t in idf])
+        )
+        scorer = _make_shard_scorer(idf, k, self.avgdl, False, round_to)
+        topk = pruned.groupBy("shard").applyInPandas(scorer, schema=out_schema)
+        if round_to is not None:
+            topk = topk.withColumn("score", F.round("score", round_to))
+        topk = topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        from search_ingest_spark.ranking import ranked_desc
+
+        return ranked_desc(topk, "score", "doc_id")
+
     # -- quantized execution --------------------------------------------------
     def topk_quantized(
         self, query_text: str, k: int = 10, *, round_to: int | None = None,
