@@ -87,6 +87,10 @@ def _docs_with_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lat", ((F.col("doc_id") * 7919) % 18000) / F.lit(100.0) - F.lit(90.0)
     ).withColumn(
         "lon", ((F.col("doc_id") * 104729) % 36000) / F.lit(100.0) - F.lit(180.0)
+    ).withColumn(
+        # deterministic NULLABLE attr: present on 1/3 of docs — gives
+        # the ES `exists` filter something real to select on
+        "tag", F.when(F.col("doc_id") % 3 == 0, F.col("source")),
     )
 
 
@@ -104,7 +108,7 @@ def _index_cat(spark: SparkSession, sf_dir: str):
         cat = Catalog(spark, root)
         build_index(spark, _docs_with_geo(spark, sf_dir), cat, mode="simple",
                     with_positions=True,
-                    attr_cols=["lang", "source", "lat", "lon"],
+                    attr_cols=["lang", "source", "lat", "lon", "tag"],
                     quantize=True, store_fields=["lang", "source", "text"])
         got = _INDEX_CACHE[key] = cat
     return got
@@ -318,6 +322,36 @@ def _q_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_range_filter_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = _local_searcher(spark, sf_dir).topk(
         "table hash fast", 10, round_to=4, attr_filter=_RANGE_FILTER
+    )
+    return spark.createDataFrame(got, "doc_id long, score double, rank int")
+
+
+# ES `exists` filter context: the index carries a deterministic
+# NULLABLE attr (`tag`, present iff doc_id % 3 == 0 — _docs_with_geo),
+# and {"tag": {"exists": True}} compiles to isNotNull / is_valid /
+# IS NOT NULL through the shared spec (query/filters.py).  The oracle
+# replays the attr's defining predicate on the raw corpus.
+_EXISTS_FILTER = {"tag": {"exists": True}}
+_EXISTS_WHERE = "(doc_id % 3) = 0"
+
+
+@register(
+    "bm25_exists_filter_topk",
+    bm25.bm25_oracle_sql("table hash fast", k=10, filter_where=_EXISTS_WHERE),
+)
+def _q_exists_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).topk(
+        "table hash fast", 10, round_to=4, attr_filter=_EXISTS_FILTER
+    )
+
+
+@register(
+    "bm25_exists_filter_local",
+    bm25.bm25_oracle_sql("table hash fast", k=10, filter_where=_EXISTS_WHERE),
+)
+def _q_exists_filter_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    got = _local_searcher(spark, sf_dir).topk(
+        "table hash fast", 10, round_to=4, attr_filter=_EXISTS_FILTER
     )
     return spark.createDataFrame(got, "doc_id long, score double, rank int")
 
@@ -742,6 +776,40 @@ def _q_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
         F.countDistinct("source").alias("source_cardinality"),
+    )
+
+
+# ES `date_histogram` aggregation (calendar_interval=day) with a
+# nested metric sub-aggregation — the canonical observability query
+# shape over a time-keyed stream.  Pure Catalyst: date_trunc groupBy
+# with map-side partial aggregation; at 100 TB the bucket cardinality
+# is days, so the final reduce is trivially small.
+@register(
+    "search_date_histogram",
+    """
+SELECT CAST(ts AS DATE) AS day,
+       count(*)::BIGINT AS n_events,
+       sum(floor(value * 10000)::BIGINT)::BIGINT AS sum_value_e4,
+       count(DISTINCT user_id)::BIGINT AS users
+FROM events
+WHERE event_type = 'click'
+GROUP BY 1
+""".strip(),
+)
+def _q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the value metric sums FLOOR(value*1e4) as integers: double
+    # summation is order-dependent under a parallel reduce, integer
+    # summation is associative — deterministic on both engines
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (
+        ev.where(F.col("event_type") == "click")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.floor(F.col("value") * 10000).cast("long"))
+            .alias("sum_value_e4"),
+            F.countDistinct("user_id").alias("users"),
+        )
     )
 
 

@@ -9,6 +9,8 @@ Lucene bitsets; here they become pushed-down parquet predicates):
     {"lang": "es"}                          term   (equality)
     {"lang": ["es", "fr"]}                  terms  (match any)
     {"lat": {"gte": -10.0, "lt": 40.0}}     range  (gte/gt/lte/lt)
+    {"tag": {"exists": True}}               exists (ES exists query;
+                                            False = field missing)
 
 and conjunctions of the above ({"lang": "es", "lat": {...}}: AND).
 
@@ -34,7 +36,11 @@ _RANGE_OPS = ("gte", "gt", "lte", "lt")
 
 
 def _is_range(v: Any) -> bool:
-    return isinstance(v, Mapping)
+    return isinstance(v, Mapping) and "exists" not in v
+
+
+def _is_exists(v: Any) -> bool:
+    return isinstance(v, Mapping) and "exists" in v
 
 
 def _check_range(col: str, v: Mapping) -> None:
@@ -46,13 +52,25 @@ def _check_range(col: str, v: Mapping) -> None:
         )
 
 
+def _check_exists(col: str, v: Mapping) -> bool:
+    if set(v) != {"exists"} or not isinstance(v["exists"], bool):
+        raise ValueError(
+            f"exists filter on {col!r} must be exactly "
+            f"{{'exists': True|False}}, got {dict(v)}"
+        )
+    return v["exists"]
+
+
 def spark_cond(attr_filter: dict):
     """Compile the filter spec to one pyspark Column (AND of clauses)."""
     from pyspark.sql import functions as F
 
     cond = None
     for c, v in attr_filter.items():
-        if _is_range(v):
+        if _is_exists(v):
+            e = (F.col(c).isNotNull() if _check_exists(c, v)
+                 else F.col(c).isNull())
+        elif _is_range(v):
             _check_range(c, v)
             e = None
             for op, bound in v.items():
@@ -75,7 +93,10 @@ def arrow_cond(attr_filter: dict):
 
     cond = None
     for c, v in attr_filter.items():
-        if _is_range(v):
+        if _is_exists(v):
+            e = (pc.field(c).is_valid() if _check_exists(c, v)
+                 else pc.field(c).is_null())
+        elif _is_range(v):
             _check_range(c, v)
             e = None
             for op, bound in v.items():
@@ -96,7 +117,10 @@ def sql_cond(attr_filter: dict) -> str:
     """Compile the spec to an ANSI-SQL WHERE fragment (oracle duty)."""
     parts: list[str] = []
     for c, v in attr_filter.items():
-        if _is_range(v):
+        if _is_exists(v):
+            parts.append(
+                f"{c} IS NOT NULL" if _check_exists(c, v) else f"{c} IS NULL")
+        elif _is_range(v):
             _check_range(c, v)
             sym = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
             for op, bound in v.items():
