@@ -356,6 +356,37 @@ def _q_exists_filter_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(got, "doc_id long, score double, rank int")
 
 
+# ES `constant_score`: filter-context-only query, every match scores
+# exactly the boost — no BM25.  Filter = lang IN (es, fr) AND the
+# synthetic lat range; the oracle replays both predicates on the raw
+# corpus (lat is a pure doc_id formula — _docs_with_geo).
+_CS_FILTER = {"lang": ["es", "fr"], "lat": {"gte": -30.0, "lt": 30.0}}
+_CS_WHERE = ("lang IN ('es', 'fr') AND "
+             "(((doc_id * 7919) % 18000) / 100.0 - 90.0) >= -30.0 AND "
+             "(((doc_id * 7919) % 18000) / 100.0 - 90.0) < 30.0")
+_CS_ORACLE = f"""
+SELECT doc_id, 2.5::DOUBLE AS score,
+       row_number() OVER (ORDER BY doc_id ASC)::INT AS rank
+FROM documents
+WHERE {_CS_WHERE}
+ORDER BY doc_id ASC
+LIMIT 10
+""".strip()
+
+
+@register("search_constant_score", _CS_ORACLE)
+def _q_constant_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).constant_score(_CS_FILTER, 10, boost=2.5)
+
+
+@register("search_constant_score_local", _CS_ORACLE)
+def _q_constant_score_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    got = _local_searcher(spark, sf_dir).constant_score(
+        _CS_FILTER, 10, boost=2.5
+    )
+    return spark.createDataFrame(got, "doc_id long, score double, rank int")
+
+
 # ES `wildcard` query (VERDICT r03 item 6): dictionary terms matching
 # the pattern (`*` any run, `?` one char), literal-prefix-pruned scan,
 # capped at max_expansions by (df desc, term asc), scored as OR with

@@ -104,7 +104,25 @@ def _get_serve_pool():
         ctx.set_forkserver_preload(["search_ingest_spark.query.reader"])
         _SERVE_POOL = ProcessPoolExecutor(
             max_workers=_SERVE_POOL_SIZE, mp_context=ctx)
+        # shut the pool down BEFORE interpreter teardown: the
+        # executor's own weakref finalizer otherwise fires after
+        # module globals are cleared (harmless but noisy
+        # "'NoneType' object has no attribute 'util'" on stderr)
+        import atexit
+        atexit.register(shutdown_serve_pool)
     return _SERVE_POOL
+
+
+def shutdown_serve_pool() -> None:
+    """Tear down the serving worker pool (idempotent; a later query
+    lazily recreates it)."""
+    global _SERVE_POOL
+    pool, _SERVE_POOL = _SERVE_POOL, None
+    if pool is not None:
+        try:
+            pool.shutdown(wait=True, cancel_futures=True)
+        except Exception:
+            pass
 
 
 _WORKER_DATASETS: dict = {}
@@ -400,6 +418,18 @@ class LocalSearcher:
         if not idf:
             return []
         return self._topk_from_idf(idf, k, round_to=round_to)
+
+    def constant_score(self, attr_filter: dict, k: int = 10, *,
+                       boost: float = 1.0) -> list[tuple[int, float, int]]:
+        """ES `constant_score` on the serving path — the shared filter
+        spec compiled to a pyarrow predicate over doc_attrs, ranked by
+        doc_id asc; bitwise identical to Searcher.constant_score."""
+        cond = filters.arrow_cond(attr_filter)
+        tbl = ds.dataset(
+            self.cat.data_path(ib.DOC_ATTRS_TABLE), partitioning="hive"
+        ).to_table(columns=["doc_id"], filter=cond)
+        ids = np.sort(tbl["doc_id"].to_numpy(zero_copy_only=False))[:k]
+        return [(int(d), float(boost), r + 1) for r, d in enumerate(ids)]
 
     def plan_regexp(self, pattern: str,
                     max_expansions: int = 50) -> dict[int, float]:

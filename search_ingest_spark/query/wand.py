@@ -439,6 +439,26 @@ class Searcher:
 
         return ranked_desc(topk, "score", "doc_id")
 
+    # -- constant_score execution --------------------------------------------
+    def constant_score(self, attr_filter: dict, k: int = 10, *,
+                       boost: float = 1.0) -> DataFrame:
+        """ES `constant_score`: filter context ONLY — every matching doc
+        scores exactly `boost`, no BM25, no postings touched.  Ranked
+        deterministically by doc_id asc (all scores tie).  The filter
+        compiles through the shared spec (query/filters.py), so the
+        predicate pushes into the doc_attrs parquet scan; at 100 TB
+        this is a pruned columnar scan + TakeOrdered, no shuffle."""
+        from search_ingest_spark.query import filters as _filters
+        from search_ingest_spark.ranking import ranked_desc
+
+        attrs = self.cat.read(ib.DOC_ATTRS_TABLE)
+        hits = (
+            attrs.where(_filters.spark_cond(attr_filter))
+            .select("doc_id").orderBy(F.asc("doc_id")).limit(k)
+            .withColumn("score", F.lit(float(boost)))
+        )
+        return ranked_desc(hits, "score", "doc_id")
+
     # -- regexp execution -----------------------------------------------------
     def plan_regexp(
         self, pattern: str, max_expansions: int = 50
