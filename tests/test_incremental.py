@@ -267,3 +267,60 @@ def test_latest_per_key_tiebreak(spark):
     )
     out = latest_per_key(df, "url", "warc_ts", ["text"]).collect()
     assert len(out) == 1 and out[0]["text"] == "b"  # deterministic tie-break
+
+
+class TestControlPlanePaths:
+    """The micro-batch (driver-resolved) and distributed (join-based)
+    control planes, and the driver-side vs Spark dictionary deltas,
+    must produce IDENTICAL committed state — same counts, same ids,
+    same query results.  Forced via the module caps."""
+
+    SEQ = [
+        # batch 1: updates + novel urls + a delete
+        [("https://t/5", 2000, "updated five common shared", OP_UPSERT),
+         ("https://t/nova", 2001, "fresh nova document common", OP_UPSERT),
+         ("https://t/7", 2002, None, OP_DELETE)],
+        # batch 2: re-delete, resurrect, more novel
+        [("https://t/nova", 3000, None, OP_DELETE),
+         ("https://t/7", 3001, "seven returns common shared", OP_UPSERT),
+         ("https://t/novb", 3002, "second nova common tok99", OP_UPSERT)],
+    ]
+
+    def _run(self, spark, tmp_path, tag):
+        cat = Catalog(spark, str(tmp_path / f"cp_{tag}"))
+        ix = PageIndexer(spark, cat, mode="simple", docs_per_shard=8)
+        ix.backfill(_pages_df(spark, CORPUS))
+        stats = []
+        for batch in self.SEQ:
+            st = ix.apply_changes(_changes_df(spark, batch))
+            stats.append((st.upserts, st.deletes, st.new_docs,
+                          tuple(st.dirty_shards)))
+        _assert_index_matches_corpus(spark, ix)
+        docs = sorted(
+            (r["url"], r["doc_id"], r["text"])
+            for r in ix.cat.read(DOCS_TABLE).collect()
+        )
+        counters = ix.cat.read_small("counters")[0]
+        dictionary = sorted(
+            tuple(r) for r in ix.cat.read(ib.TERM_DICT_TABLE).collect()
+        )
+        return stats, docs, (counters["max_doc_id"],
+                             counters["max_term_id"]), dictionary
+
+    def test_all_paths_identical(self, spark, tmp_path, monkeypatch):
+        import search_ingest_spark.streaming.incremental as inc
+
+        base = self._run(spark, tmp_path, "micro")
+
+        # force the distributed join control plane (replay path)
+        monkeypatch.setattr(inc, "MICRO_BATCH_CAP", 0)
+        dist = self._run(spark, tmp_path, "dist")
+        monkeypatch.undo()
+
+        # force the distributed dictionary delta (huge-vocab path)
+        monkeypatch.setattr(inc, "DRIVER_DICT_MAX_ROWS", 0)
+        bigdict = self._run(spark, tmp_path, "bigdict")
+        monkeypatch.undo()
+
+        assert dist == base
+        assert bigdict == base

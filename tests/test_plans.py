@@ -94,6 +94,49 @@ class TestQueryPlans:
         plan = plan_of(s.topk("data table", 10, attr_filter={"lang": "fr"}))
         assert "FlatMapCoGroupsInPandas" in plan  # postings ⋈ filter mask
 
+    def test_range_filter_pushes_bounds_into_attrs_scan(self, spark, doc_index):
+        # the shared filter spec (query/filters.py) must reach parquet:
+        # a range clause shows up as pushed comparison predicates, so at
+        # 100 TB the attrs scan prunes row groups by min/max stats
+        from search_ingest_spark.query import filters
+
+        attrs = doc_index.read(ib.DOC_ATTRS_TABLE).where(
+            filters.spark_cond({"lang": {"gte": "b", "lt": "g"}})
+        ).select("shard", "doc_id")
+        plan = plan_of(attrs)
+        assert "GreaterThanOrEqual(lang,b)" in plan, plan
+        assert "LessThan(lang,g)" in plan, plan
+
+    def test_exists_filter_pushes_isnotnull(self, spark, doc_index):
+        from search_ingest_spark.query import filters
+
+        attrs = doc_index.read(ib.DOC_ATTRS_TABLE).where(
+            filters.spark_cond({"source": {"exists": True}})
+        ).select("doc_id")
+        plan = plan_of(attrs)
+        assert "PushedFilters: [IsNotNull(source)]" in plan, plan
+
+    def test_constant_score_is_pushed_scan_plus_take_ordered(
+        self, spark, doc_index
+    ):
+        # filter-context-only query: ONE pruned attrs scan feeding
+        # TakeOrderedAndProject — no shuffle, no postings read
+        s = Searcher(spark, doc_index)
+        plan = plan_of(s.constant_score({"lang": "fr"}, 10))
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "EqualTo(lang,fr)" in plan, plan
+        assert "postings" not in plan, plan
+
+    def test_date_histogram_has_partial_aggregation(self, spark):
+        # map-side partials before the single exchange: the 100 TB shape
+        # (bucket cardinality = days) reduces almost everything map-side
+        from search_ingest_spark.entrypoints import QUERIES
+
+        df = QUERIES["search_date_histogram"](spark, "/root/testdata/sf0.001")
+        plan = plan_of(df)
+        assert plan.count("HashAggregate") >= 2, plan
+        assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,click)]" in plan, plan
+
 
 class TestSelfReplicationGuard:
     def test_self_ref_parented_rows_skip_own_index(self, spark):

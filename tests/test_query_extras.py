@@ -372,3 +372,42 @@ class TestRandomizedEquivalence:
                     docs, q, 7, mode="simple", round_to=4,
                     search_after=cur).collect()]
                 assert g2 == w2, (seed, trial, q)
+
+
+class TestRandomizedBoolEquivalence:
+    """Seeded random corpora stress the composed bool query: the Spark
+    kernel path and the Spark-free serving path must agree bitwise for
+    random must/should/must_not combinations (heavy ties, empty-clause
+    edge cases)."""
+
+    @pytest.mark.parametrize("seed", [5, 17])
+    def test_bool_spark_serving_parity(self, spark, tmp_path, seed):
+        import random
+
+        from search_ingest_spark.query.reader import LocalSearcher
+
+        rng = random.Random(seed)
+        vocab = [f"w{i}" for i in range(24)]
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(0, 30))))
+            for i in range(250)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        cat = Catalog(spark, str(tmp_path / f"b{seed}"))
+        ib.build_index(spark, docs, cat, mode="simple", docs_per_shard=31)
+        s = Searcher(spark, cat)
+        ls = LocalSearcher(cat)
+        for trial in range(5):
+            must = (" ".join(rng.sample(vocab, rng.randint(1, 2)))
+                    if rng.random() < 0.7 else None)
+            should = (" ".join(rng.sample(vocab, rng.randint(1, 3)))
+                      if must is None or rng.random() < 0.8 else None)
+            must_not = (" ".join(rng.sample(vocab, 1))
+                        if rng.random() < 0.5 else None)
+            msm = (rng.randint(1, 2)
+                   if should and rng.random() < 0.5 else None)
+            kw = dict(must=must, should=should, must_not=must_not,
+                      minimum_should_match=msm, k=12, round_to=4)
+            want = [tuple(r) for r in s.bool_topk(**kw).collect()]
+            got = ls.bool_topk(**kw)
+            assert got == want, (seed, trial, kw)
