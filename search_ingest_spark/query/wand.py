@@ -270,6 +270,26 @@ class Searcher:
             required_text=must,
         )
 
+    def _topk_expanded(self, idf: dict[int, float], k: int,
+                       round_to: int | None) -> DataFrame:
+        """Shared tail for dictionary-expansion queries (prefix /
+        wildcard / regexp / fuzzy OR-rewrites): pruned postings scan →
+        per-shard kernel → global TakeOrdered → rank."""
+        out_schema = "doc_id long, score double"
+        if not idf:
+            return self.spark.createDataFrame([], out_schema + ", rank int")
+        pruned = self.postings.where(
+            F.col("term_id").isin([int(t) for t in idf])
+        )
+        scorer = _make_shard_scorer(idf, k, self.avgdl, False, round_to)
+        topk = pruned.groupBy("shard").applyInPandas(scorer, schema=out_schema)
+        if round_to is not None:
+            topk = topk.withColumn("score", F.round("score", round_to))
+        topk = topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        from search_ingest_spark.ranking import ranked_desc
+
+        return ranked_desc(topk, "score", "doc_id")
+
     # -- fuzzy execution ------------------------------------------------------
     def plan_fuzzy(self, query_text: str, fuzziness: int = 1) -> dict[int, float]:
         """term_id → idf over every dictionary term within `fuzziness`
@@ -305,21 +325,8 @@ class Searcher:
     ) -> DataFrame:
         """(doc_id, score, rank) for an OR query over the fuzzy-expanded
         term set — the expansion plan feeds the unchanged WAND kernel."""
-        idf = self.plan_fuzzy(query_text, fuzziness)
-        out_schema = "doc_id long, score double"
-        if not idf:
-            return self.spark.createDataFrame([], out_schema + ", rank int")
-        pruned = self.postings.where(
-            F.col("term_id").isin([int(t) for t in idf])
-        )
-        scorer = _make_shard_scorer(idf, k, self.avgdl, False, round_to)
-        topk = pruned.groupBy("shard").applyInPandas(scorer, schema=out_schema)
-        if round_to is not None:
-            topk = topk.withColumn("score", F.round("score", round_to))
-        topk = topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        from search_ingest_spark.ranking import ranked_desc
-
-        return ranked_desc(topk, "score", "doc_id")
+        return self._topk_expanded(
+            self.plan_fuzzy(query_text, fuzziness), k, round_to)
 
     # -- prefix execution -----------------------------------------------------
     def plan_prefix(
@@ -359,21 +366,8 @@ class Searcher:
         term set — the expansion plan feeds the unchanged WAND kernel,
         each expanded term scoring with its own idf (same documented
         divergence from ES's blended-df rewrite as topk_fuzzy)."""
-        idf = self.plan_prefix(prefix, max_expansions)
-        out_schema = "doc_id long, score double"
-        if not idf:
-            return self.spark.createDataFrame([], out_schema + ", rank int")
-        pruned = self.postings.where(
-            F.col("term_id").isin([int(t) for t in idf])
-        )
-        scorer = _make_shard_scorer(idf, k, self.avgdl, False, round_to)
-        topk = pruned.groupBy("shard").applyInPandas(scorer, schema=out_schema)
-        if round_to is not None:
-            topk = topk.withColumn("score", F.round("score", round_to))
-        topk = topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        from search_ingest_spark.ranking import ranked_desc
-
-        return ranked_desc(topk, "score", "doc_id")
+        return self._topk_expanded(self.plan_prefix(prefix, max_expansions),
+                                   k, round_to)
 
     # -- wildcard execution ---------------------------------------------------
     def plan_wildcard(
@@ -423,21 +417,8 @@ class Searcher:
         WAND kernel as an OR query, each expanded term scoring with its
         own idf (same documented divergence from ES's blended-df
         rewrite as topk_prefix/topk_fuzzy)."""
-        idf = self.plan_wildcard(pattern, max_expansions)
-        out_schema = "doc_id long, score double"
-        if not idf:
-            return self.spark.createDataFrame([], out_schema + ", rank int")
-        pruned = self.postings.where(
-            F.col("term_id").isin([int(t) for t in idf])
-        )
-        scorer = _make_shard_scorer(idf, k, self.avgdl, False, round_to)
-        topk = pruned.groupBy("shard").applyInPandas(scorer, schema=out_schema)
-        if round_to is not None:
-            topk = topk.withColumn("score", F.round("score", round_to))
-        topk = topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        from search_ingest_spark.ranking import ranked_desc
-
-        return ranked_desc(topk, "score", "doc_id")
+        return self._topk_expanded(
+            self.plan_wildcard(pattern, max_expansions), k, round_to)
 
     # -- constant_score execution --------------------------------------------
     def constant_score(self, attr_filter: dict, k: int = 10, *,
@@ -503,21 +484,8 @@ class Searcher:
         kernel as an OR query, each expanded term scoring with its own
         idf (same documented divergence from ES's blended-df rewrite as
         topk_prefix/topk_wildcard/topk_fuzzy)."""
-        idf = self.plan_regexp(pattern, max_expansions)
-        out_schema = "doc_id long, score double"
-        if not idf:
-            return self.spark.createDataFrame([], out_schema + ", rank int")
-        pruned = self.postings.where(
-            F.col("term_id").isin([int(t) for t in idf])
-        )
-        scorer = _make_shard_scorer(idf, k, self.avgdl, False, round_to)
-        topk = pruned.groupBy("shard").applyInPandas(scorer, schema=out_schema)
-        if round_to is not None:
-            topk = topk.withColumn("score", F.round("score", round_to))
-        topk = topk.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
-        from search_ingest_spark.ranking import ranked_desc
-
-        return ranked_desc(topk, "score", "doc_id")
+        return self._topk_expanded(
+            self.plan_regexp(pattern, max_expansions), k, round_to)
 
     # -- quantized execution --------------------------------------------------
     def topk_quantized(
