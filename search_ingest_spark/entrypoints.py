@@ -1749,6 +1749,41 @@ def _q_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# same request under score_mode=max (ES's default has_child mode)
+@register(
+    "search_has_child_max",
+    f"""
+WITH {_HC_CHILD_SQL},
+q(term) AS (VALUES ('urgent'), ('specified')),
+{_HC_SCORE_SQL},
+pscore AS (
+  SELECT child.parent AS id, round(max(s), 4)::DOUBLE AS score
+  FROM cscore JOIN child USING (doc_id)
+  GROUP BY 1
+),
+topk AS (
+  SELECT id, score FROM pscore
+  WHERE id IN (SELECT c_custkey::BIGINT FROM customer)
+  ORDER BY score DESC, id ASC LIMIT 10
+)
+SELECT id, score,
+       row_number() OVER (ORDER BY score DESC, id ASC)::INT AS rank
+FROM topk
+""".strip(),
+)
+def _q_has_child_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_ingest_spark.query.join_query import has_child_topk
+    from search_ingest_spark.tables import _doc_table
+
+    mgr = _replicated_customer_index(spark, sf_dir)
+    idx = mgr.cat.read(_doc_table("customer"))
+    return has_child_topk(
+        idx, child_type="orders", parent_type="customer",
+        query_text="urgent specified", k=10, score_mode="max",
+        round_to=4,
+    )
+
+
 # ES has_parent query: children of parents matching a text query, each
 # child carrying its parent's BM25 score (score=true).  The parent
 # match here is a unique name token, so the result is one customer's
