@@ -918,7 +918,8 @@ def _q_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Lucene text field): exact match_phrase top-k served from the index,
 # oracle recomputes positions + slot matching + the slot-idf-sum BM25
 # score from raw text.
-from search_ingest_spark.query.phrase import PhraseSearcher, phrase_oracle_sql  # noqa: E402
+from search_ingest_spark.query.phrase import (  # noqa: E402
+    PhraseSearcher, phrase_oracle_sql, phrase_prefix_oracle_sql)
 
 _PHRASE_TEXT = "table hash"
 
@@ -927,6 +928,19 @@ _PHRASE_TEXT = "table hash"
 def _q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = _index_cat(spark, sf_dir)
     return PhraseSearcher(spark, cat).topk(_PHRASE_TEXT, 10, round_to=4)
+
+
+# ES match_phrase_prefix (search-as-you-type): fixed slots + the last
+# term prefix-expanded over the dictionary, stacked on the final slot.
+@register(
+    "bm25_phrase_prefix_topk",
+    phrase_prefix_oracle_sql("data pr", k=10, max_expansions=8),
+)
+def _q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _index_cat(spark, sf_dir)
+    return PhraseSearcher(spark, cat).topk_phrase_prefix(
+        "data pr", 10, max_expansions=8, round_to=4
+    )
 
 
 _BATCH_QUERIES = {0: "data", 1: "spark query data", 2: "customer window batch"}

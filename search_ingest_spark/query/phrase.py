@@ -98,12 +98,21 @@ class PhraseSearcher:
                 return self.spark.createDataFrame([], out_schema)
             idf_sum += idf[indexed[0]]
 
+        slot_rows = [(t, p) for p, ts in sorted(slot_terms.items())
+                     for t in ts if t in idf]
+        return self._run_slots(slot_rows, n_slots, idf_sum, k, round_to)
+
+    def _run_slots(self, slot_rows: list[tuple[str, int]], n_slots: int,
+                   idf_sum: float, k: int,
+                   round_to: int | None) -> DataFrame:
+        """Shared slot-matching pipeline: pruned positions scan →
+        (doc, base) alignment → phrase_freq → slot-idf-sum BM25 →
+        top-k.  `slot_rows` may stack several terms on one slot
+        (synonym stacks, phrase-prefix expansions)."""
         slot_df = self.spark.createDataFrame(
-            [(t, p) for p, ts in sorted(slot_terms.items())
-             for t in ts if t in idf],
-            "term string, slot int",
+            slot_rows, "term string, slot int",
         )
-        slots = sorted({t for t, _ in pairs if t in idf})
+        slots = sorted({t for t, _ in slot_rows})
         pos = self.cat.read(ib.POSITIONS_TABLE).where(
             F.col("term").isin(slots)
         )
@@ -131,6 +140,51 @@ class PhraseSearcher:
             scored = scored.withColumn("score", F.round("score", round_to))
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         return ranked_desc(topk, "score", "doc_id")
+
+    def topk_phrase_prefix(
+        self, phrase_text: str, k: int = 10, *, max_expansions: int = 50,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES `match_phrase_prefix` (search-as-you-type): the LAST
+        analyzed term is treated as a prefix and expanded over the
+        term-sorted dictionary (df desc, term asc, capped at
+        `max_expansions` — the same deterministic rewrite as the
+        wand prefix/wildcard queries); the phrase then matches when
+        slots 0..n-2 align exactly and the last slot matches ANY
+        expansion.  The last slot's idf contribution uses the highest-
+        df expansion (the stack-primary convention topk() uses for
+        synonym stacks).  Simple-analyzer queries only (the driver
+        corpus mode)."""
+        import pyarrow.compute as pc
+
+        out_schema = "doc_id long, score double, rank int"
+        terms = analyze_query(phrase_text, mode="simple")
+        if not terms:
+            return self.spark.createDataFrame([], out_schema)
+        prefix = terms[-1]
+        hi = prefix[:-1] + chr(ord(prefix[-1]) + 1)
+        exp = self._dict_ds.to_table(
+            columns=["term", "df"],
+            filter=(pc.field("term") >= prefix) & (pc.field("term") < hi),
+        ).to_pandas()
+        if len(exp) == 0:
+            return self.spark.createDataFrame([], out_schema)
+        exp = exp.sort_values(["df", "term"], ascending=[False, True],
+                              kind="stable").head(int(max_expansions))
+        fixed = terms[:-1]
+        idf = self._idf(fixed)
+        if any(t not in idf for t in fixed):
+            return self.spark.createDataFrame([], out_schema)
+        n = self.n_docs
+        df_top = int(exp["df"].iloc[0])
+        idf_sum = sum(idf[t] for t in fixed) + float(
+            np.log(1.0 + (n - df_top + 0.5) / (df_top + 0.5))
+        )
+        n_slots = len(terms)
+        slot_rows = [(t, i) for i, t in enumerate(fixed)] + [
+            (t, n_slots - 1) for t in exp["term"]
+        ]
+        return self._run_slots(slot_rows, n_slots, idf_sum, k, round_to)
 
 
     def topk_many(
@@ -221,6 +275,84 @@ class PhraseSearcher:
             .where(F.col("rank") <= k)
             .select("query_id", "doc_id", "score", "rank")
         )
+
+
+def phrase_prefix_oracle_sql(
+    phrase_text: str, k: int = 10, *, max_expansions: int = 50,
+    table: str = "documents", id_col: str = "doc_id",
+    text_col: str = "text", round_to: int = 4,
+) -> str:
+    """DuckDB oracle for topk_phrase_prefix: last term expanded over
+    the corpus vocabulary ([prefix, prefix+1) range, df desc cap),
+    slot matching with the expansion stacked on the last slot, last-
+    slot idf from the highest-df expansion."""
+    slots = analyze_query(phrase_text, mode="simple")
+    fixed, prefix = slots[:-1], slots[-1]
+    nslots = len(slots)
+    p = prefix.replace("'", "''")
+    hi = (prefix[:-1] + chr(ord(prefix[-1]) + 1)).replace("'", "''")
+    fixed_vals = ", ".join(
+        f"('{t.replace(chr(39), chr(39) * 2)}', {i})"
+        for i, t in enumerate(fixed)
+    ) or "('', -1)"
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         regexp_extract_all(lower({text_col}), '[a-z0-9]+') AS t
+  FROM {table}
+),
+dl AS (SELECT doc_id, len(t)::INT AS dl FROM toks WHERE len(t) > 0),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+pos AS (
+  SELECT doc_id, p::INT - 1 AS pos, t[p] AS term
+  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p FROM toks)
+),
+vocab AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM pos GROUP BY term
+),
+exp AS (
+  SELECT term, df, row_number() OVER (ORDER BY df DESC, term ASC) AS rn
+  FROM vocab WHERE term >= '{p}' AND term < '{hi}'
+  ORDER BY df DESC, term ASC LIMIT {int(max_expansions)}
+),
+fixed(term, slot) AS (VALUES {fixed_vals}),
+slots AS (
+  SELECT term, slot FROM fixed WHERE slot >= 0
+  UNION ALL
+  SELECT term, {nslots - 1} AS slot FROM exp
+),
+idfsum AS (
+  SELECT (SELECT coalesce(sum(
+            ln(1.0 + (stats.n_docs - v.df + 0.5) / (v.df + 0.5))), 0.0)
+          FROM fixed JOIN vocab v USING (term) CROSS JOIN stats
+          WHERE fixed.slot >= 0)
+       + (SELECT ln(1.0 + (stats.n_docs - exp.df + 0.5) / (exp.df + 0.5))
+          FROM exp CROSS JOIN stats WHERE exp.rn = 1) AS s
+),
+x AS (
+  SELECT DISTINCT doc_id, pos - slot AS base, slot
+  FROM pos JOIN slots USING (term)
+),
+pf AS (
+  SELECT doc_id, count(*)::BIGINT AS pfreq FROM (
+    SELECT doc_id, base FROM x GROUP BY doc_id, base
+    HAVING count(DISTINCT slot) = {nslots}
+  ) GROUP BY doc_id
+),
+scores AS (
+  SELECT pf.doc_id,
+         idfsum.s * (pf.pfreq * ({K1} + 1.0))
+         / (pf.pfreq + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)) AS raw
+  FROM pf JOIN dl USING (doc_id) CROSS JOIN stats CROSS JOIN idfsum
+),
+topk AS (
+  SELECT doc_id, round(raw, {round_to})::DOUBLE AS score FROM scores
+  ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM topk
+""".strip()
 
 
 def phrase_oracle_sql(

@@ -119,3 +119,46 @@ class TestPhraseBatch:
             single = [tuple(r) for r in ps.topk(text, 5, round_to=4).collect()]
             got = sorted(by_q.get(qid, []), key=lambda t: t[2])
             assert got == single, text
+
+
+class TestPhrasePrefix:
+    """match_phrase_prefix: last slot = capped prefix expansion."""
+
+    def test_single_expansion_equals_plain_phrase(self, spark, tmp_path):
+        # when the prefix expands to exactly one dictionary term, the
+        # result must be IDENTICAL to the plain phrase query
+        ps = _build(spark, tmp_path, [
+            "alpha beta gamma",
+            "alpha beta gander",
+            "alpha gamma beta",
+        ])
+        # "gam" expands only to "gamma" / "gan" only to "gander"
+        want = [tuple(r) for r in ps.topk("beta gamma", 10,
+                                          round_to=4).collect()]
+        got = [tuple(r) for r in ps.topk_phrase_prefix(
+            "beta gam", 10, round_to=4).collect()]
+        assert got == want and len(got) == 1
+
+    def test_expansion_unions_matches(self, spark, tmp_path):
+        ps = _build(spark, tmp_path, [
+            "send the payment now",      # pay → payment
+            "send the payload now",      # pay → payload
+            "send the parcel now",       # not a 'pay' prefix
+            "payment send the",          # wrong slot order
+        ])
+        got = ps.topk_phrase_prefix("send the pay", 10, round_to=4).collect()
+        assert {r["doc_id"] for r in got} == {0, 1}
+
+    def test_unknown_prefix_matches_nothing(self, spark, tmp_path):
+        ps = _build(spark, tmp_path, ["alpha beta gamma"])
+        assert ps.topk_phrase_prefix("alpha zz", 10).collect() == []
+
+    def test_expansion_cap_is_df_ordered(self, spark, tmp_path):
+        # cap=1 keeps only the highest-df expansion
+        ps = _build(spark, tmp_path, [
+            "go park now", "go park now", "go parse now",
+        ])
+        got = ps.topk_phrase_prefix("go par", 10, max_expansions=1,
+                                    round_to=4).collect()
+        # 'park' (df 2) outranks 'parse' (df 1) for the cap
+        assert {r["doc_id"] for r in got} == {0, 1}
