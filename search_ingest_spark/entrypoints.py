@@ -810,6 +810,67 @@ def _q_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ES `top_hits` sub-aggregation: per terms-bucket (source), the top-3
+# matching docs by score — the "best examples per facet" shape.  One
+# scoring pass + a window ranked over the ROUNDED score (both engines
+# break ties identically on doc_id); the window partitions on the
+# bucket key, so at 100 TB each bucket ranks independently after the
+# same shuffle the terms aggregation itself needs.
+@register(
+    "search_top_hits",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::INT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (stats.n_docs - vocab.df + 0.5) / (vocab.df + 0.5))
+           * tf.tf * (1.2 + 1.0)
+           / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS raw
+  FROM tf
+  JOIN vocab USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN ('spark', 'query', 'data')
+  GROUP BY tf.doc_id
+),
+sel AS (
+  SELECT d.source, s.doc_id, round(s.raw, 4)::DOUBLE AS score
+  FROM scores s JOIN documents d USING (doc_id)
+)
+SELECT source, doc_id, score, hit_rank FROM (
+  SELECT source, doc_id, score,
+         row_number() OVER (
+           PARTITION BY source ORDER BY score DESC, doc_id ASC
+         )::INT AS hit_rank
+  FROM sel
+) WHERE hit_rank <= 3
+""".strip(),
+)
+def _q_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    scored = bm25.bm25_all_scores(docs, "spark query data", mode="simple")
+    w = Window.partitionBy("source").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(scored.withColumn("score", F.round("score", 4)), "doc_id")
+        .withColumn("hit_rank", F.row_number().over(w))
+        .where(F.col("hit_rank") <= 3)
+        .select("source", "doc_id", "score", "hit_rank")
+    )
+
+
 # ES `date_histogram` aggregation (calendar_interval=day) with a
 # nested metric sub-aggregation — the canonical observability query
 # shape over a time-keyed stream.  Pure Catalyst: date_trunc groupBy
