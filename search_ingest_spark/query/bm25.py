@@ -468,8 +468,12 @@ def wildcard_oracle_sql(
     matching the wildcard pattern (`*`→`%`, `?`→`_` — terms are
     [a-z0-9]+ so the translation is lossless), capped at
     `max_expansions` by (df desc, term asc), scored as a plain OR
-    query, each expanded term with its own idf."""
-    like = (pattern.lower().replace("%", "").replace("_", "")
+    query, each expanded term with its own idf.  Literal '%'/'_' in the
+    pattern are kept as literals via backslash-escaping + ESCAPE (they
+    can never match a [a-z0-9]+ term, mirroring the engine's
+    regex-escape, rather than being dropped — ADVICE r04)."""
+    like = (pattern.lower()
+            .replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
             .replace("*", "%").replace("?", "_").replace("'", "''"))
     return f"""
 WITH toks AS (
@@ -483,7 +487,7 @@ stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
 vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
 dfreq AS (
   SELECT term, df FROM vocab
-  WHERE term LIKE '{like}'
+  WHERE term LIKE '{like}' ESCAPE '\\'
   ORDER BY df DESC, term ASC
   LIMIT {int(max_expansions)}
 ),

@@ -113,6 +113,23 @@ def arrow_cond(attr_filter: dict):
     return cond
 
 
+def sql_literal(v) -> str:
+    """Render one Python value as an ANSI-SQL literal.  repr() is NOT a
+    SQL renderer (ADVICE r04): a string holding a single quote reprs
+    double-quoted (invalid SQL), True/None repr as Python keywords.
+    Strings quote with '' doubling; bool → TRUE/FALSE; None → NULL;
+    anything non-scalar is rejected loudly rather than mis-rendered."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    raise ValueError(f"unsupported SQL literal type: {type(v).__name__}")
+
+
 def sql_cond(attr_filter: dict) -> str:
     """Compile the spec to an ANSI-SQL WHERE fragment (oracle duty)."""
     parts: list[str] = []
@@ -124,10 +141,10 @@ def sql_cond(attr_filter: dict) -> str:
             _check_range(c, v)
             sym = {"gte": ">=", "gt": ">", "lte": "<=", "lt": "<"}
             for op, bound in v.items():
-                parts.append(f"{c} {sym[op]} {bound!r}")
+                parts.append(f"{c} {sym[op]} {sql_literal(bound)}")
         elif isinstance(v, (list, tuple, set, frozenset)):
-            vals = ", ".join(repr(x) for x in v)
+            vals = ", ".join(sql_literal(x) for x in v)
             parts.append(f"{c} IN ({vals})")
         else:
-            parts.append(f"{c} = {v!r}")
+            parts.append(f"{c} = {sql_literal(v)}")
     return " AND ".join(parts)

@@ -43,7 +43,9 @@ from search_ingest_spark.catalog import Catalog
 from search_ingest_spark.index import build as ib
 from search_ingest_spark.query import filters
 from search_ingest_spark.query.bm25 import B, K1, analyze_query
-from search_ingest_spark.query.wand import shard_topk, split_banned
+from search_ingest_spark.query.wand import (
+    regexp_prune_prefix, shard_topk, split_banned,
+)
 
 _META_COLS = [
     "term_id", "shard", "first_doc_id", "last_doc_id",
@@ -434,20 +436,18 @@ class LocalSearcher:
     def plan_regexp(self, pattern: str,
                     max_expansions: int = 50) -> dict[int, float]:
         """ES `regexp` expansion over the pyarrow dictionary — identical
-        rewrite to wand.Searcher.plan_regexp: literal prefix before the
-        first regex metacharacter prunes the term-sorted scan, the full
-        pattern is applied anchored (fullmatch, like ES), capped at
-        `max_expansions` by (df desc, term asc)."""
+        rewrite to wand.Searcher.plan_regexp: the SAFE literal prefix
+        (shared regexp_prune_prefix) prunes the term-sorted scan, the
+        full pattern is applied anchored (fullmatch, like ES), capped
+        at `max_expansions` by (df desc, term asc)."""
         import re as _re
 
         p = pattern.lower()
         if not p:
             return {}
-        metas = ".?*+()[]{}|\\^$"
-        cut = min((p.index(c) for c in metas if c in p), default=len(p))
         flt = None
-        if cut > 0:
-            lo = p[:cut]
+        lo = regexp_prune_prefix(p)
+        if lo:
             hi = lo[:-1] + chr(ord(lo[-1]) + 1)
             flt = (pc.field("term") >= lo) & (pc.field("term") < hi)
         tbl = self._dict.to_table(

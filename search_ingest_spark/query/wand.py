@@ -66,6 +66,26 @@ def _round_half_up(x: float, nd: int) -> float:
                                            rounding=ROUND_HALF_UP))
 
 
+def regexp_prune_prefix(p: str) -> str:
+    """Literal prefix SAFE for range-pruning a term-sorted dictionary
+    scan under an anchored regex `p` ('' = don't prune).  Two traps the
+    naive cut-at-first-metachar prefix falls into (ADVICE r04): any '|'
+    may introduce a top-level alternative that shares no prefix
+    ('abc|xyz' must also scan 'xyz'), so the prune is disabled outright
+    when the pattern contains one; and a quantifier '?*+{' directly
+    after the literal prefix makes its last char optional/repeated
+    ('ab?c' matches 'ac'), so the prefix shrinks by one.  Conservative:
+    '+' and '{2}' keep the char mandatory, but shortening only widens
+    the scan, never narrows it."""
+    metas = ".?*+()[]{}|\\^$"
+    if "|" in p:
+        return ""
+    cut = min((p.index(c) for c in metas if c in p), default=len(p))
+    if cut < len(p) and p[cut] in "?*+{":
+        cut -= 1
+    return p[:cut] if cut > 0 else ""
+
+
 class Searcher:
     """Per-index query handle; caches the tiny planning tables."""
 
@@ -446,20 +466,19 @@ class Searcher:
     ) -> dict[int, float]:
         """term_id → idf for dictionary terms fully matching an ES
         `regexp` pattern (always anchored to the WHOLE term, like ES),
-        capped at `max_expansions` by (df desc, term asc).  The literal
-        prefix before the first regex metacharacter narrows the
-        term-sorted dictionary scan to a pruned range — the same FST-
-        walk analog as plan_wildcard.  Patterns should stay in the
+        capped at `max_expansions` by (df desc, term asc).  The SAFE
+        literal prefix (regexp_prune_prefix: no '|' anywhere, last char
+        dropped under a trailing quantifier) narrows the term-sorted
+        dictionary scan to a pruned range — the same FST-walk analog as
+        plan_wildcard.  Patterns should stay in the
         portable subset (classes, alternation, quantifiers) shared by
         Java regex / Python re / RE2."""
         p = pattern.lower()
         if not p:
             return {}
-        metas = ".?*+()[]{}|\\^$"
-        cut = min((p.index(c) for c in metas if c in p), default=len(p))
         scan = self.term_dict
-        if cut > 0:
-            lo = p[:cut]
+        lo = regexp_prune_prefix(p)
+        if lo:
             hi = lo[:-1] + chr(ord(lo[-1]) + 1)
             scan = scan.where((F.col("term") >= lo) & (F.col("term") < hi))
         rows = (

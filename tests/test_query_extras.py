@@ -411,3 +411,106 @@ class TestRandomizedBoolEquivalence:
             want = [tuple(r) for r in s.bool_topk(**kw).collect()]
             got = ls.bool_topk(**kw)
             assert got == want, (seed, trial, kw)
+
+
+class TestRegexpPrunePrefix:
+    """ADVICE r04 (high): the dictionary-range prune must not assume the
+    literal-before-first-metachar prefix when alternation or a trailing
+    quantifier can bypass it."""
+
+    def test_prefix_rules(self):
+        from search_ingest_spark.query.wand import regexp_prune_prefix as pp
+        assert pp("abc") == "abc"          # pure literal: full prune
+        assert pp("dat[ae]s?") == "dat"    # class after prefix: safe
+        assert pp("abc|xyz") == ""         # alternation: no prune
+        assert pp("a(b|c)d") == ""         # nested alternation: no prune
+        assert pp("ab?c") == "a"           # optional prefix char: shrink
+        assert pp("ab*") == "a"            # star on prefix char: shrink
+        assert pp("ab+") == "a"            # conservative shrink on +
+        assert pp("ab{0,2}c") == "a"       # brace quantifier: shrink
+        assert pp("x?yz") == ""            # quantifier at char 0: none
+        assert pp(".*data") == ""          # leading meta: none
+
+    def test_alternation_matches_oracle(self, spark, built):
+        # old prune scanned [data, datb) and silently dropped 'spark'
+        got = [tuple(r) for r in Searcher(spark, built).topk_regexp(
+            "data|spark", k=10, max_expansions=8, round_to=4).collect()]
+        want = _oracle(bm25.regexp_oracle_sql(
+            "data|spark", k=10, max_expansions=8))
+        assert got == want
+        assert len(got) > 0
+
+    def test_quantified_prefix_matches_oracle(self, spark, built):
+        # old prune scanned [sparke, sparkf) and missed 'spark' itself
+        got = [tuple(r) for r in Searcher(spark, built).topk_regexp(
+            "sparke?", k=10, max_expansions=8, round_to=4).collect()]
+        want = _oracle(bm25.regexp_oracle_sql(
+            "sparke?", k=10, max_expansions=8))
+        assert got == want
+        assert len(got) > 0
+
+    def test_serving_path_parity(self, spark, built):
+        from search_ingest_spark.query.reader import LocalSearcher
+        s = Searcher(spark, built)
+        ls = LocalSearcher(built)
+        for pat in ("data|spark", "sparke?", "dat[ae]s?", "ab?c"):
+            want = [tuple(r) for r in
+                    s.topk_regexp(pat, k=10, round_to=4).collect()]
+            got = ls.topk_regexp(pat, k=10, round_to=4)
+            assert got == want, pat
+
+
+class TestWildcardLiteralPercent:
+    """ADVICE r04 (low): oracle must treat literal '%'/'_' in a wildcard
+    pattern as literals (match nothing over [a-z0-9]+ terms), mirroring
+    the engine's regex-escape, not silently delete them."""
+
+    def test_engine_and_oracle_both_empty(self, spark, built):
+        got = [tuple(r) for r in Searcher(spark, built).topk_wildcard(
+            "da%ta*", k=10, round_to=4).collect()]
+        want = _oracle(bm25.wildcard_oracle_sql("da%ta*", k=10))
+        assert got == want == []
+
+    def test_underscore_literal_empty(self, spark, built):
+        got = [tuple(r) for r in Searcher(spark, built).topk_wildcard(
+            "dat_*", k=10, round_to=4).collect()]
+        want = _oracle(bm25.wildcard_oracle_sql("dat_*", k=10))
+        assert got == want == []
+
+    def test_plain_wildcard_still_matches(self, spark, built):
+        got = [tuple(r) for r in Searcher(spark, built).topk_wildcard(
+            "dat*", k=10, round_to=4).collect()]
+        want = _oracle(bm25.wildcard_oracle_sql("dat*", k=10))
+        assert got == want
+        assert len(got) > 0
+
+
+class TestSqlLiteral:
+    """ADVICE r04 (low): sql_cond literals must be real SQL, not repr()."""
+
+    def test_quote_doubling(self):
+        from search_ingest_spark.query.filters import sql_cond, sql_literal
+        assert sql_literal("o'brien") == "'o''brien'"
+        assert sql_cond({"source": "o'brien"}) == "source = 'o''brien'"
+
+    def test_bool_and_null(self):
+        from search_ingest_spark.query.filters import sql_literal
+        assert sql_literal(True) == "TRUE"
+        assert sql_literal(False) == "FALSE"
+        assert sql_literal(None) == "NULL"
+        assert sql_literal(3) == "3"
+        assert sql_literal(2.5) == "2.5"
+
+    def test_unsupported_type_rejected(self):
+        from search_ingest_spark.query.filters import sql_literal
+        with pytest.raises(ValueError):
+            sql_literal(object())
+
+    def test_quoted_string_roundtrips_in_duckdb(self):
+        from search_ingest_spark.query.filters import sql_cond
+        con = duckdb.connect()
+        n = con.execute(
+            "SELECT count(*) FROM (SELECT 'o''brien' AS source) t WHERE "
+            + sql_cond({"source": "o'brien"})
+        ).fetchone()[0]
+        assert n == 1
