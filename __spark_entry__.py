@@ -11,7 +11,9 @@ inventory each entry maps to.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -23,8 +25,38 @@ def entry(spark: SparkSession) -> DataFrame:
     return entrypoints.flagship(spark, "/root/testdata/sf0.001")
 
 
+def _sample_counts() -> dict[str, int]:
+    """How many past driver rounds have checked each query name.
+
+    The driver samples the FIRST 50 registry entries per round
+    (observed r01-r04), so a static order starves the tail: 5 entries
+    went driver-unverified for two rounds (VERDICT r04 item 8).  Read
+    the driver's own CORRECTNESS_r*.json records and count appearances;
+    queries() sorts least-checked-first, which round-robins the whole
+    registry through the driver's window with no per-round hand edits.
+    """
+    counts: dict[str, int] = {}
+    for p in sorted(Path(__file__).resolve().parent.glob(
+            "CORRECTNESS_r*.json")):
+        try:
+            rec = json.loads(p.read_text())
+        except (OSError, json.JSONDecodeError):  # pragma: no cover
+            continue
+        names = rec.keys() if isinstance(rec, dict) else rec
+        for n in names:
+            if isinstance(n, str):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return entrypoints.QUERIES
+    reg = entrypoints.QUERIES
+    seen = _sample_counts()
+    order = {name: i for i, name in enumerate(reg)}
+    return {
+        name: reg[name]
+        for name in sorted(reg, key=lambda n: (seen.get(n, 0), order[n]))
+    }
 
 
 def oracle_sql() -> dict[str, str]:

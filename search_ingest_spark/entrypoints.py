@@ -108,7 +108,8 @@ def _index_cat(spark: SparkSession, sf_dir: str):
         cat = Catalog(spark, root)
         build_index(spark, _docs_with_geo(spark, sf_dir), cat, mode="simple",
                     with_positions=True,
-                    attr_cols=["lang", "source", "lat", "lon", "tag"],
+                    attr_cols=["lang", "source", "lat", "lon", "tag",
+                               "n_chars"],
                     quantize=True, store_fields=["lang", "source", "text"])
         got = _INDEX_CACHE[key] = cat
     return got
@@ -754,15 +755,16 @@ GROUP BY d.source
 """.strip(),
 )
 def _q_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    terms = sorted(set(bm25.analyze_query("spark query data", mode="simple")))
-    hits = (
-        bm25.doc_terms(docs, mode="simple")
-        .where(F.col("term").isin(terms))
-        .select("doc_id").distinct()
-    )
+    # index-backed hit set (VERDICT r04 item 1): pruned postings scan +
+    # doc_attrs join — no per-query corpus re-tokenize.  The oracle SQL
+    # above recomputes the same hit set brute-force from raw text.
+    from search_ingest_spark.index import build as ib
+
+    s = _searcher(spark, sf_dir)
+    hits = s.matching_doc_ids("spark query data")
+    attrs = s.cat.read(ib.DOC_ATTRS_TABLE).select("doc_id", "source")
     return (
-        docs.join(hits, "doc_id")
+        attrs.join(hits, "doc_id")
         .groupBy("source").agg(F.count("*").alias("n_hits"))
     )
 
@@ -793,14 +795,16 @@ FROM documents d JOIN hits USING (doc_id)
 """.strip(),
 )
 def _q_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir)
-    terms = sorted(set(bm25.analyze_query("spark query data", mode="simple")))
-    hits = (
-        bm25.doc_terms(docs, mode="simple")
-        .where(F.col("term").isin(terms))
-        .select("doc_id").distinct()
-    )
-    return docs.join(hits, "doc_id").agg(
+    # index-backed hit set + doc_attrs metrics (n_chars/source live in
+    # the attrs table — the ES doc-values analog); the only text scan
+    # left is the one the index build already did
+    from search_ingest_spark.index import build as ib
+
+    s = _searcher(spark, sf_dir)
+    hits = s.matching_doc_ids("spark query data")
+    attrs = s.cat.read(ib.DOC_ATTRS_TABLE).select(
+        "doc_id", "source", "n_chars")
+    return attrs.join(hits, "doc_id").agg(
         F.count("*").alias("n_hits"),
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
@@ -855,16 +859,20 @@ SELECT source, doc_id, score, hit_rank FROM (
 """.strip(),
 )
 def _q_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # index-backed scoring (VERDICT r04 item 1): all_matching_scores
+    # reads pruned postings (bitwise-identical to the WAND kernel's
+    # arithmetic); bm25_all_scores stays as the brute-force oracle
     from pyspark.sql import Window
+    from search_ingest_spark.index import build as ib
 
-    docs = _docs(spark, sf_dir)
-    scored = bm25.bm25_all_scores(docs, "spark query data", mode="simple")
+    s = _searcher(spark, sf_dir)
+    scored = s.all_matching_scores("spark query data", round_to=4)
+    attrs = s.cat.read(ib.DOC_ATTRS_TABLE).select("doc_id", "source")
     w = Window.partitionBy("source").orderBy(
         F.desc("score"), F.asc("doc_id")
     )
     return (
-        docs.select("doc_id", "source")
-        .join(scored.withColumn("score", F.round("score", 4)), "doc_id")
+        attrs.join(scored, "doc_id")
         .withColumn("hit_rank", F.row_number().over(w))
         .where(F.col("hit_rank") <= 3)
         .select("source", "doc_id", "score", "hit_rank")
@@ -1718,6 +1726,77 @@ def _replicated_customer_index(spark: SparkSession, sf_dir: str):
     return mgr
 
 
+_SUBSET_IDX_CACHE: dict[str, object] = {}
+
+
+def _relation_searchers(spark: SparkSession, sf_dir: str):
+    """(mgr, child_searcher, parent_searcher) for the replicated
+    customer index — one inverted index per document-type subset,
+    built ONCE per process from the live doc table.  Relation queries
+    then ride Searcher.all_matching_scores (pruned postings scan)
+    instead of re-tokenizing the subset per query; per-subset indexes
+    make the subset corpus statistics (df/n_docs/avgdl) the index's
+    own stats, exactly the scoring semantics has_child/has_parent
+    document (and their oracles replay)."""
+    from search_ingest_spark.catalog import Catalog
+    from search_ingest_spark.index.build import build_index
+    from search_ingest_spark.query.wand import Searcher
+    from search_ingest_spark.tables import _doc_table
+
+    key = os.path.abspath(sf_dir)
+    got = _SUBSET_IDX_CACHE.get(key)
+    if got is None:
+        mgr = _replicated_customer_index(spark, sf_dir)
+        idx = mgr.cat.read(_doc_table("customer"))
+        children = idx.where(
+            (F.col("_document_type") == "orders")
+            & F.col("_join_field.parent").isNotNull()
+        ).select(F.col("id").alias("orig_id"), "text")
+        parents = idx.where(F.col("_document_type") == "customer").select(
+            F.col("id").alias("orig_id"), F.col("name").alias("text")
+        )
+        got = _SUBSET_IDX_CACHE[key] = (
+            mgr,
+            _dense_subset_searcher(spark, children, "sis_hc_child_"),
+            _dense_subset_searcher(spark, parents, "sis_hc_parent_"),
+        )
+    return got
+
+
+def _dense_subset_searcher(spark: SparkSession, docs: DataFrame,
+                           prefix: str):
+    """Index a subset whose natural keys (orderkey/custkey) are SPARSE:
+    build_index's doc-range sharding requires dense 0..N-1 ids (it now
+    raises otherwise — a sparse-id build silently dropped every doc past
+    shard n_shards-1), so densify with the build's own scalable
+    dense_ids, index the dense frame, and hand back (searcher, remap)
+    where remap(scored) carries (doc_id, score) back to natural keys —
+    one equi-join against the (tiny relative to corpus) id map, exactly
+    the doc-id↔natural-key mapping the incremental pipeline's
+    prepare_pages maintains for url-keyed corpora."""
+    from search_ingest_spark.catalog import Catalog
+    from search_ingest_spark.index.build import build_index, dense_ids
+    from search_ingest_spark.query.wand import Searcher
+
+    cat = Catalog(spark, tempfile.mkdtemp(prefix=prefix))
+    # MATERIALIZE the id assignment before anything consumes it:
+    # dense_ids rides repartitionByRange (sampled boundaries) +
+    # spark_partition_id, so recomputing its lineage in different jobs
+    # can assign different ids — the index's several build jobs and the
+    # remap join must all see ONE assignment
+    cat.write("id_map", dense_ids(docs, "orig_id", "doc_id", n_buckets=16)
+              .select("doc_id", "orig_id", "text"))
+    d = cat.read("id_map")
+    build_index(spark, d.select("doc_id", "text"), cat, mode="simple")
+    mapping = d.select("doc_id", "orig_id")
+
+    def remap(scored: DataFrame) -> DataFrame:
+        return scored.join(mapping, "doc_id").select(
+            F.col("orig_id").alias("doc_id"), "score")
+
+    return Searcher(spark, cat), remap
+
+
 @register(
     "ingest_parent_replication",
     """
@@ -1815,12 +1894,13 @@ def _q_has_child(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_ingest_spark.query.join_query import has_child_topk
     from search_ingest_spark.tables import _doc_table
 
-    mgr = _replicated_customer_index(spark, sf_dir)
+    mgr, (child_s, child_remap), _ = _relation_searchers(spark, sf_dir)
     idx = mgr.cat.read(_doc_table("customer"))
     return has_child_topk(
         idx, child_type="orders", parent_type="customer",
         query_text="urgent specified", k=10, score_mode="sum",
         round_to=4,
+        scored=child_remap(child_s.all_matching_scores("urgent specified")),
     )
 
 
@@ -1850,12 +1930,13 @@ def _q_has_child_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_ingest_spark.query.join_query import has_child_topk
     from search_ingest_spark.tables import _doc_table
 
-    mgr = _replicated_customer_index(spark, sf_dir)
+    mgr, (child_s, child_remap), _ = _relation_searchers(spark, sf_dir)
     idx = mgr.cat.read(_doc_table("customer"))
     return has_child_topk(
         idx, child_type="orders", parent_type="customer",
         query_text="urgent specified", k=10, score_mode="max",
         round_to=4,
+        scored=child_remap(child_s.all_matching_scores("urgent specified")),
     )
 
 
@@ -1904,11 +1985,12 @@ def _q_has_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from search_ingest_spark.query.join_query import has_parent_children
     from search_ingest_spark.tables import _doc_table
 
-    mgr = _replicated_customer_index(spark, sf_dir)
+    mgr, _, (parent_s, parent_remap) = _relation_searchers(spark, sf_dir)
     idx = mgr.cat.read(_doc_table("customer"))
     return has_parent_children(
         idx, child_type="orders", parent_type="customer",
         query_text="000000007", k=10, round_to=4, text_col="name",
+        scored=parent_remap(parent_s.all_matching_scores("000000007")),
     )
 
 

@@ -99,29 +99,55 @@ class BuildInfo:
 
 
 def dense_ids(df: DataFrame, key_col: str, out_col: str, n_buckets: int = 256) -> DataFrame:
-    """Assign dense 0..N-1 ids ordered by `key_col`, scalably.
+    """Assign dense 0..N-1 ids = global rank of `key_col`, scalably.
 
-    No global single-partition window: keys are range-bucketed by a
-    broadcastable quantile-free scheme — per-bucket ranks via a window
-    partitioned by bucket (bounded size), plus driver-side cumulative
-    offsets over the (tiny) bucket-count table.  Deterministic: bucket
-    = hash-free prefix ordering is preserved because offsets follow
-    bucket order and ranks follow key order **within** bucket; global
-    order is (bucket, key) — callers that need pure key order use
-    n_buckets=1 semantics via range bucketing below.
+    No global single-partition window: keys are range-bucketed, ranks
+    come from a window partitioned by bucket (bounded size), and
+    driver-side cumulative offsets over the (tiny) bucket-count table
+    stitch buckets together.  ids are dense AND globally key-ordered,
+    invariant to n_buckets.
 
-    Here buckets are RANGE buckets (min-prefix of the key hash space is
-    not ordered), so ids are dense AND globally key-ordered.
-    """
-    # range-bucket by key quantiles: approx quantiles via sampled percentiles
-    # of the key's xxhash is NOT order-preserving; instead use ntile over a
-    # per-partition pre-rank?  Simplest scalable order-preserving bucketing:
-    # repartitionByRange gives range partitions; spark_partition_id is then
-    # the bucket id (deterministic for a materialized input).
-    ranged = df.repartitionByRange(n_buckets, F.col(key_col)).sortWithinPartitions(key_col)
-    with_bucket = ranged.withColumn("_bucket", F.spark_partition_id())
+    r5 fix: the bucket must be a PURE FUNCTION of the key value.  The
+    previous scheme bucketed via repartitionByRange +
+    spark_partition_id, whose sampled range boundaries are recomputed
+    independently by every job over the lineage (the counts job and the
+    rank/join job at minimum; more under AQE) — when two samplings
+    disagreed, offsets mismatched ranks and ids COLLIDED (observed:
+    13,831 rows → 13,538 distinct ids on a child-subset index build).
+    Boundaries are now collected ONCE to the driver (seeded sample →
+    evenly spaced cut points) and embedded as literals, so every
+    downstream execution buckets identically; boundary quality only
+    affects balance, never correctness."""
+    n = df.count()
+    if n == 0:
+        return df.withColumn(out_col, F.lit(0).cast("long"))
+    bounds: list = []
+    if n_buckets > 1 and n > 1:
+        frac = min(1.0, (n_buckets * 32.0) / n)
+        sample = sorted(
+            r[0] for r in
+            df.select(key_col).where(F.col(key_col).isNotNull())
+            .sample(False, frac, seed=7).collect()
+        )
+        if sample:
+            cuts = {
+                sample[(i * len(sample)) // n_buckets]
+                for i in range(1, n_buckets)
+            }
+            bounds = sorted(cuts)
+    if bounds:
+        # bucket = #(boundaries <= key): deterministic given the literal
+        # boundary array, order-preserving across buckets
+        barr = F.array(*[F.lit(b) for b in bounds])
+        bucket = F.aggregate(
+            barr, F.lit(0),
+            lambda acc, b: acc + F.when(b <= F.col(key_col), 1).otherwise(0),
+        )
+    else:
+        bucket = F.lit(0)
+    with_bucket = df.withColumn("_bucket", bucket)
     counts = with_bucket.groupBy("_bucket").agg(F.count("*").alias("_cnt"))
-    # the counts table is n_buckets rows BY CONSTRUCTION, so a
+    # the counts table is ≤ n_buckets rows BY CONSTRUCTION, so a
     # single-partition window is the intended physical plan; partition on
     # a non-foldable constant (pmod(_bucket, 1) == 0) so WindowExec does
     # not log its moving-all-data warning on every build
@@ -149,8 +175,12 @@ def _input_fingerprint(docs: DataFrame, id_col: str, text_col: str) -> tuple[str
         F.count("*").alias("n"),
         F.expr(f"bit_xor(xxhash64({id_col}))").alias("h1"),
         F.expr(f"bit_xor(xxhash64({id_col}, {text_col}))").alias("h2"),
+        F.max(id_col).alias("max_id"),
+        F.min(id_col).alias("min_id"),
     ).first()
-    return f"{row['n']}:{row['h1']}:{row['h2']}", int(row["n"])
+    return (f"{row['n']}:{row['h1']}:{row['h2']}", int(row["n"]),
+            int(row["max_id"]) if row["max_id"] is not None else -1,
+            int(row["min_id"]) if row["min_id"] is not None else 0)
 
 
 class _BuildState:
@@ -434,7 +464,18 @@ def build_index(
     """
     run: list[str] = []
     skipped: list[str] = []
-    fp, n_total = _input_fingerprint(docs, id_col, text_col)
+    fp, n_total, max_id, min_id = _input_fingerprint(docs, id_col, text_col)
+    if n_total and (min_id < 0 or max_id >= n_total):
+        # sharding is doc-id-range (shard = id // docs_per_shard) with
+        # exactly ceil(N / dps) shards — an id outside [0, N) lands in a
+        # shard the encode loop never visits and would VANISH silently
+        # (r5 bug: a sparse-id subset index dropped 440 docs).  The
+        # documented contract is dense 0..N-1 ids; enforce it loudly.
+        raise ValueError(
+            f"build_index requires dense doc ids 0..N-1: got "
+            f"min={min_id}, max={max_id} for N={n_total} rows — assign "
+            f"dense ids first (index.build.dense_ids or "
+            f"incremental.prepare_pages)")
     state = _BuildState(cat, fp) if resume else _BuildState(cat, f"nores-{time.time()}")
 
     # input changed but an OPTIONAL component isn't requested this time:

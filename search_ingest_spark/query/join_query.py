@@ -21,12 +21,20 @@ relation query is a scored aggregation + join on that table:
                children.
 
 Scale shape: the children→parents aggregation shuffles on the parent
-key — exactly the `_routing` key the ingest side already colocates by
-(`repartition("_routing")` at write), so at 100 TB the agg rides the
-existing partitioning instead of a fresh full shuffle; the parent join
-is an equi-join on the same key (AQE picks broadcast when one side is
-small).  No Python in the plan: scoring is Catalyst expressions
-(bm25.bm25_all_scores), aggregation is a plain groupBy.
+key.  The ingest side physically colocates rows by `_routing`
+(`repartition("_routing")` at write), but the doc table is plain
+parquet — Catalyst carries no bucketing metadata for it, so the
+aggregation DOES plan an Exchange on `_parent` (it just moves less
+because matching children, not the corpus, enter the shuffle); writing
+the table bucketed through the catalog seam would remove it (VERDICT
+r04 item 7 — claim corrected).  The parent join is an equi-join on the
+same key (AQE picks broadcast when one side is small).
+
+Scoring comes from the caller via `scored` — at scale this is
+Searcher.all_matching_scores over a subset index (pruned postings
+scan, no corpus re-tokenize); the brute-force bm25_all_scores default
+re-derives the same scores from raw text and stays as the oracle path
+(VERDICT r04 item 1).
 """
 
 from __future__ import annotations
@@ -52,13 +60,21 @@ def has_child_topk(
     round_to: int | None = None,
     id_col: str = "id",
     text_col: str = "text",
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """(id, score, rank) of the top-k PARENT docs having ≥1 child of
     `child_type` matching `query_text`, ranked by the aggregated child
     BM25 scores under `score_mode` (ties → parent id asc).
 
     `score_mode='none'` is ES's default filter-like mode: every
-    qualifying parent scores 1.0 (rank order = parent id)."""
+    qualifying parent scores 1.0 (rank order = parent id).
+
+    `scored` = precomputed (doc_id, score) over the CHILD subset —
+    pass Searcher.all_matching_scores from an index built over that
+    subset (its stats ARE the child-subset stats, matching ES's
+    per-type scoring divergence documented above) so the plan reads
+    pruned postings instead of re-tokenizing every child per query;
+    None falls back to the brute-force scorer (oracle duty)."""
     if score_mode not in _SCORE_MODES:
         raise ValueError(f"score_mode must be one of {_SCORE_MODES}")
     children = index_df.where(
@@ -69,9 +85,10 @@ def has_child_topk(
         F.col(text_col).alias("text"),
         F.col("_join_field.parent").alias("_parent"),
     )
-    scored = bm25_all_scores(
-        children.select("doc_id", "text"), query_text, mode=mode
-    )
+    if scored is None:
+        scored = bm25_all_scores(
+            children.select("doc_id", "text"), query_text, mode=mode
+        )
     per_parent = (
         children.select("doc_id", "_parent")
         .join(scored, "doc_id")
@@ -115,15 +132,21 @@ def has_parent_children(
     round_to: int | None = None,
     id_col: str = "id",
     text_col: str = "text",
+    scored: DataFrame | None = None,
 ) -> DataFrame:
     """(id, score, rank) of the top-k CHILD docs whose parent matches
     `query_text` — each child carries its parent's BM25 score (ES
     has_parent `score=true`; `score=False` = filter mode, every child
-    scores 1.0).  Ties → child id asc."""
+    scores 1.0).  Ties → child id asc.
+
+    `scored` = precomputed (doc_id, score) over the PARENT subset
+    (Searcher.all_matching_scores on a parent-subset index — pruned
+    postings, no re-tokenize); None = brute-force oracle path."""
     parents = index_df.where(
         F.col("_document_type") == parent_type
     ).select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    scored = bm25_all_scores(parents, query_text, mode=mode)
+    if scored is None:
+        scored = bm25_all_scores(parents, query_text, mode=mode)
     if not score:
         scored = scored.withColumn("score", F.lit(1.0))
     children = index_df.where(

@@ -440,6 +440,54 @@ class Searcher:
         return self._topk_expanded(
             self.plan_wildcard(pattern, max_expansions), k, round_to)
 
+    # -- full matching-set scoring (aggregation building block) ---------------
+    def all_matching_scores(
+        self, query_text: str, *, match_all: bool = False,
+        min_match: int | None = None, round_to: int | None = None,
+    ) -> DataFrame:
+        """(doc_id, score) for EVERY doc matching `query_text` — no
+        top-k truncation.  The index-backed building block every
+        aggregation/relation query rides (VERDICT r04 item 1): facets,
+        metric aggs, top_hits, has_child/has_parent all need the full
+        matching set, which previously re-tokenized the corpus per
+        query (bm25.bm25_all_scores — now demoted to oracle duty).
+        Plan shape: ONE pruned postings scan (`In(term_id, …)` reaches
+        the parquet scan, so at 100 TB only the query terms' posting
+        blocks are read — a few MB, not the corpus), one
+        applyInPandas over the existing shard partitioning (each doc
+        lives in exactly one doc-range shard, so per-shard results
+        concatenate with no cross-shard reduce), zero Python over
+        non-matching docs.  Scores are bitwise identical to
+        Searcher.topk's kernel (same decode + ascending-term fold)."""
+        idf = self.plan(query_text)
+        out_schema = "doc_id long, score double"
+        n_terms = len(set(analyze_query(query_text, mode=self.mode)))
+        if (not idf or (match_all and len(idf) < n_terms)
+                or (min_match is not None and len(idf) < min_match)):
+            return self.spark.createDataFrame([], out_schema)
+        pruned = self.postings.where(
+            F.col("term_id").isin([int(t) for t in idf]))
+        avgdl, _idf, _ma, _mm = self.avgdl, idf, match_all, min_match
+
+        def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
+            return shard_all_scores(pdf, idf=_idf, avgdl=avgdl,
+                                    match_all=_ma, min_match=_mm)
+
+        out = pruned.groupBy("shard").applyInPandas(scorer, schema=out_schema)
+        if round_to is not None:
+            out = out.withColumn("score", F.round("score", round_to))
+        return out
+
+    def matching_doc_ids(self, query_text: str, *,
+                         match_all: bool = False,
+                         min_match: int | None = None) -> DataFrame:
+        """(doc_id) of every doc matching `query_text` — the hit-set
+        form of all_matching_scores for filter-shaped aggregations
+        (facets / stats) that never look at the score."""
+        return self.all_matching_scores(
+            query_text, match_all=match_all, min_match=min_match
+        ).select("doc_id")
+
     # -- constant_score execution --------------------------------------------
     def constant_score(self, attr_filter: dict, k: int = 10, *,
                        boost: float = 1.0) -> DataFrame:
@@ -1007,6 +1055,65 @@ def shard_topk_impact(
         match_all=match_all, allowed=allowed, min_match=min_match,
         banned=banned, after=after, model=_impact_model(idf),
     )
+
+
+def shard_all_scores(
+    pdf: pd.DataFrame, *, idf: dict[int, float], avgdl: float = 1.0,
+    k1: float = K1, b: float = B, model=None,
+    match_all: bool = False, min_match: int | None = None,
+) -> pd.DataFrame:
+    """Per-doc score for EVERY matching doc of ONE shard — (doc_id,
+    score), no top-k truncation.  The aggregation twin of shard_topk
+    (VERDICT r04 item 1): facets / metric aggs / top_hits / relation
+    queries need the full matching set, so there is no threshold to
+    prune against and the block-max segment machinery would be pure
+    overhead — instead every block of every query term is bulk-decoded
+    once (decode_blocks_bulk, same ~18x win as the lazy path) and
+    contributions fold per doc in ascending-term order, bitwise
+    identical to shard_topk's accumulation and to the brute-force
+    oracle's sorted F.aggregate fold.  Pure function over one shard's
+    pruned postings rows — unit-testable without Spark."""
+    empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                          "score": pd.array([], dtype="float64")})
+    if len(pdf) == 0:
+        return empty
+    _, decode_term = model if model is not None else _bm25_model(
+        idf, avgdl, k1, b
+    )
+    tid = pdf["term_id"].to_numpy(np.int64)
+    first = pdf["first_doc_id"].to_numpy(np.int64)
+    datas = pdf["data"].to_numpy(object)
+    ndocs = pdf["n_docs"].to_numpy(np.int64)
+    term_ids = sorted(idf)
+    per_term: list[tuple[np.ndarray, np.ndarray]] = []
+    for t in term_ids:
+        rows = np.flatnonzero(tid == t)
+        if len(rows) == 0:
+            continue
+        rows = rows[np.argsort(first[rows], kind="stable")]
+        d_all, contrib_all, _ = decode_term(
+            t, [datas[r] for r in rows], first[rows], ndocs[rows]
+        )
+        per_term.append((d_all, contrib_all))
+    if not per_term:
+        return empty
+    docs_u = np.unique(np.concatenate([d for d, _ in per_term]))
+    scores_u = np.zeros(len(docs_u), dtype=np.float64)
+    nmatch = np.zeros(len(docs_u), dtype=np.int32)
+    # left-fold in ascending-term order (each doc occurs at most once
+    # per term) — the same deterministic accumulation shard_topk uses
+    for d_arr, c_arr in per_term:
+        idxs = np.searchsorted(docs_u, d_arr)
+        scores_u[idxs] += c_arr
+        nmatch[idxs] += 1
+    need = len(term_ids) if match_all else (min_match or 0)
+    if need > 1:
+        qual = nmatch >= need
+        docs_u, scores_u = docs_u[qual], scores_u[qual]
+        if len(docs_u) == 0:
+            return empty
+    return pd.DataFrame({"doc_id": docs_u.astype(np.int64),
+                         "score": scores_u.astype(np.float64)})
 
 
 def iter_empty(_: Iterator) -> Iterator[pd.DataFrame]:  # pragma: no cover
