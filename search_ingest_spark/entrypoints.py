@@ -91,6 +91,24 @@ def _docs_with_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
         # deterministic NULLABLE attr: present on 1/3 of docs — gives
         # the ES `exists` filter something real to select on
         "tag", F.when(F.col("doc_id") % 3 == 0, F.col("source")),
+    ).withColumn(
+        # deterministic array-of-struct attr — the ES `nested` type
+        # (arrays of Hash/NamedTuple map to object in the reference's
+        # type table, schemas.cr:247-248).  1-3 elements per doc; k
+        # cycles 5 values, v cycles 100 — so plenty of docs carry a
+        # k='k2' element AND an in-range v in DIFFERENT elements,
+        # which is exactly the case nested-vs-flattened semantics
+        # must distinguish.  Pure doc_id formula => the oracle replays
+        # it with a DuckDB list comprehension on the raw table.
+        "props",
+        F.transform(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int")),
+            lambda i: F.struct(
+                F.concat(F.lit("k"), ((F.col("doc_id") + i) % 5)
+                         .cast("string")).alias("k"),
+                ((F.col("doc_id") * 7 + i * 13) % 100).alias("v"),
+            ),
+        ),
     )
 
 
@@ -109,7 +127,7 @@ def _index_cat(spark: SparkSession, sf_dir: str):
         build_index(spark, _docs_with_geo(spark, sf_dir), cat, mode="simple",
                     with_positions=True,
                     attr_cols=["lang", "source", "lat", "lon", "tag",
-                               "n_chars"],
+                               "n_chars", "props"],
                     quantize=True, store_fields=["lang", "source", "text"])
         got = _INDEX_CACHE[key] = cat
     return got
@@ -353,6 +371,47 @@ def _q_exists_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_exists_filter_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = _local_searcher(spark, sf_dir).topk(
         "table hash fast", 10, round_to=4, attr_filter=_EXISTS_FILTER
+    )
+    return spark.createDataFrame(got, "doc_id long, score double, rank int")
+
+
+# ES `nested` query (VERDICT r04 item 4): the index carries `props`,
+# an array-of-struct attr (the ES nested type); the filter requires ≥1
+# ELEMENT satisfying k='k2' AND 20 <= v < 70 — a per-element
+# conjunction the flattened columns cannot express.  One spec, three
+# compilers (query/filters.py): F.exists on the Spark path, post-scan
+# vectorized mask on the serving path, list_filter in SQL.  The oracle
+# replays the props formula (_docs_with_geo) as a DuckDB list
+# comprehension over the raw corpus.
+_NESTED_FILTER = {"nested": {"path": "props",
+                             "where": {"k": "k2",
+                                       "v": {"gte": 20, "lt": 70}}}}
+_NESTED_WHERE = (
+    "len([i FOR i IN range(0, (doc_id % 3) + 1) IF "
+    "((doc_id + i) % 5) = 2 AND ((doc_id * 7 + i * 13) % 100) >= 20 "
+    "AND ((doc_id * 7 + i * 13) % 100) < 70]) > 0"
+)
+
+
+@register(
+    "search_nested_filter_topk",
+    bm25.bm25_oracle_sql("table hash fast", k=10,
+                         filter_where=_NESTED_WHERE),
+)
+def _q_nested_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).topk(
+        "table hash fast", 10, round_to=4, attr_filter=_NESTED_FILTER
+    )
+
+
+@register(
+    "search_nested_filter_local",
+    bm25.bm25_oracle_sql("table hash fast", k=10,
+                         filter_where=_NESTED_WHERE),
+)
+def _q_nested_filter_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    got = _local_searcher(spark, sf_dir).topk(
+        "table hash fast", 10, round_to=4, attr_filter=_NESTED_FILTER
     )
     return spark.createDataFrame(got, "doc_id long, score double, rank int")
 
@@ -997,6 +1056,19 @@ _PHRASE_TEXT = "table hash"
 def _q_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = _index_cat(spark, sf_dir)
     return PhraseSearcher(spark, cat).topk(_PHRASE_TEXT, 10, round_to=4)
+
+
+# ES match_phrase with slop (VERDICT r04 item 3): anchored sloppy
+# matching over adjusted positions with Lucene's 1/(1+matchLength)
+# weight (semantics + documented Lucene divergence in
+# query/phrase.py::PhraseSearcher.topk); slop=0 ≡ exact phrase is a
+# pytest invariant (test_phrase).
+@register("bm25_phrase_slop_topk",
+          phrase_oracle_sql("data table", k=10, slop=3))
+def _q_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _index_cat(spark, sf_dir)
+    return PhraseSearcher(spark, cat).topk(
+        "data table", 10, slop=3, round_to=4)
 
 
 # ES match_phrase_prefix (search-as-you-type): fixed slots + the last

@@ -65,16 +65,34 @@ class PhraseSearcher:
         }
 
     def topk(
-        self, phrase_text: str, k: int = 10, *, round_to: int | None = None,
+        self, phrase_text: str, k: int = 10, *, slop: int = 0,
+        round_to: int | None = None,
     ) -> DataFrame:
-        """(doc_id, score, rank) for exact-phrase matches.
+        """(doc_id, score, rank) for phrase matches within `slop`.
 
         The query is analyzed POSITION-AWARE: under the standard
         analyzer a folded token and its preserved original occupy the
         same slot (query-side synonym stack, like ES's match_phrase on a
         preserve_original field) — a slot matches if ANY of its forms is
         at the right position.  Slot idf uses the slot's first indexed
-        form (the folded primary)."""
+        form (the folded primary).
+
+        `slop > 0` = ES match_phrase slop (Lucene sloppy phrase), with
+        ANCHORED semantics over adjusted positions a = pos - slot:
+        every adjusted position a0 of slot 0 is an anchor; the anchor
+        matches iff every other slot has an adjusted position within
+        slop of a0, its match length m(a0) = max_i min_a |a - a0| (the
+        anchored Chebyshev radius), and it contributes Lucene's sloppy
+        weight 1/(1 + m) to the document's phrase frequency.  slop=0
+        reduces EXACTLY to the exact-phrase pipeline (m=0 forces every
+        slot onto the anchor; each base contributes weight 1) —
+        asserted by test.  Divergence from Lucene, documented: Lucene's
+        SloppyPhraseMatcher enumerates matches with a greedy pqueue
+        over the span (order-dependent, repeats-aware); this
+        enumeration is declarative (set-based, oracle-replayable in
+        SQL) but uses the identical 1/(1+matchLength) weight and the
+        identical slot-idf-sum BM25 weight on top.  Like Lucene,
+        transposed terms match at slop ≥ 2."""
         out_schema = "doc_id long, score double, rank int"
         if self.mode == "simple":
             pairs = [(t, i) for i, t in
@@ -100,6 +118,9 @@ class PhraseSearcher:
 
         slot_rows = [(t, p) for p, ts in sorted(slot_terms.items())
                      for t in ts if t in idf]
+        if slop > 0 and n_slots > 1:
+            return self._run_slots_sloppy(
+                slot_rows, n_slots, idf_sum, k, slop, round_to)
         return self._run_slots(slot_rows, n_slots, idf_sum, k, round_to)
 
     def _run_slots(self, slot_rows: list[tuple[str, int]], n_slots: int,
@@ -127,6 +148,65 @@ class PhraseSearcher:
             .where(F.col("_ns") == n_slots)
         )
         pfreq = bases.groupBy("doc_id").agg(F.count("*").alias("pfreq"))
+        dl = self.cat.read(ib.DOC_LENS_TABLE).select("doc_id", "dl")
+        scored = pfreq.join(dl, "doc_id").select(
+            "doc_id",
+            (
+                F.lit(idf_sum)
+                * (F.col("pfreq") * (K1 + 1.0))
+                / (F.col("pfreq") + K1 * (1.0 - B + B * F.col("dl") / F.lit(self.avgdl)))
+            ).alias("score"),
+        )
+        if round_to is not None:
+            scored = scored.withColumn("score", F.round("score", round_to))
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return ranked_desc(topk, "score", "doc_id")
+
+    def _run_slots_sloppy(self, slot_rows: list[tuple[str, int]],
+                          n_slots: int, idf_sum: float, k: int, slop: int,
+                          round_to: int | None) -> DataFrame:
+        """Sloppy slot matching (see topk docstring for semantics).
+
+        Plan shape — same envelope as the exact path: ONE positions
+        scan pruned to the phrase's terms, everything downstream
+        bounded by those postings (never the corpus).  The anchor ⋈
+        slot join is an equi-join on doc_id + a |a-a0|<=slop residual;
+        per doc both sides are the phrase terms' occurrence counts, so
+        the join output is O(occ² per doc) worst case — fine for
+        natural phrases, and the slop bound prunes most pairs at the
+        join."""
+        slot_df = self.spark.createDataFrame(
+            slot_rows, "term string, slot int",
+        )
+        terms = sorted({t for t, _ in slot_rows})
+        pos = self.cat.read(ib.POSITIONS_TABLE).where(
+            F.col("term").isin(terms)
+        )
+        x = (
+            pos.select("term", "doc_id", F.explode("positions").alias("pos"))
+            .join(F.broadcast(slot_df), "term")
+            .select("doc_id", (F.col("pos") - F.col("slot")).alias("a"),
+                    "slot")
+        )
+        anchors = (x.where(F.col("slot") == 0)
+                   .select("doc_id", F.col("a").alias("a0")).distinct())
+        # caller guarantees n_slots > 1 (a one-slot phrase has no
+        # displacement to relax — slop degenerates to the exact path)
+        others = x.where(F.col("slot") > 0)
+        cand = (
+            anchors.join(others, "doc_id")
+            .where(F.abs(F.col("a") - F.col("a0")) <= slop)
+            .groupBy("doc_id", "a0", "slot")
+            .agg(F.min(F.abs(F.col("a") - F.col("a0"))).alias("d"))
+        )
+        m = (
+            cand.groupBy("doc_id", "a0")
+            .agg(F.countDistinct("slot").alias("_ns"),
+                 F.max("d").alias("m"))
+            .where(F.col("_ns") == n_slots - 1)
+        )
+        pfreq = m.groupBy("doc_id").agg(
+            F.sum(1.0 / (1.0 + F.col("m"))).alias("pfreq"))
         dl = self.cat.read(ib.DOC_LENS_TABLE).select("doc_id", "dl")
         scored = pfreq.join(dl, "doc_id").select(
             "doc_id",
@@ -356,17 +436,52 @@ FROM topk
 
 
 def phrase_oracle_sql(
-    phrase_text: str, k: int = 10, *, table: str = "documents",
-    id_col: str = "doc_id", text_col: str = "text", round_to: int = 4,
+    phrase_text: str, k: int = 10, *, slop: int = 0,
+    table: str = "documents", id_col: str = "doc_id",
+    text_col: str = "text", round_to: int = 4,
 ) -> str:
     """DuckDB oracle computing the identical phrase top-k from RAW text
-    with the simple analyzer — position extraction, slot matching,
-    phrase_freq, and the slot-idf-sum BM25 score."""
+    with the simple analyzer — position extraction, slot matching
+    (exact at slop=0, anchored sloppy otherwise — the same declarative
+    semantics PhraseSearcher.topk documents), phrase_freq, and the
+    slot-idf-sum BM25 score."""
     slots = analyze_query(phrase_text, mode="simple")
     nslots = len(slots)
     slot_vals = ", ".join(
         f"('{t.replace(chr(39), chr(39) * 2)}', {i})" for i, t in enumerate(slots)
     )
+    if slop > 0 and nslots > 1:
+        pf = f"""
+anchors AS (
+  SELECT DISTINCT doc_id, pos - slot AS a0 FROM pos JOIN slots USING (term)
+  WHERE slot = 0
+),
+cand AS (
+  SELECT a.doc_id, a.a0, x.slot, min(abs(x.a - a.a0)) AS d
+  FROM anchors a JOIN (
+    SELECT doc_id, pos - slot AS a, slot FROM pos JOIN slots USING (term)
+    WHERE slot > 0
+  ) x ON x.doc_id = a.doc_id AND abs(x.a - a.a0) <= {int(slop)}
+  GROUP BY a.doc_id, a.a0, x.slot
+),
+m AS (
+  SELECT doc_id, a0, max(d) AS m FROM cand GROUP BY doc_id, a0
+  HAVING count(DISTINCT slot) = {nslots - 1}
+),
+pf AS (
+  SELECT doc_id, sum(1.0 / (1.0 + m))::DOUBLE AS pfreq FROM m GROUP BY doc_id
+)"""
+    else:
+        pf = f"""
+x AS (
+  SELECT doc_id, pos - slot AS base, slot FROM pos JOIN slots USING (term)
+),
+pf AS (
+  SELECT doc_id, count(*)::BIGINT AS pfreq FROM (
+    SELECT doc_id, base FROM x GROUP BY doc_id, base
+    HAVING count(DISTINCT slot) = {nslots}
+  ) GROUP BY doc_id
+)"""
     return f"""
 WITH toks AS (
   SELECT {id_col} AS doc_id,
@@ -387,16 +502,7 @@ dfreq AS (
 idfsum AS (
   SELECT sum(ln(1.0 + (stats.n_docs - df + 0.5) / (df + 0.5))) AS s
   FROM slots JOIN dfreq USING (term) CROSS JOIN stats
-),
-x AS (
-  SELECT doc_id, pos - slot AS base, slot FROM pos JOIN slots USING (term)
-),
-pf AS (
-  SELECT doc_id, count(*)::BIGINT AS pfreq FROM (
-    SELECT doc_id, base FROM x GROUP BY doc_id, base
-    HAVING count(DISTINCT slot) = {nslots}
-  ) GROUP BY doc_id
-),
+),{pf},
 scores AS (
   SELECT pf.doc_id,
          idfsum.s * (pf.pfreq * ({K1} + 1.0))

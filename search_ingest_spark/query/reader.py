@@ -426,12 +426,25 @@ class LocalSearcher:
         """ES `constant_score` on the serving path — the shared filter
         spec compiled to a pyarrow predicate over doc_attrs, ranked by
         doc_id asc; bitwise identical to Searcher.constant_score."""
-        cond = filters.arrow_cond(attr_filter)
-        tbl = ds.dataset(
-            self.cat.data_path(ib.DOC_ATTRS_TABLE), partitioning="hive"
-        ).to_table(columns=["doc_id"], filter=cond)
+        tbl = self._attr_scan(["doc_id"], attr_filter)
         ids = np.sort(tbl["doc_id"].to_numpy(zero_copy_only=False))[:k]
         return [(int(d), float(boost), r + 1) for r, d in enumerate(ids)]
+
+    def _attr_scan(self, columns: list[str], attr_filter: dict):
+        """doc_attrs scan under the shared filter spec: flat clauses
+        push into the pyarrow dataset scan (row-group pruned), nested
+        clauses evaluate post-scan as ONE vectorized mask per clause
+        (filters.arrow_nested_mask — the same ≥1-element semantics
+        spark_cond compiles to F.exists, so the paths can't drift)."""
+        flat, nested = filters.split_nested(attr_filter)
+        cond = filters.arrow_cond(flat) if flat else None
+        need = list(dict.fromkeys(columns + [p for p, _ in nested]))
+        tbl = ds.dataset(
+            self.cat.data_path(ib.DOC_ATTRS_TABLE), partitioning="hive"
+        ).to_table(columns=need, filter=cond)
+        for path, where in nested:
+            tbl = tbl.filter(filters.arrow_nested_mask(tbl, path, where))
+        return tbl.select(columns)
 
     def plan_regexp(self, pattern: str,
                     max_expansions: int = 50) -> dict[int, float]:
@@ -557,12 +570,11 @@ class LocalSearcher:
         allowed_by_shard: dict[int, np.ndarray] | None = None
         if attr_filter:
             # scalar = `term`; list = `terms`; dict with gte/gt/lte/lt
-            # = ES `range` — query/filters.py compiles the SAME spec
-            # for the Spark path, so the two paths can't drift
-            cond = filters.arrow_cond(attr_filter)
-            attrs = ds.dataset(
-                self.cat.data_path(ib.DOC_ATTRS_TABLE), partitioning="hive"
-            ).to_table(columns=["shard", "doc_id"], filter=cond).to_pandas()
+            # = ES `range`; `nested` = per-element conjunction —
+            # query/filters.py compiles the SAME spec for the Spark
+            # path, so the two paths can't drift
+            attrs = self._attr_scan(["shard", "doc_id"],
+                                    attr_filter).to_pandas()
             allowed_by_shard = {
                 int(s): np.sort(g["doc_id"].to_numpy(np.int64))
                 for s, g in attrs.groupby("shard", sort=True)

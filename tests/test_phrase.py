@@ -162,3 +162,74 @@ class TestPhrasePrefix:
                                     round_to=4).collect()
         # 'park' (df 2) outranks 'parse' (df 1) for the cap
         assert {r["doc_id"] for r in got} == {0, 1}
+
+
+class TestSloppyPhrase:
+    """match_phrase slop>0 (VERDICT r04 item 3): anchored sloppy
+    matching, Lucene 1/(1+matchLength) weight — semantics documented
+    in PhraseSearcher.topk."""
+
+    ROWS = [
+        "alpha beta gamma",        # exact
+        "alpha x beta gamma",      # one gap: m=1 for beta-slot
+        "alpha x x beta",          # two gaps
+        "beta alpha",              # transposed: m=2
+        "alpha delta epsilon",     # beta missing entirely
+        "beta x x x x alpha",      # far transposed: m=6
+    ]
+
+    def test_slop0_is_exact_bitwise(self, spark, tmp_path):
+        ps = _build(spark, tmp_path, self.ROWS)
+        exact = [(r["doc_id"], r["score"], r["rank"])
+                 for r in ps.topk("alpha beta", 10).collect()]
+        sloppy = [(r["doc_id"], r["score"], r["rank"])
+                  for r in ps.topk("alpha beta", 10, slop=0).collect()]
+        assert exact == sloppy and len(exact) == 1  # only doc 0
+
+    def test_slop_widens_and_transposes(self, spark, tmp_path):
+        ps = _build(spark, tmp_path, self.ROWS)
+        ids1 = {r["doc_id"] for r in
+                ps.topk("alpha beta", 10, slop=1).collect()}
+        assert ids1 == {0, 1}                      # gap of 1 admitted
+        ids2 = {r["doc_id"] for r in
+                ps.topk("alpha beta", 10, slop=2).collect()}
+        assert ids2 == {0, 1, 2, 3}                # transposition costs 2
+        ids6 = {r["doc_id"] for r in
+                ps.topk("alpha beta", 10, slop=6).collect()}
+        assert ids6 == {0, 1, 2, 3, 5}
+
+    def test_sloppy_weight_orders_by_displacement(self, spark, tmp_path):
+        # same dl for all three docs => ranking is purely the sloppy
+        # weight 1/(1+m): exact (m=0) > gap1 (m=1) > gap2 (m=2)
+        ps = _build(spark, tmp_path, [
+            "alpha beta pad pad",
+            "alpha x beta pad",
+            "alpha x x beta",
+        ])
+        got = ps.topk("alpha beta", 10, slop=4).collect()
+        assert [r["doc_id"] for r in got] == [0, 1, 2]
+        scores = [r["score"] for r in got]
+        assert scores[0] > scores[1] > scores[2] > 0
+
+    def test_matches_duckdb_oracle(self, spark, tmp_path):
+        import duckdb
+
+        from search_ingest_spark.query.phrase import phrase_oracle_sql
+
+        rows = [
+            "alpha beta gamma delta", "beta gamma alpha", "alpha x beta",
+            "gamma beta alpha beta", "alpha beta alpha x x beta gamma",
+            "x alpha x x gamma beta", "beta beta alpha gamma gamma",
+        ]
+        ps = _build(spark, tmp_path, rows)
+        con = duckdb.connect()
+        con.register("documents", __import__("pandas").DataFrame(
+            {"doc_id": range(len(rows)), "text": rows}))
+        for phrase in ("alpha beta", "alpha beta gamma"):
+            for slop in (0, 1, 2, 3):
+                got = sorted(
+                    tuple(r) for r in
+                    ps.topk(phrase, 10, slop=slop, round_to=4).collect())
+                want = sorted(tuple(r) for r in con.execute(
+                    phrase_oracle_sql(phrase, k=10, slop=slop)).fetchall())
+                assert got == want, (phrase, slop, got, want)
