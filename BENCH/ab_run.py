@@ -20,10 +20,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 PROBE = os.path.join(REPO, "BENCH", "ab_probe.py")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPS = int(os.environ.get("AB_REPS", "3"))
+# AB_VERSIONS="r03:/tmp/wt_r03,r04:/tmp/wt_r04,head" — `head` (no
+# path) means the live repo; default keeps the r02 study's trio.
+_SPEC = os.environ.get("AB_VERSIONS", "r01:/tmp/wt_r01,r02:/tmp/wt_r02,head")
 VERSIONS = [
-    ("r01", "/tmp/wt_r01"),
-    ("r02", "/tmp/wt_r02"),
-    ("head", REPO),
+    (part.split(":", 1)[0],
+     part.split(":", 1)[1] if ":" in part else REPO)
+    for part in _SPEC.split(",")
 ]
 
 

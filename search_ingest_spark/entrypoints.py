@@ -566,6 +566,50 @@ def _q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ES multi_match type=most_fields (VERDICT r04 item 5): per-field BM25
+# summed across field clauses (bool-should semantics), same per-field
+# statistics as best_fields.
+@register(
+    "bm25_multi_match_most_fields",
+    bm25.multi_match_oracle_sql("spark query data", _MM_FIELDS, k=10,
+                                mm_type="most_fields"),
+)
+def _q_multi_match_most(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25.multi_match(
+        _docs(spark, sf_dir), "spark query data", _MM_FIELDS, 10,
+        mode="simple", round_to=4, mm_type="most_fields",
+    )
+
+
+# Generalized dis_max: winner field + tie_breaker × runner-up mass —
+# ES's DisjunctionMaxQuery with tie_breaker=0.3 (best_fields is the
+# tie_breaker=0 special case).
+@register(
+    "bm25_dis_max_tie_breaker",
+    bm25.multi_match_oracle_sql("spark query data", _MM_FIELDS, k=10,
+                                tie_breaker=0.3),
+)
+def _q_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25.multi_match(
+        _docs(spark, sf_dir), "spark query data", _MM_FIELDS, 10,
+        mode="simple", round_to=4, tie_breaker=0.3,
+    )
+
+
+# ES function_score / field_value_factor (VERDICT r04 item 5): BM25 ×
+# ln(1 + n_chars) — longer docs boosted.  Index-backed: rides
+# all_matching_scores (pruned postings, full matching set — a top-k of
+# unmodified scores is NOT a candidate superset) + the doc_attrs
+# n_chars column; the oracle recomputes brute-force from raw text.
+@register(
+    "search_function_score_topk",
+    bm25.function_score_oracle_sql("spark query data", "n_chars", k=10),
+)
+def _q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).function_score_topk(
+        "spark query data", "n_chars", 10, round_to=4)
+
+
 # Index statistics surface (ES _stats / _count analog): corpus counts
 # from the stats table + vocabulary size from term_dict, verified
 # against a from-corpus recount.
@@ -828,12 +872,31 @@ def _q_facets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cardinality_agg(col: str, *, approx: bool = False,
+                    rsd: float = 0.05):
+    """ES `cardinality` aggregation twin (VERDICT r04 item 6).
+
+    ES's cardinality agg is HLL++ BY DESIGN — at 10^12 docs an exact
+    distinct must shuffle every (bucket, value) pair (shuffle rows =
+    #distinct pairs, potentially corpus-sized), while HLL shuffles one
+    fixed-size sketch per map partition per bucket and merges them
+    (shuffle rows = partitions × buckets, DATA-INDEPENDENT).  Spark's
+    approx_count_distinct is the same HyperLogLog++ family with
+    relative standard deviation `rsd` (ES precision_threshold ≈ rsd
+    trade).  Exact stays the default because the driver oracle demands
+    exactness at sf0.01; flip `approx=True` at scale.  Bench evidence:
+    BENCH/BASELINE.md 'cardinality: exact vs HLL' row."""
+    return (F.approx_count_distinct(col, rsd) if approx
+            else F.countDistinct(col))
+
+
 # ES metric aggregations over a match query's hit set: `stats` over a
 # numeric field (count/min/max/sum/avg of n_chars) plus `cardinality`
-# of a keyword field (exact distinct sources — Spark's
-# approx_count_distinct is the HLL path at 10^12 scale, but the oracle
-# gate demands exactness, so the entry computes the exact form both
-# sides).  One job: hit-set semi-join then a single global aggregate.
+# of a keyword field (exact distinct sources — approx_count_distinct
+# via cardinality_agg(approx=True) is the HLL path at 10^12 scale, but
+# the oracle gate demands exactness, so the driver entry computes the
+# exact form both sides).  One job: hit-set semi-join then a single
+# global aggregate.
 @register(
     "search_stats_aggs",
     """
@@ -853,7 +916,8 @@ SELECT count(*)::BIGINT AS n_hits,
 FROM documents d JOIN hits USING (doc_id)
 """.strip(),
 )
-def _q_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_stats_aggs(spark: SparkSession, sf_dir: str, *,
+                  approx_cardinality: bool = False) -> DataFrame:
     # index-backed hit set + doc_attrs metrics (n_chars/source live in
     # the attrs table — the ES doc-values analog); the only text scan
     # left is the one the index build already did
@@ -869,7 +933,70 @@ def _q_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.sum("n_chars").alias("sum_chars"),
         F.round(F.avg("n_chars"), 4).alias("avg_chars"),
-        F.countDistinct("source").alias("source_cardinality"),
+        cardinality_agg("source", approx=approx_cardinality)
+        .alias("source_cardinality"),
+    )
+
+
+def percentile_agg(col: str, p: float, *, approx: bool = False,
+                   accuracy: int = 10000):
+    """ES `percentiles` aggregation twin (the other half of VERDICT
+    r04 missing item 5's agg pair).
+
+    ES's percentiles agg is t-digest BY DESIGN — an exact percentile
+    at 10^12 docs must shuffle every value to one reducer per group
+    and sort, while a mergeable sketch keeps the combine associative:
+    one bounded-size summary per map partition, merged on the reduce
+    side (Spark's `percentile_approx` is the Greenwald-Khanna
+    quantile-summary family with `accuracy` ≈ ES compression).  Exact
+    `percentile` (linear interpolation at index p·(n−1), the same
+    definition as DuckDB quantile_cont) stays the default because the
+    driver oracle demands exactness at sf0.01; flip `approx=True` at
+    scale."""
+    # percentile_approx returns the INPUT type (it picks a real
+    # element, no interpolation) — cast so the flag never changes the
+    # result schema
+    return (F.percentile_approx(col, p, accuracy).cast("double")
+            if approx else F.percentile(col, p))
+
+
+# ES `percentiles` metric aggregation over a match query's hit set:
+# quartiles + p95 of n_chars.  Same index-backed shape as
+# search_stats_aggs (postings-pruned hit set, doc_attrs doc-values —
+# no text scan); exact interpolated percentiles both sides, the
+# approx flag switches every percentile to the mergeable-sketch path.
+@register(
+    "search_percentiles_aggs",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+hits AS (
+  SELECT DISTINCT doc_id FROM toks WHERE term IN ('spark', 'query', 'data')
+)
+SELECT count(*)::BIGINT AS n_hits,
+       round(quantile_cont(d.n_chars, 0.25), 4) AS p25_chars,
+       round(quantile_cont(d.n_chars, 0.50), 4) AS p50_chars,
+       round(quantile_cont(d.n_chars, 0.75), 4) AS p75_chars,
+       round(quantile_cont(d.n_chars, 0.95), 4) AS p95_chars
+FROM documents d JOIN hits USING (doc_id)
+""".strip(),
+)
+def _q_percentiles_aggs(spark: SparkSession, sf_dir: str, *,
+                        approx: bool = False) -> DataFrame:
+    from search_ingest_spark.index import build as ib
+
+    s = _searcher(spark, sf_dir)
+    hits = s.matching_doc_ids("spark query data")
+    attrs = s.cat.read(ib.DOC_ATTRS_TABLE).select("doc_id", "n_chars")
+    return attrs.join(hits, "doc_id").agg(
+        F.count("*").alias("n_hits"),
+        *[
+            F.round(percentile_agg("n_chars", p, approx=approx), 4)
+            .alias(f"p{int(p * 100)}_chars")
+            for p in (0.25, 0.50, 0.75, 0.95)
+        ],
     )
 
 
@@ -955,10 +1082,14 @@ WHERE event_type = 'click'
 GROUP BY 1
 """.strip(),
 )
-def _q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _q_date_histogram(spark: SparkSession, sf_dir: str, *,
+                      approx_cardinality: bool = False) -> DataFrame:
     # the value metric sums FLOOR(value*1e4) as integers: double
     # summation is order-dependent under a parallel reduce, integer
-    # summation is associative — deterministic on both engines
+    # summation is associative — deterministic on both engines.  The
+    # per-day user cardinality is the agg that blows up at scale when
+    # exact (shuffle rows = distinct (day, user) pairs) — flip
+    # approx_cardinality for the HLL sketch path (cardinality_agg).
     ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     return (
         ev.where(F.col("event_type") == "click")
@@ -967,7 +1098,8 @@ def _q_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.sum(F.floor(F.col("value") * 10000).cast("long"))
             .alias("sum_value_e4"),
-            F.countDistinct("user_id").alias("users"),
+            cardinality_agg("user_id", approx=approx_cardinality)
+            .alias("users"),
         )
     )
 

@@ -629,7 +629,7 @@ FROM topk
 """.strip()
 
 
-def multi_match_best_fields(
+def multi_match(
     docs: DataFrame,
     query_text: str,
     fields: list[tuple[str, float]],
@@ -638,18 +638,35 @@ def multi_match_best_fields(
     id_col: str = "doc_id",
     mode: str = "simple",
     round_to: int = 4,
+    mm_type: str = "best_fields",
+    tie_breaker: float = 0.0,
 ) -> DataFrame:
-    """ES multi_match, type=best_fields: score(doc) = max over fields of
-    boost_f * BM25_f(doc), where each field has its OWN statistics
-    (df, avgdl, N) exactly like per-field Lucene indexes.  `fields` is
-    [(sql_expr, boost), ...] — expressions over `docs` (e.g. a derived
-    title column).  Returns (doc_id, score, rank).
+    """ES multi_match over per-field BM25 scores — each field has its
+    OWN statistics (df, avgdl, N) exactly like per-field Lucene
+    indexes.  `fields` is [(sql_expr, boost), ...] — expressions over
+    `docs` (e.g. a derived title column).  Returns (doc_id, score,
+    rank).
+
+    Combination = ES's documented semantics (the dis_max family):
+    - best_fields: max(per-field) + tie_breaker * (sum - max) — the
+      generalized DisjunctionMaxQuery; tie_breaker=0 is the classic
+      winner-takes-all default;
+    - most_fields: sum(per-field) — a plain bool-should across field
+      clauses.
+    A field scoring 0 (no matching term) contributes nothing either
+    way, exactly as an empty Lucene sub-scorer.
 
     Scale shape: per-field scoring is the same shuffle-light pipeline as
-    bm25_brute_force (doc-local tf/dl, tiny df agg); the union-then-max
-    groups on doc_id over |fields| × matched-docs rows.  At index scale
-    this becomes per-field WAND top-k + candidate rescoring; the driver
-    entry uses the exact formulation so the oracle is exact."""
+    bm25_brute_force (doc-local tf/dl, tiny df agg); the union-then-
+    combine groups on doc_id over |fields| × matched-docs rows.  At
+    index scale this becomes per-field WAND top-k + candidate
+    rescoring; the driver entry uses the exact formulation so the
+    oracle is exact."""
+    if mm_type not in ("best_fields", "most_fields"):
+        raise ValueError(f"mm_type must be best_fields|most_fields, "
+                         f"got {mm_type!r}")
+    if not 0.0 <= tie_breaker <= 1.0:
+        raise ValueError(f"tie_breaker must be in [0, 1], got {tie_breaker}")
     per_field = []
     for expr, boost in fields:
         sub = docs.select(F.col(id_col), F.expr(expr).alias("__field"))
@@ -679,11 +696,97 @@ def multi_match_best_fields(
     allf = per_field[0]
     for p in per_field[1:]:
         allf = allf.unionByName(p)
-    best = allf.groupBy("doc_id").agg(F.max("score").alias("score"))
+    agg = allf.groupBy("doc_id").agg(F.max("score").alias("_mx"),
+                                     F.sum("score").alias("_sm"))
+    if mm_type == "most_fields":
+        combined = F.col("_sm")
+    else:
+        combined = F.col("_mx") + F.lit(float(tie_breaker)) * (
+            F.col("_sm") - F.col("_mx"))
+    best = agg.select(
+        "doc_id", F.round(combined, round_to).alias("score"))
     topk = best.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
     from search_ingest_spark.ranking import ranked_desc
 
     return ranked_desc(topk, "score", "doc_id")
+
+
+def multi_match_best_fields(
+    docs: DataFrame,
+    query_text: str,
+    fields: list[tuple[str, float]],
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    mode: str = "simple",
+    round_to: int = 4,
+) -> DataFrame:
+    """Classic winner-takes-all multi_match — multi_match() with
+    mm_type=best_fields, tie_breaker=0."""
+    return multi_match(docs, query_text, fields, k, id_col=id_col,
+                       mode=mode, round_to=round_to)
+
+
+def function_score_oracle_sql(
+    query_text: str,
+    field: str,
+    k: int = 10,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+    modifier: str = "log1p",
+    factor: float = 1.0,
+    boost_mode: str = "multiply",
+    missing: float = 1.0,
+) -> str:
+    """DuckDB replay of Searcher.function_score_topk: the full-corpus
+    BM25 score per matching doc (no pre-modifier truncation — the
+    modifier can reorder arbitrarily), combined with
+    modifier(factor * coalesce(field, missing)) under boost_mode."""
+    terms = analyze_query(query_text, mode="simple")
+    uniq = sorted(set(terms))
+    term_list = ", ".join("('" + t.replace("'", "''") + "')" for t in uniq)
+    fv = f"({float(factor)!r} * coalesce(d.{field}::DOUBLE, {float(missing)!r}))"
+    mod = {"none": fv, "log1p": f"ln(1.0 + {fv})",
+           "sqrt": f"sqrt({fv})"}[modifier]
+    comb = (f"scores.score_raw * {mod}" if boost_mode == "multiply"
+            else f"scores.score_raw + {mod}")
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS term
+  FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::INT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(term) AS (VALUES {term_list}),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score_raw
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT scores.doc_id AS doc_id, round({comb}, {round_to})::DOUBLE AS score
+  FROM scores JOIN {table} d ON d.{id_col} = scores.doc_id
+  ORDER BY score DESC, scores.doc_id ASC
+  LIMIT {k}
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM topk
+""".strip()
 
 
 def multi_match_oracle_sql(
@@ -694,9 +797,12 @@ def multi_match_oracle_sql(
     table: str = "documents",
     id_col: str = "doc_id",
     round_to: int = 4,
+    mm_type: str = "best_fields",
+    tie_breaker: float = 0.0,
 ) -> str:
-    """DuckDB replay of multi_match_best_fields: one per-field scoring
-    CTE (own stats/df), union, max per doc, top-k."""
+    """DuckDB replay of multi_match: one per-field scoring CTE (own
+    stats/df), union, the engine's exact combine (max + tie_breaker *
+    (sum - max), or plain sum for most_fields), top-k."""
     terms = analyze_query(query_text, mode="simple")
     uniq = sorted(set(terms))
     term_list = ", ".join("('" + t.replace("'", "''") + "')" for t in uniq)
@@ -731,10 +837,16 @@ f{i} AS (
         f"SELECT * FROM f{i}" for i in range(len(fields))
     )
     ctes = ",\n".join(parts)
+    if mm_type == "most_fields":
+        comb = "sum(score)"
+    else:
+        comb = (f"max(score) + {float(tie_breaker)!r} "
+                f"* (sum(score) - max(score))")
     return f"""
 WITH {ctes},
 best AS (
-  SELECT doc_id, max(score) AS score FROM ({union}) GROUP BY doc_id
+  SELECT doc_id, round({comb}, {round_to})::DOUBLE AS score
+  FROM ({union}) GROUP BY doc_id
 ),
 topk AS (
   SELECT doc_id, score FROM best ORDER BY score DESC, doc_id ASC LIMIT {k}

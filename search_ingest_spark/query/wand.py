@@ -478,6 +478,51 @@ class Searcher:
             out = out.withColumn("score", F.round("score", round_to))
         return out
 
+    def function_score_topk(
+        self, query_text: str, field: str, k: int = 10, *,
+        modifier: str = "log1p", factor: float = 1.0,
+        boost_mode: str = "multiply", missing: float = 1.0,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES `function_score` with ONE field_value_factor function:
+        relevance re-shaped by a stored attribute, e.g. score *
+        ln(1 + n_chars) to prefer longer docs (the classic relevance-
+        tuning move the reference's ES indexes support out of the box).
+
+        score' = combine(bm25, modifier(factor * coalesce(field,
+        missing))) with modifier ∈ {none, log1p, sqrt} and boost_mode ∈
+        {multiply, sum} — the deterministic, oracle-able subset of ES's
+        function_score.
+
+        The modifier can REORDER docs arbitrarily, so a top-k of the
+        unmodified scores is NOT a candidate superset — this rides
+        all_matching_scores (pruned postings scan, the full matching
+        set) and joins doc_attrs for the field, then TakeOrdered.  At
+        100 TB both sides of the join are bounded by the matching set,
+        never the corpus."""
+        if modifier not in ("none", "log1p", "sqrt"):
+            raise ValueError(f"modifier must be none|log1p|sqrt, "
+                             f"got {modifier!r}")
+        if boost_mode not in ("multiply", "sum"):
+            raise ValueError(f"boost_mode must be multiply|sum, "
+                             f"got {boost_mode!r}")
+        scored = self.all_matching_scores(query_text)
+        attrs = self.cat.read(ib.DOC_ATTRS_TABLE).select(
+            "doc_id", F.col(field).alias("_fv"))
+        fv = F.lit(float(factor)) * F.coalesce(
+            F.col("_fv").cast("double"), F.lit(float(missing)))
+        mod = {"none": fv, "log1p": F.log1p(fv), "sqrt": F.sqrt(fv)}[modifier]
+        combined = (F.col("score") * mod if boost_mode == "multiply"
+                    else F.col("score") + mod)
+        out = scored.join(attrs, "doc_id").select(
+            "doc_id", combined.alias("score"))
+        if round_to is not None:
+            out = out.withColumn("score", F.round("score", round_to))
+        topk = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        from search_ingest_spark.ranking import ranked_desc
+
+        return ranked_desc(topk, "score", "doc_id")
+
     def matching_doc_ids(self, query_text: str, *,
                          match_all: bool = False,
                          min_match: int | None = None) -> DataFrame:

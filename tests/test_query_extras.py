@@ -23,6 +23,15 @@ def built(spark, documents_smoke, tmp_path_factory):
     return cat
 
 
+@pytest.fixture(scope="module")
+def built_attrs(spark, documents_smoke, tmp_path_factory):
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("qx_attrs")))
+    ib.build_index(spark, documents_smoke, cat, mode="simple",
+                   docs_per_shard=50,
+                   attr_cols=["lang", "source", "n_chars"])
+    return cat
+
+
 def _oracle(sql: str):
     con = duckdb.connect()
     con.execute(
@@ -514,3 +523,166 @@ class TestSqlLiteral:
             + sql_cond({"source": "o'brien"})
         ).fetchone()[0]
         assert n == 1
+
+
+class TestMultiMatchVariants:
+    """most_fields + generalized dis_max tie_breaker (VERDICT r04
+    item 5) — all against the DuckDB oracle, plus the algebraic
+    relations between the combine modes."""
+
+    FIELDS = [("substring(text, 1, 60)", 2.0), ("text", 1.0)]
+
+    def test_most_fields_matches_oracle(self, spark, documents_smoke):
+        got = [tuple(r) for r in bm25.multi_match(
+            documents_smoke, "spark query data", self.FIELDS, 10,
+            mode="simple", round_to=4, mm_type="most_fields",
+        ).collect()]
+        want = _oracle(bm25.multi_match_oracle_sql(
+            "spark query data", self.FIELDS, k=10, mm_type="most_fields"))
+        assert got == want and len(got) == 10
+
+    def test_dis_max_matches_oracle(self, spark, documents_smoke):
+        got = [tuple(r) for r in bm25.multi_match(
+            documents_smoke, "spark query data", self.FIELDS, 10,
+            mode="simple", round_to=4, tie_breaker=0.3,
+        ).collect()]
+        want = _oracle(bm25.multi_match_oracle_sql(
+            "spark query data", self.FIELDS, k=10, tie_breaker=0.3))
+        assert got == want and len(got) == 10
+
+    def test_tie_breaker_zero_is_best_fields(self, spark, documents_smoke):
+        a = [tuple(r) for r in bm25.multi_match(
+            documents_smoke, "spark query data", self.FIELDS, 10,
+            mode="simple", round_to=4, tie_breaker=0.0).collect()]
+        b = [tuple(r) for r in bm25.multi_match_best_fields(
+            documents_smoke, "spark query data", self.FIELDS, 10,
+            mode="simple", round_to=4).collect()]
+        assert a == b
+
+    def test_tie_breaker_one_is_most_fields(self, spark, documents_smoke):
+        a = [tuple(r) for r in bm25.multi_match(
+            documents_smoke, "spark query data", self.FIELDS, 10,
+            mode="simple", round_to=4, tie_breaker=1.0).collect()]
+        b = [tuple(r) for r in bm25.multi_match(
+            documents_smoke, "spark query data", self.FIELDS, 10,
+            mode="simple", round_to=4, mm_type="most_fields").collect()]
+        assert a == b
+
+    def test_validation(self, spark, documents_smoke):
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="mm_type"):
+            bm25.multi_match(documents_smoke, "x", self.FIELDS,
+                             mm_type="cross_fields")
+        with _pytest.raises(ValueError, match="tie_breaker"):
+            bm25.multi_match(documents_smoke, "x", self.FIELDS,
+                             tie_breaker=1.5)
+
+
+class TestFunctionScore:
+    """field_value_factor over the index path (all_matching_scores +
+    doc_attrs join) vs the brute-force oracle."""
+
+    def test_matches_oracle(self, spark, built_attrs):
+        s = Searcher(spark, built_attrs)
+        got = [tuple(r) for r in s.function_score_topk(
+            "spark query data", "n_chars", 10, round_to=4).collect()]
+        want = _oracle(bm25.function_score_oracle_sql(
+            "spark query data", "n_chars", k=10))
+        assert got == want and len(got) == 10
+
+    def test_modifier_none_factor_one_requires_field(self, spark,
+                                                     built_attrs):
+        # score * (1.0 * n_chars): still oracle-replayable
+        s = Searcher(spark, built_attrs)
+        got = [tuple(r) for r in s.function_score_topk(
+            "spark query data", "n_chars", 10, modifier="none",
+            round_to=4).collect()]
+        want = _oracle(bm25.function_score_oracle_sql(
+            "spark query data", "n_chars", k=10, modifier="none"))
+        assert got == want
+
+    def test_sum_mode_matches_oracle(self, spark, built_attrs):
+        s = Searcher(spark, built_attrs)
+        got = [tuple(r) for r in s.function_score_topk(
+            "spark query data", "n_chars", 10, boost_mode="sum",
+            modifier="sqrt", factor=0.25, round_to=4).collect()]
+        want = _oracle(bm25.function_score_oracle_sql(
+            "spark query data", "n_chars", k=10, boost_mode="sum",
+            modifier="sqrt", factor=0.25))
+        assert got == want
+
+    def test_validation(self, spark, built_attrs):
+        import pytest as _pytest
+        s = Searcher(spark, built_attrs)
+        with _pytest.raises(ValueError, match="modifier"):
+            s.function_score_topk("x", "n_chars", modifier="square")
+        with _pytest.raises(ValueError, match="boost_mode"):
+            s.function_score_topk("x", "n_chars", boost_mode="avg")
+
+
+class TestCardinalityAgg:
+    """ES cardinality agg twin: exact (oracle default) vs HLL++
+    approx (the 10^12-scale path) — same query shape, sketch error
+    bounded by rsd."""
+
+    def test_approx_within_rsd_envelope(self, spark):
+        from search_ingest_spark import entrypoints as ep
+
+        sf = "/root/testdata/sf0.001"
+        exact = {r["day"]: r["users"] for r in
+                 ep._q_date_histogram(spark, sf).collect()}
+        approx = {r["day"]: r["users"] for r in
+                  ep._q_date_histogram(
+                      spark, sf, approx_cardinality=True).collect()}
+        assert set(exact) == set(approx)
+        for day, n in exact.items():
+            # 5% rsd → ±5σ safety envelope (deterministic sketch, this
+            # is a regression pin not a statistics test)
+            assert abs(approx[day] - n) <= max(3, 0.25 * n), (day, n,
+                                                              approx[day])
+
+    def test_flag_switches_plan_to_hll(self, spark):
+        from search_ingest_spark import entrypoints as ep
+
+        sf = "/root/testdata/sf0.001"
+        plan_exact = ep._q_date_histogram(spark, sf)._jdf.queryExecution(
+        ).executedPlan().toString()
+        plan_approx = ep._q_date_histogram(
+            spark, sf, approx_cardinality=True)._jdf.queryExecution(
+        ).executedPlan().toString()
+        # exact distinct plans a two-phase expand/distinct aggregate;
+        # the HLL path aggregates sketches directly
+        assert "approx_count_distinct" in plan_approx
+        assert "approx_count_distinct" not in plan_exact
+
+
+class TestPercentilesAgg:
+    """ES percentiles agg twin: exact interpolated percentile (oracle
+    default, ≡ DuckDB quantile_cont) vs the mergeable-sketch
+    percentile_approx path for scale."""
+
+    def test_exact_vs_approx_schema_and_envelope(self, spark):
+        from search_ingest_spark import entrypoints as ep
+
+        sf = "/root/testdata/sf0.001"
+        exact = ep._q_percentiles_aggs(spark, sf)
+        approx = ep._q_percentiles_aggs(spark, sf, approx=True)
+        assert exact.dtypes == approx.dtypes  # flag never changes schema
+        er, ar = exact.collect()[0], approx.collect()[0]
+        assert er["n_hits"] == ar["n_hits"] > 0
+        for c in ("p25_chars", "p50_chars", "p75_chars", "p95_chars"):
+            # approx picks a real element within rank error; exact
+            # interpolates — they stay within a couple of chars here
+            assert abs(er[c] - ar[c]) <= max(2.0, 0.02 * er[c]), (c, er[c],
+                                                                  ar[c])
+
+    def test_flag_switches_plan_to_sketch(self, spark):
+        from search_ingest_spark import entrypoints as ep
+
+        sf = "/root/testdata/sf0.001"
+        pe = ep._q_percentiles_aggs(spark, sf)._jdf.queryExecution(
+        ).executedPlan().toString()
+        pa = ep._q_percentiles_aggs(spark, sf, approx=True)._jdf\
+            .queryExecution().executedPlan().toString()
+        assert "percentile_approx" in pa
+        assert "percentile_approx" not in pe
