@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from search_ingest_spark.ops import dedup, similarity, textstats
-from search_ingest_spark.query import bm25
+from search_ingest_spark.query import bm25, significant
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -608,6 +608,33 @@ def _q_dis_max(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _searcher(spark, sf_dir).function_score_topk(
         "spark query data", "n_chars", 10, round_to=4)
+
+
+# ES `boosting` query: positive matches demoted (score × 0.5), never
+# excluded, when they also match the negative query — the soft cousin
+# of bool must_not (which stays a hard exclusion, bm25_wand_topk_must_not).
+@register(
+    "search_boosting_topk",
+    bm25.boosting_oracle_sql("spark query data", "slow merge", k=10,
+                             negative_boost=0.5),
+)
+def _q_boosting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).boosting_topk(
+        "spark query data", "slow merge", 10, negative_boost=0.5,
+        round_to=4)
+
+
+# ES `significant_terms` aggregation (JLH): which terms characterize
+# the hit set of a query vs the corpus — index-backed (shard-cogrouped
+# postings decode + term_dict df join; query/significant.py), oracle
+# re-derives brute-force from raw text.
+@register(
+    "search_significant_terms",
+    significant.significant_terms_oracle_sql("spark query data", k=10),
+)
+def _q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return significant.significant_terms(_searcher(spark, sf_dir),
+                                         "spark query data", 10)
 
 
 # Index statistics surface (ES _stats / _count analog): corpus counts

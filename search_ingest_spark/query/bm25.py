@@ -789,6 +789,64 @@ FROM topk
 """.strip()
 
 
+def boosting_oracle_sql(
+    positive_text: str,
+    negative_text: str,
+    k: int = 10,
+    *,
+    negative_boost: float = 0.5,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> str:
+    """DuckDB replay of Searcher.boosting_topk: full positive BM25
+    matching set, score × negative_boost where the doc also matches
+    ANY analyzed negative term."""
+    pos = sorted(set(analyze_query(positive_text, mode="simple")))
+    neg = sorted(set(analyze_query(negative_text, mode="simple")))
+    pos_list = ", ".join("('" + t.replace("'", "''") + "')" for t in pos)
+    neg_list = ", ".join("'" + t.replace("'", "''") + "'" for t in neg)
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS term
+  FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::INT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(term) AS (VALUES {pos_list}),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+neg AS (SELECT DISTINCT doc_id FROM toks WHERE term IN ({neg_list})),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score_raw
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT s.doc_id,
+         round(CASE WHEN n.doc_id IS NOT NULL
+                    THEN s.score_raw * {float(negative_boost)!r}
+                    ELSE s.score_raw END, {round_to})::DOUBLE AS score
+  FROM scores s LEFT JOIN neg n ON n.doc_id = s.doc_id
+  ORDER BY score DESC, s.doc_id ASC
+  LIMIT {k}
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM topk
+""".strip()
+
+
 def multi_match_oracle_sql(
     query_text: str,
     fields: list[tuple[str, float]],

@@ -523,6 +523,40 @@ class Searcher:
 
         return ranked_desc(topk, "score", "doc_id")
 
+    def boosting_topk(
+        self, positive_text: str, negative_text: str, k: int = 10, *,
+        negative_boost: float = 0.5, round_to: int | None = None,
+    ) -> DataFrame:
+        """ES `boosting` query: docs matching the positive query keep
+        their BM25 score; those ALSO matching the negative query have
+        it multiplied by `negative_boost` (demoted, not excluded — the
+        soft cousin of bool must_not).  Like function_score, the
+        demotion can reorder arbitrarily, so this rides
+        all_matching_scores (full positive matching set, pruned
+        postings scan) left-anti-style against the negative HIT SET
+        (postings-pruned ids only, scores never computed).  At 100 TB
+        both sides are bounded by their matching sets; the join key is
+        doc_id with AQE free to broadcast the (usually far smaller)
+        negative side."""
+        if not 0.0 <= negative_boost <= 1.0:
+            raise ValueError(
+                f"negative_boost must be in [0, 1], got {negative_boost}")
+        scored = self.all_matching_scores(positive_text)
+        neg = (self.matching_doc_ids(negative_text)
+               .withColumn("_neg", F.lit(True)))
+        out = scored.join(neg, "doc_id", "left").select(
+            "doc_id",
+            F.when(F.col("_neg").isNotNull(),
+                   F.col("score") * F.lit(float(negative_boost)))
+            .otherwise(F.col("score")).alias("score"),
+        )
+        if round_to is not None:
+            out = out.withColumn("score", F.round("score", round_to))
+        topk = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        from search_ingest_spark.ranking import ranked_desc
+
+        return ranked_desc(topk, "score", "doc_id")
+
     def matching_doc_ids(self, query_text: str, *,
                          match_all: bool = False,
                          min_match: int | None = None) -> DataFrame:

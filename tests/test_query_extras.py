@@ -686,3 +686,96 @@ class TestPercentilesAgg:
             .queryExecution().executedPlan().toString()
         assert "percentile_approx" in pa
         assert "percentile_approx" not in pe
+
+
+class TestBoosting:
+    """ES boosting query: negative matches demoted ×negative_boost,
+    never excluded — vs the DuckDB brute-force replay, plus the
+    algebraic endpoints (nb=1 ≡ plain ranking; nb=0 zeroes them)."""
+
+    def test_matches_oracle(self, spark, built):
+        s = Searcher(spark, built)
+        got = [tuple(r) for r in s.boosting_topk(
+            "spark query data", "slow merge", 10, negative_boost=0.5,
+            round_to=4).collect()]
+        want = _oracle(bm25.boosting_oracle_sql(
+            "spark query data", "slow merge", k=10, negative_boost=0.5))
+        assert got == want and len(got) == 10
+
+    def test_nb_one_is_plain_topk(self, spark, built):
+        s = Searcher(spark, built)
+        a = [tuple(r) for r in s.boosting_topk(
+            "spark query data", "slow merge", 10, negative_boost=1.0,
+            round_to=4).collect()]
+        b = [tuple(r) for r in s.topk(
+            "spark query data", 10, round_to=4).collect()]
+        assert a == b
+
+    def test_nb_zero_demotes_to_zero(self, spark, built):
+        s = Searcher(spark, built)
+        got = {r["doc_id"]: r["score"] for r in s.boosting_topk(
+            "spark query data", "slow merge", 1000, negative_boost=0.0,
+            round_to=4).collect()}
+        neg = {r["doc_id"] for r in
+               s.matching_doc_ids("slow merge").collect()}
+        demoted = set(got) & neg
+        assert demoted and all(got[d] == 0.0 for d in demoted)
+
+    def test_validation(self, spark, built):
+        with pytest.raises(ValueError, match="negative_boost"):
+            Searcher(spark, built).boosting_topk("x", "y",
+                                                 negative_boost=1.5)
+
+
+class TestSignificantTerms:
+    """JLH significant_terms over the cogrouped postings kernel vs the
+    brute-force DuckDB replay; query terms themselves must rank at the
+    top (fg_rate = 1 for a single-term query's own term)."""
+
+    def test_matches_oracle(self, spark, built):
+        from search_ingest_spark.query.significant import (
+            significant_terms, significant_terms_oracle_sql)
+
+        s = Searcher(spark, built)
+        got = [tuple(r) for r in significant_terms(
+            s, "spark query data", 10).collect()]
+        want = _oracle(significant_terms_oracle_sql(
+            "spark query data", k=10))
+        assert got == want and len(got) == 10
+
+    def test_single_term_query_tops_itself(self, spark, built):
+        from search_ingest_spark.query.significant import (
+            significant_terms)
+
+        s = Searcher(spark, built)
+        rows = significant_terms(s, "customer", 5).collect()
+        assert rows[0]["term"] == "customer"
+        assert rows[0]["fg_df"] == rows[0]["df"]  # fg set = its own docs
+
+    def test_kernel_pure_function(self):
+        import numpy as np
+        import pandas as pd
+
+        from search_ingest_spark.index import codec
+        from search_ingest_spark.query.significant import (
+            shard_fg_term_counts)
+
+        # two terms, hand-built blocks: term 1 → docs {3,5,9},
+        # term 2 → docs {5}
+        rows = []
+        for tid, docs in ((1, [3, 5, 9]), (2, [5])):
+            d = np.array(docs, dtype=np.int64)
+            ones = np.ones(len(d), dtype=np.int64)
+            rows.append({
+                "term_id": tid, "first_doc_id": int(d[0]),
+                "n_docs": len(d),
+                "data": codec.encode_block(d, ones, ones, int(d[0])),
+            })
+        post = pd.DataFrame(rows)
+        fg = pd.DataFrame({"doc_id": [5, 9, 100]})
+        out = shard_fg_term_counts(post, fg).set_index("term_id")
+        assert out.loc[1, "fg_df"] == 2  # docs 5, 9
+        assert out.loc[2, "fg_df"] == 1  # doc 5
+        # empty sides
+        assert len(shard_fg_term_counts(post.iloc[:0], fg)) == 0
+        assert len(shard_fg_term_counts(post, fg.iloc[:0])) == 0
