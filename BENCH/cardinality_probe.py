@@ -37,10 +37,18 @@ def shuffle_totals(ui: str) -> tuple[int, int]:
 
 
 def run_one(mode: str) -> dict:
-    from search_ingest_spark.session import get_spark
+    # session.get_spark disables the UI (and with it the REST status
+    # API); this probe needs the API, so it builds its own session
+    from pyspark.sql import SparkSession
 
-    spark = get_spark(f"card_{mode}", master="local[32]",
-                      shuffle_partitions=32)
+    spark = (
+        SparkSession.builder.appName(f"card_{mode}")
+        .master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.ui.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
     ev = spark.range(N, numPartitions=32).select(
         F.pmod(F.col("id"), F.lit(DAYS)).alias("day"),
         F.pmod(F.xxhash64("id"), F.lit(USERS)).alias("user_id"),
