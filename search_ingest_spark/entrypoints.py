@@ -1243,6 +1243,27 @@ def _q_phrase_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ES `rescore`: cheap match query for recall, the expensive phrase
+# query re-ranks ONLY the top-window_size hits (score_mode=total with
+# query/rescore weights — ES defaults); rescore weight 2.0 so phrase
+# hits visibly reorder the window.
+from search_ingest_spark.query.rescore import (  # noqa: E402
+    rescore_oracle_sql, rescore_topk)
+
+
+@register(
+    "search_rescore_topk",
+    rescore_oracle_sql("spark query data", _PHRASE_TEXT, k=10,
+                       window_size=50, rescore_query_weight=2.0),
+)
+def _q_rescore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _index_cat(spark, sf_dir)
+    return rescore_topk(
+        _searcher(spark, sf_dir), PhraseSearcher(spark, cat),
+        "spark query data", _PHRASE_TEXT, 10, window_size=50,
+        rescore_query_weight=2.0, round_to=4)
+
+
 _BATCH_QUERIES = {0: "data", 1: "spark query data", 2: "customer window batch"}
 
 
@@ -2323,6 +2344,53 @@ def _q_events_rate(spark, sf_dir):
         .alias("window_start_epoch"),
         "event_type",
         F.col("n_docs").cast("long").alias("n_events"),
+    )
+
+
+# Gap-based sessionization over the events stream (session_window, the
+# merge-while-overlapping dynamic window).  Batch form for oracle duty;
+# the same function takes a streaming frame + watermark.  Epoch-second
+# outputs keep the comparison tz-proof; the oracle replays Spark's
+# merge rule (new session iff the silence since the previous event is
+# STRICTLY greater than gap — Spark merges touching windows)
+# with lag + a running sum.
+@register(
+    "events_sessionize",
+    """
+WITH lagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL '30' MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM lagged
+)
+SELECT floor(epoch(min(ts)))::BIGINT AS session_start_epoch,
+       floor(epoch(max(ts) + INTERVAL '30' MINUTE))::BIGINT
+         AS session_end_epoch,
+       user_id,
+       count(*)::BIGINT AS n_events
+FROM sess GROUP BY user_id, sid
+""".strip(),
+)
+def _q_sessionize(spark, sf_dir):
+    from search_ingest_spark.streaming.stats import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    s = sessionize(ev, ts_col="ts", key_col="user_id", gap="30 minutes")
+    return s.select(
+        F.unix_timestamp("session_start").cast("long")
+        .alias("session_start_epoch"),
+        F.unix_timestamp("session_end").cast("long")
+        .alias("session_end_epoch"),
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
     )
 
 

@@ -94,6 +94,21 @@ class PhraseSearcher:
         identical slot-idf-sum BM25 weight on top.  Like Lucene,
         transposed terms match at slop ≥ 2."""
         out_schema = "doc_id long, score double, rank int"
+        plan = self._plan_slots(phrase_text)
+        if plan is None:
+            return self.spark.createDataFrame([], out_schema)
+        slot_rows, n_slots, idf_sum = plan
+        if slop > 0 and n_slots > 1:
+            return self._run_slots_sloppy(
+                slot_rows, n_slots, idf_sum, k, slop, round_to)
+        return self._run_slots(slot_rows, n_slots, idf_sum, k, round_to)
+
+    def _plan_slots(
+        self, phrase_text: str
+    ) -> tuple[list[tuple[str, int]], int, float] | None:
+        """Driver-side phrase planning: (slot_rows, n_slots, idf_sum),
+        or None when the phrase cannot match (no tokens, or a slot with
+        no indexed form)."""
         if self.mode == "simple":
             pairs = [(t, i) for i, t in
                      enumerate(analyze_query(phrase_text, mode="simple"))]
@@ -102,7 +117,7 @@ class PhraseSearcher:
 
             pairs = analyze_pos(phrase_text)
         if not pairs:
-            return self.spark.createDataFrame([], out_schema)
+            return None
         n_slots = 1 + max(p for _, p in pairs)
         slot_terms: dict[int, list[str]] = {}
         for t, p in pairs:
@@ -113,23 +128,40 @@ class PhraseSearcher:
             indexed = [t for t in slot_terms.get(p, []) if t in idf]
             if not indexed:
                 # a slot none of whose forms is indexed matches nothing
-                return self.spark.createDataFrame([], out_schema)
+                return None
             idf_sum += idf[indexed[0]]
 
         slot_rows = [(t, p) for p, ts in sorted(slot_terms.items())
                      for t in ts if t in idf]
+        return slot_rows, n_slots, idf_sum
+
+    def all_scores(
+        self, phrase_text: str, *, slop: int = 0,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """(doc_id, score) for EVERY phrase-matching doc — no top-k.
+
+        The rescore building block (ES `rescore` runs the expensive
+        phrase query only over the first-pass window, so the consumer
+        semi-joins this against its window; the plan is still pruned to
+        the phrase terms' positions, never the corpus)."""
+        plan = self._plan_slots(phrase_text)
+        if plan is None:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        slot_rows, n_slots, idf_sum = plan
         if slop > 0 and n_slots > 1:
             return self._run_slots_sloppy(
-                slot_rows, n_slots, idf_sum, k, slop, round_to)
-        return self._run_slots(slot_rows, n_slots, idf_sum, k, round_to)
+                slot_rows, n_slots, idf_sum, None, slop, round_to)
+        return self._run_slots(slot_rows, n_slots, idf_sum, None, round_to)
 
     def _run_slots(self, slot_rows: list[tuple[str, int]], n_slots: int,
-                   idf_sum: float, k: int,
+                   idf_sum: float, k: int | None,
                    round_to: int | None) -> DataFrame:
         """Shared slot-matching pipeline: pruned positions scan →
         (doc, base) alignment → phrase_freq → slot-idf-sum BM25 →
-        top-k.  `slot_rows` may stack several terms on one slot
-        (synonym stacks, phrase-prefix expansions)."""
+        top-k (k=None → full scored set, unranked).  `slot_rows` may
+        stack several terms on one slot (synonym stacks, phrase-prefix
+        expansions)."""
         slot_df = self.spark.createDataFrame(
             slot_rows, "term string, slot int",
         )
@@ -159,12 +191,14 @@ class PhraseSearcher:
         )
         if round_to is not None:
             scored = scored.withColumn("score", F.round("score", round_to))
+        if k is None:
+            return scored
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         return ranked_desc(topk, "score", "doc_id")
 
     def _run_slots_sloppy(self, slot_rows: list[tuple[str, int]],
-                          n_slots: int, idf_sum: float, k: int, slop: int,
-                          round_to: int | None) -> DataFrame:
+                          n_slots: int, idf_sum: float, k: int | None,
+                          slop: int, round_to: int | None) -> DataFrame:
         """Sloppy slot matching (see topk docstring for semantics).
 
         Plan shape — same envelope as the exact path: ONE positions
@@ -218,6 +252,8 @@ class PhraseSearcher:
         )
         if round_to is not None:
             scored = scored.withColumn("score", F.round("score", round_to))
+        if k is None:
+            return scored
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         return ranked_desc(topk, "score", "doc_id")
 

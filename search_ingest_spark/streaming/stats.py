@@ -119,3 +119,39 @@ def first_seen(
             timeoutConf=timeout,
         )
     )
+
+
+def sessionize(
+    events: DataFrame, *, ts_col: str = "ts", key_col: str = "user_id",
+    gap: str = "30 minutes", watermark: str | None = None,
+) -> DataFrame:
+    """Gap-based sessionization — the canonical user-behavior rollup a
+    web-scale events pipeline needs (and the textbook
+    `session_window` use: dynamic-length windows that MERGE while
+    events arrive within `gap` of the session's end).
+
+    (session_start, session_end, key, n_events) per session, where
+    session_end = last event + gap (Spark's session_window contract;
+    windows merge when they overlap OR touch, so a successor exactly
+    `gap` later still EXTENDS the session — a new session requires a
+    strictly-greater-than-gap silence; pinned by test).
+
+    Works identically over a batch frame (driver-oracle duty — the
+    oracle replays the merge rule with lag/cumsum in SQL) and a
+    streaming one; pass `watermark` on streams so state for closed
+    sessions is evicted — state per key is bounded by the one open
+    session plus windows newer than the watermark, which is what makes
+    this viable at 10^9 users."""
+    g = events
+    if watermark is not None:
+        g = g.withWatermark(ts_col, watermark)
+    return (
+        g.groupBy(F.session_window(F.col(ts_col), gap).alias("_w"),
+                  F.col(key_col))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            F.col(key_col), "n_events",
+        )
+    )

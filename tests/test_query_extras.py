@@ -779,3 +779,50 @@ class TestSignificantTerms:
         # empty sides
         assert len(shard_fg_term_counts(post.iloc[:0], fg)) == 0
         assert len(shard_fg_term_counts(post, fg.iloc[:0])) == 0
+
+
+class TestRescore:
+    """ES rescore (score_mode=total) over index window + phrase
+    second pass, vs the composed DuckDB oracle."""
+
+    @pytest.fixture(scope="class")
+    def built_pos(self, spark, documents_smoke, tmp_path_factory):
+        cat = Catalog(spark, str(tmp_path_factory.mktemp("qx_pos")))
+        ib.build_index(spark, documents_smoke, cat, mode="simple",
+                       docs_per_shard=50, with_positions=True)
+        return cat
+
+    def test_matches_oracle(self, spark, built_pos):
+        from search_ingest_spark.query.phrase import PhraseSearcher
+        from search_ingest_spark.query.rescore import (
+            rescore_oracle_sql, rescore_topk)
+
+        got = [tuple(r) for r in rescore_topk(
+            Searcher(spark, built_pos), PhraseSearcher(spark, built_pos),
+            "spark query data", "table hash", 10, window_size=30,
+            rescore_query_weight=2.0, round_to=4).collect()]
+        want = _oracle(rescore_oracle_sql(
+            "spark query data", "table hash", k=10, window_size=30,
+            rescore_query_weight=2.0))
+        assert got == want and len(got) == 10
+
+    def test_zero_rescore_weight_is_plain_topk(self, spark, built_pos):
+        from search_ingest_spark.query.phrase import PhraseSearcher
+        from search_ingest_spark.query.rescore import rescore_topk
+
+        a = [tuple(r) for r in rescore_topk(
+            Searcher(spark, built_pos), PhraseSearcher(spark, built_pos),
+            "spark query data", "table hash", 10, window_size=30,
+            rescore_query_weight=0.0, round_to=4).collect()]
+        b = [tuple(r) for r in Searcher(spark, built_pos).topk(
+            "spark query data", 10, round_to=4).collect()]
+        assert a == b
+
+    def test_validation(self, spark, built_pos):
+        from search_ingest_spark.query.phrase import PhraseSearcher
+        from search_ingest_spark.query.rescore import rescore_topk
+
+        with pytest.raises(ValueError, match="window_size"):
+            rescore_topk(Searcher(spark, built_pos),
+                         PhraseSearcher(spark, built_pos),
+                         "x", "y", 10, window_size=5)

@@ -178,3 +178,72 @@ class TestIngestRate:
         assert got[(w0, "s1")] == 3          # a, a, b
         assert got[(w1, "s2")] == 2          # c (70s), d (95s)
         assert got[(w1, "s1")] == 1          # a re-crawl at 90s
+
+
+class TestSessionize:
+    """Gap-based session_window: batch form vs a hand-built expectation
+    (merge iff within gap, INCLUSIVE — Spark merges touching windows,
+    so a successor at exactly `gap` still extends the session;
+    empirically pinned here), and the same function over a stream."""
+
+    EVENTS_DDL = "ts timestamp, user_id long"
+
+    def _events(self, spark):
+        rows = [
+            # user 1: two events 10 min apart (one session), then a
+            # 31-min gap (new session)
+            (TS0, 1),
+            (TS0 + dt.timedelta(minutes=10), 1),
+            (TS0 + dt.timedelta(minutes=41), 1),
+            # user 2: successor at EXACTLY the 30-min gap — windows
+            # touch and Spark MERGES touching windows → one session
+            (TS0, 2),
+            (TS0 + dt.timedelta(minutes=30), 2),
+        ]
+        return spark.createDataFrame(rows, self.EVENTS_DDL)
+
+    def test_batch_merge_rule(self, spark):
+        from search_ingest_spark.streaming.stats import sessionize
+
+        got = sorted(
+            (r["user_id"], r["session_start"], r["session_end"],
+             r["n_events"])
+            for r in sessionize(self._events(spark), gap="30 minutes")
+            .collect()
+        )
+        g = dt.timedelta(minutes=30)
+        want = sorted([
+            (1, TS0, TS0 + dt.timedelta(minutes=10) + g, 2),
+            (1, TS0 + dt.timedelta(minutes=41),
+             TS0 + dt.timedelta(minutes=41) + g, 1),
+            (2, TS0, TS0 + dt.timedelta(minutes=30) + g, 2),
+        ])
+        assert got == want
+
+    def test_streaming_equals_batch(self, spark, tmp_path):
+        """Append mode only emits sessions the watermark has CLOSED, so
+        the source is two files (one per trigger): the real events,
+        then a far-future sentinel that advances the watermark past
+        every real session's end.  Streaming output == batch output on
+        the real events; the sentinel's own still-open session is
+        rightly absent."""
+        from search_ingest_spark.streaming.stats import sessionize
+
+        p = str(tmp_path / "sess_src")
+        self._events(spark).coalesce(1).write.mode("append").parquet(p)
+        sentinel = [(TS0 + dt.timedelta(hours=6), 99)]
+        (spark.createDataFrame(sentinel, self.EVENTS_DDL)
+         .coalesce(1).write.mode("append").parquet(p))
+        stream = (
+            spark.readStream.schema(self.EVENTS_DDL)
+            .option("maxFilesPerTrigger", 1).parquet(p)
+        )
+        out = _run_stream(
+            spark,
+            sessionize(stream, gap="30 minutes", watermark="1 minute"),
+            tmp_path, "sess_out", mode="append")
+        got = sorted(tuple(r) for r in out.collect())
+        want = sorted(tuple(r) for r in
+                      sessionize(self._events(spark),
+                                 gap="30 minutes").collect())
+        assert got == want
