@@ -1092,6 +1092,88 @@ def _q_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- round-5 bucket aggregations + collapse (query/aggs.py) -------------------
+# All share the item-1 shape: postings-pruned hit set + doc_attrs
+# doc-values; oracles recompute brute-force from raw text.
+from search_ingest_spark.query import aggs as _aggs  # noqa: E402
+
+_AGG_QUERY = "spark query data"
+_RANGES = [("short", None, 150.0), ("mid", 150.0, 300.0),
+           ("long", 300.0, None)]
+_FILTERS = {
+    "es": {"lang": "es"},
+    "long_fr_de": {"lang": ["fr", "de"], "n_chars": {"gte": 300}},
+    "tiny": {"n_chars": {"lt": 120}},
+}
+
+
+@register("search_histogram_chars",
+          _aggs.histogram_oracle_sql(_AGG_QUERY, "n_chars", 100))
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggs.histogram_agg(
+        _searcher(spark, sf_dir), _AGG_QUERY, "n_chars", 100)
+
+
+@register("search_range_chars",
+          _aggs.range_oracle_sql(_AGG_QUERY, "n_chars", _RANGES))
+def _q_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggs.range_agg(
+        _searcher(spark, sf_dir), _AGG_QUERY, "n_chars", _RANGES)
+
+
+@register("search_filters_agg",
+          _aggs.filters_oracle_sql(_AGG_QUERY, _FILTERS))
+def _q_filters_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggs.filters_agg(_searcher(spark, sf_dir), _AGG_QUERY, _FILTERS)
+
+
+# composite page 2: resumed from after-key (source asc, lang asc)
+@register("search_composite_buckets",
+          _aggs.composite_oracle_sql(_AGG_QUERY, ["source", "lang"], 7,
+                                     after=("src12", "es")))
+def _q_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggs.composite_agg(
+        _searcher(spark, sf_dir), _AGG_QUERY, ["source", "lang"], 7,
+        after=("src12", "es"))
+
+
+@register("search_collapse_topk",
+          _aggs.collapse_oracle_sql(_AGG_QUERY, "source", k=8))
+def _q_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggs.collapse_topk(
+        _searcher(spark, sf_dir), _AGG_QUERY, "source", 8, round_to=4)
+
+
+# ES decay function_score: gauss on n_chars — prefer docs near 300
+# chars, half-score at distance 100 past a 25-char offset.
+@register("search_decay_gauss_topk",
+          bm25.decay_oracle_sql(_AGG_QUERY, "n_chars", k=10, origin=300.0,
+                                scale=100.0, offset=25.0, decay=0.5,
+                                shape="gauss"))
+def _q_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).decay_score_topk(
+        _AGG_QUERY, "n_chars", 10, origin=300.0, scale=100.0, offset=25.0,
+        decay=0.5, shape="gauss", round_to=4)
+
+
+# ES more_like_this seeded by doc 42: deterministic-integer term
+# selection (tf desc, df asc, term asc), seed excluded from results.
+@register("search_more_like_this",
+          bm25.mlt_oracle_sql(42, k=10, max_query_terms=5))
+def _q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).more_like_this_topk(
+        42, 10, max_query_terms=5, round_to=4)
+
+
+# ES term suggester: per-token spelling candidates from the dictionary
+# within 1 edit, ranked (distance, df desc, term asc).
+@register("suggest_term_typos",
+          bm25.term_suggest_oracle_sql("sparc datq", max_edits=1, size=3))
+def _q_suggest_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).suggest_terms(
+        "sparc datq", max_edits=1, size=3)
+
+
 # ES `date_histogram` aggregation (calendar_interval=day) with a
 # nested metric sub-aggregation — the canonical observability query
 # shape over a time-keyed stream.  Pure Catalyst: date_trunc groupBy

@@ -220,6 +220,53 @@ def bm25_all_scores(
     return scored.groupBy("doc_id").agg(F.sum("partial").alias("score"))
 
 
+def bm25_scores_cte(
+    query_text: str,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+    exclude_doc: int | None = None,
+) -> str:
+    """Reusable oracle CTE chain (no leading WITH): toks / tf / dl /
+    stats / q / dfreq / scores_r, where scores_r = (doc_id, score)
+    with the ROUNDED brute-force BM25 score of every matching doc —
+    the composable building block for oracle SQL that post-processes
+    the full matching set (collapse, decay function_score,
+    more_like_this).  Same expressions as bm25_oracle_sql."""
+    uniq = sorted(set(analyze_query(query_text, mode="simple")))
+    if not uniq:
+        raise ValueError("empty query after analysis")
+    term_list = ", ".join("('" + t.replace("'", "''") + "')" for t in uniq)
+    excl = (f"\n  WHERE tf.doc_id <> {int(exclude_doc)}"
+            if exclude_doc is not None else "")
+    return f"""
+toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS term
+  FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::INT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(term) AS (VALUES {term_list}),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1),
+scores_r AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ), {round_to})::DOUBLE AS score
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats{excl}
+  GROUP BY tf.doc_id
+)""".strip()
+
+
 def bm25_oracle_sql(
     query_text: str,
     k: int = 10,
@@ -975,4 +1022,132 @@ topk AS (
 SELECT doc_id, score,
        row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
 FROM topk
+""".strip()
+
+
+def decay_oracle_sql(
+    query_text: str, field: str, k: int = 10, *,
+    origin: float, scale: float, offset: float = 0.0,
+    decay: float = 0.5, shape: str = "gauss", round_to: int = 4,
+) -> str:
+    """DuckDB replay of Searcher.decay_score_topk: rounded brute-force
+    scores × the identical decay multiplier, rounded again."""
+    import math
+
+    if shape not in ("gauss", "exp", "linear"):
+        raise ValueError(f"shape must be gauss|exp|linear, got {shape!r}")
+    ln_decay = math.log(float(decay))
+    d = (f"greatest(0.0, abs(d.{field}::DOUBLE - {float(origin)!r})"
+         f" - {float(offset)!r}) / {float(scale)!r}")
+    mult = {
+        "gauss": f"exp({ln_decay!r} * ({d}) * ({d}))",
+        "exp": f"exp({ln_decay!r} * ({d}))",
+        "linear": f"greatest(0.0, 1.0 - {1.0 - float(decay)!r} * ({d}))",
+    }[shape]
+    return f"""
+WITH {bm25_scores_cte(query_text, round_to=round_to)},
+combined AS (
+  SELECT s.doc_id,
+         round(s.score * (CASE WHEN d.{field} IS NULL THEN 1.0
+                               ELSE {mult} END), {round_to})::DOUBLE AS score
+  FROM scores_r s JOIN documents d USING (doc_id)
+),
+topk AS (
+  SELECT doc_id, score FROM combined
+  ORDER BY score DESC, doc_id ASC LIMIT {int(k)}
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM topk
+""".strip()
+
+
+def mlt_oracle_sql(
+    seed_doc_id: int, k: int = 10, *,
+    max_query_terms: int = 5, round_to: int = 4,
+) -> str:
+    """DuckDB replay of Searcher.more_like_this_topk: select the seed's
+    terms by (tf desc, df asc, term asc) — integer-deterministic, no
+    float products — then BM25-score the selection over every doc but
+    the seed."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::INT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+seed_tf AS (SELECT term, tf FROM tf WHERE doc_id = {int(seed_doc_id)}),
+seed_df AS (
+  SELECT term, count(*)::BIGINT AS df FROM tf
+  WHERE term IN (SELECT term FROM seed_tf) GROUP BY 1
+),
+sel AS (
+  SELECT s.term, d.df FROM seed_tf s JOIN seed_df d USING (term)
+  ORDER BY s.tf DESC, d.df ASC, s.term ASC LIMIT {int(max_query_terms)}
+),
+scores AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln(1.0 + (stats.n_docs - sel.df + 0.5) / (sel.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ), {round_to})::DOUBLE AS score
+  FROM tf
+  JOIN sel USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.doc_id <> {int(seed_doc_id)}
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, score FROM scores
+  ORDER BY score DESC, doc_id ASC LIMIT {int(k)}
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM topk
+""".strip()
+
+
+def term_suggest_oracle_sql(
+    text: str, *, max_edits: int = 1, size: int = 3,
+) -> str:
+    """DuckDB replay of Searcher.suggest_terms: dictionary (distinct
+    terms + doc frequency) recomputed from raw text, candidates by
+    levenshtein <= max_edits, per-token window."""
+    tokens = sorted(set(analyze_query(text, mode="simple")))
+    if not tokens:
+        raise ValueError("empty suggest text after analysis")
+    tok_vals = ", ".join(
+        "('" + t.replace("'", "''") + "')" for t in tokens)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tdict AS (
+  SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1
+),
+q(token) AS (VALUES {tok_vals}),
+cand AS (
+  SELECT q.token, t.term AS suggestion, t.df,
+         levenshtein(q.token, t.term)::INT AS distance
+  FROM q CROSS JOIN tdict t
+  WHERE t.term <> q.token
+    AND abs(length(t.term) - length(q.token)) <= {int(max_edits)}
+    AND levenshtein(q.token, t.term) <= {int(max_edits)}
+),
+ranked AS (
+  SELECT token, suggestion, df, distance,
+         row_number() OVER (PARTITION BY token
+                            ORDER BY distance ASC, df DESC,
+                                     suggestion ASC)::INT AS rank
+  FROM cand
+)
+SELECT token, suggestion, df, distance, rank
+FROM ranked WHERE rank <= {int(size)}
 """.strip()

@@ -557,6 +557,157 @@ class Searcher:
 
         return ranked_desc(topk, "score", "doc_id")
 
+    def decay_score_topk(
+        self, query_text: str, field: str, k: int = 10, *,
+        origin: float, scale: float, offset: float = 0.0,
+        decay: float = 0.5, shape: str = "gauss",
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES `function_score` decay functions (gauss / exp / linear):
+        relevance damped by a doc value's distance from `origin` —
+        "prefer recent" / "prefer near" relevance tuning.  ES contract:
+        the multiplier is exactly `decay` at distance `scale` past
+        `offset`, 1.0 inside the offset; with
+
+            d = max(0, |value − origin| − offset)
+
+        gauss  → exp(ln(decay) · (d/scale)²)
+        exp    → exp(ln(decay) · d/scale)
+        linear → max(0, 1 − (1 − decay) · d/scale)
+
+        Docs with a NULL field keep multiplier 1.0 (ES skips the
+        function).  Like field_value_factor, the damping can reorder
+        arbitrarily, so this rides all_matching_scores (full matching
+        set, pruned postings scan) joined to doc_attrs — at 100 TB
+        both sides are bounded by the matching set.  Base scores,
+        like rescore, are rounded BEFORE the combine and the combined
+        score after, so the DuckDB oracle replays the arithmetic."""
+        if shape not in ("gauss", "exp", "linear"):
+            raise ValueError(f"shape must be gauss|exp|linear, got {shape!r}")
+        if not 0.0 < decay < 1.0:
+            raise ValueError(f"decay must be in (0, 1), got {decay}")
+        if scale <= 0:
+            raise ValueError(f"scale must be positive, got {scale}")
+        import math
+
+        from search_ingest_spark.ranking import ranked_desc
+
+        scored = self.all_matching_scores(query_text, round_to=round_to)
+        attrs = self.cat.read(ib.DOC_ATTRS_TABLE).select(
+            "doc_id", F.col(field).alias("_fv"))
+        d = F.greatest(
+            F.lit(0.0),
+            F.abs(F.col("_fv").cast("double") - F.lit(float(origin)))
+            - F.lit(float(offset)),
+        ) / F.lit(float(scale))
+        ln_decay = math.log(float(decay))
+        mult = {
+            "gauss": F.exp(F.lit(ln_decay) * d * d),
+            "exp": F.exp(F.lit(ln_decay) * d),
+            "linear": F.greatest(
+                F.lit(0.0), F.lit(1.0) - F.lit(1.0 - float(decay)) * d),
+        }[shape]
+        mult = F.when(F.col("_fv").isNull(), F.lit(1.0)).otherwise(mult)
+        out = scored.join(attrs, "doc_id").select(
+            "doc_id", (F.col("score") * mult).alias("score"))
+        if round_to is not None:
+            out = out.withColumn("score", F.round("score", round_to))
+        topk = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return ranked_desc(topk, "score", "doc_id")
+
+    def more_like_this_topk(
+        self, seed_doc_id: int, k: int = 10, *,
+        max_query_terms: int = 5, round_to: int | None = None,
+    ) -> DataFrame:
+        """ES `more_like_this` seeded by one indexed document: pick the
+        seed's `max_query_terms` most representative terms, run them as
+        an OR query, exclude the seed itself.
+
+        Term selection is DETERMINISTIC-INTEGER on purpose: order by
+        (seed tf desc, corpus df asc, term asc) — "frequent in the doc,
+        rare in the corpus", the monotone core of ES's tf·idf selection
+        heuristic without a float product whose cross-engine ulp could
+        flip a tie.  The seed's text comes from the doc_store column
+        family (one pruned point-read — stored fields exist exactly for
+        this), term dfs from the dictionary (pruned In(term) scan
+        bounded by the seed's vocabulary); the query then rides
+        all_matching_scores + TakeOrdered, so at 100 TB the cost is one
+        doc fetch + one ordinary pruned term query."""
+        from collections import Counter
+
+        from search_ingest_spark.ranking import ranked_desc
+
+        if not self.cat.exists(ib.DOC_STORE_TABLE):
+            raise ValueError(
+                "more_like_this requires a doc store — build the index "
+                "with store_fields including the text column")
+        store = self.cat.read(ib.DOC_STORE_TABLE)
+        row = (store.where(F.col("doc_id") == int(seed_doc_id))
+               .select("text").collect())
+        if not row:
+            raise ValueError(
+                f"seed doc {seed_doc_id} not found in doc_store")
+        tf = Counter(analyze_query(row[0]["text"], mode=self.mode))
+        if not tf:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, rank int")
+        dfm = {
+            r["term"]: int(r["df"])
+            for r in self.term_dict.where(
+                F.col("term").isin(list(tf)))
+            .select("term", "df").collect()
+        }
+        sel = sorted(dfm, key=lambda t: (-tf[t], dfm[t], t))
+        sel = sel[:int(max_query_terms)]
+        scored = self.all_matching_scores(" ".join(sel), round_to=round_to)
+        out = scored.where(F.col("doc_id") != int(seed_doc_id))
+        topk = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return ranked_desc(topk, "score", "doc_id")
+
+    def suggest_terms(
+        self, text: str, *, max_edits: int = 1, size: int = 3,
+    ) -> DataFrame:
+        """ES `term` suggester: per analyzed input token, dictionary
+        terms within `max_edits` Levenshtein edits (the token itself
+        excluded), ranked by (distance asc, df desc, term asc) — ES's
+        sort=score (closer is better) with frequency tie-break.  ES
+        walks an FST automaton per token; the analog is ONE Catalyst
+        pass over the (vocabulary-sized, corpus-independent) dictionary
+        with the tokens broadcast and a length pre-filter so the
+        edit-distance evaluation touches only plausible rows, then a
+        per-token window.  (token, suggestion, df, distance, rank)."""
+        tokens = sorted(set(analyze_query(text, mode=self.mode)))
+        out_schema = ("token string, suggestion string, df long, "
+                      "distance int, rank int")
+        if not tokens:
+            return self.spark.createDataFrame([], out_schema)
+        from pyspark.sql import Window
+
+        tok_df = self.spark.createDataFrame(
+            [(t,) for t in tokens], "token string")
+        e = int(max_edits)
+        cand = (
+            self.term_dict.select("term", "df")
+            .join(F.broadcast(tok_df))
+            .where(
+                (F.abs(F.length("term") - F.length("token")) <= e)
+                & (F.col("term") != F.col("token"))
+                & (F.levenshtein("term", "token") <= e)
+            )
+            .select(
+                "token", F.col("term").alias("suggestion"),
+                F.col("df").cast("long").alias("df"),
+                F.levenshtein("term", "token").cast("int")
+                .alias("distance"),
+            )
+        )
+        w = Window.partitionBy("token").orderBy(
+            F.asc("distance"), F.desc("df"), F.asc("suggestion"))
+        return (
+            cand.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= int(size))
+        )
+
     def matching_doc_ids(self, query_text: str, *,
                          match_all: bool = False,
                          min_match: int | None = None) -> DataFrame:

@@ -17,13 +17,15 @@ from pyspark.sql import functions as F
 
 
 def ranked_desc(
-    df: DataFrame, score_col: str, id_col: str, *, rank_col: str = "rank"
+    df: DataFrame, score_col: str, id_col: str, *, rank_col: str = "rank",
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Append 1-based `rank` ordered by (score desc, id asc).
 
     Input is expected to be small (a top-k result); the aggregate runs as
     one group.  Output columns: (id_col, score_col, rank_col) in rank
-    order.
+    order, plus any `extra_cols` carried through the sort struct
+    unchanged (they never participate in the ordering).
     """
 
     def cmp(lft: Column, rgt: Column) -> Column:
@@ -35,8 +37,13 @@ def ranked_desc(
             .otherwise(F.lit(0))
         )
 
+    extras = list(extra_cols or [])
     arr = F.array_sort(
-        F.collect_list(F.struct(F.col(id_col), F.col(score_col))), cmp
+        F.collect_list(
+            F.struct(F.col(id_col), F.col(score_col),
+                     *[F.col(c) for c in extras])
+        ),
+        cmp,
     )
     return (
         df.agg(arr.alias("_ranked"))
@@ -45,5 +52,6 @@ def ranked_desc(
             F.col(f"_row.{id_col}").alias(id_col),
             F.col(f"_row.{score_col}").alias(score_col),
             (F.col("_pos") + 1).cast("int").alias(rank_col),
+            *[F.col(f"_row.{c}").alias(c) for c in extras],
         )
     )

@@ -1,0 +1,252 @@
+"""Bucket aggregations, field collapsing, decay scoring, more_like_this
+and the term suggester — the round-5 query-DSL surface over the
+index-backed hit set (query/aggs.py + the new Searcher methods).
+
+Every test certifies the index path against the brute-force DuckDB
+oracle twin (the driver-contract check in miniature) plus the semantic
+invariants the oracle alone can't express (pagination stitching,
+overlap counting, null-field behavior, seed exclusion).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from search_ingest_spark.catalog import Catalog
+from search_ingest_spark.index import build as ib
+from search_ingest_spark.query import aggs, bm25
+from search_ingest_spark.query.wand import Searcher
+
+SF = "/root/testdata/sf0.001"
+Q = "spark query data"
+
+
+@pytest.fixture(scope="module")
+def built(spark, documents_smoke, tmp_path_factory):
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("aggs")))
+    ib.build_index(spark, documents_smoke, cat, mode="simple",
+                   docs_per_shard=50,
+                   attr_cols=["lang", "source", "n_chars"],
+                   store_fields=["text"])
+    return cat
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, built):
+    return Searcher(spark, built)
+
+
+def _oracle(sql: str):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF}/documents.parquet')"
+    )
+    return [tuple(r) for r in con.execute(sql).fetchall()]
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+class TestHistogram:
+    def test_matches_oracle(self, searcher):
+        got = _rows(aggs.histogram_agg(searcher, Q, "n_chars", 100),
+                    "bucket_key", "n_docs")
+        want = sorted(_oracle(aggs.histogram_oracle_sql(Q, "n_chars", 100)))
+        assert got == want and len(got) > 1
+
+    def test_bucket_key_is_floor_multiple(self, searcher):
+        for key, _ in _rows(aggs.histogram_agg(searcher, Q, "n_chars", 75),
+                            "bucket_key", "n_docs"):
+            assert key % 75 == 0
+
+    def test_counts_sum_to_hit_count(self, searcher):
+        n_hits = searcher.matching_doc_ids(Q).count()
+        total = sum(n for _, n in _rows(
+            aggs.histogram_agg(searcher, Q, "n_chars", 100),
+            "bucket_key", "n_docs"))
+        assert total == n_hits > 0
+
+    def test_bad_interval(self, searcher):
+        with pytest.raises(ValueError):
+            aggs.histogram_agg(searcher, Q, "n_chars", 0)
+
+
+class TestRange:
+    RANGES = [("short", None, 150.0), ("mid", 150.0, 300.0),
+              ("long", 300.0, None)]
+
+    def test_matches_oracle(self, searcher):
+        got = _rows(aggs.range_agg(searcher, Q, "n_chars", self.RANGES),
+                    "range_key", "n_docs")
+        want = sorted(_oracle(
+            aggs.range_oracle_sql(Q, "n_chars", self.RANGES)))
+        assert got == want and len(got) == 3
+
+    def test_overlapping_ranges_double_count(self, searcher):
+        # a doc inside both [0, 1e9) and [150, 300) counts twice
+        overlap = [("all", None, None), ("mid", 150.0, 300.0)]
+        rows = dict(_rows(aggs.range_agg(searcher, Q, "n_chars", overlap),
+                          "range_key", "n_docs"))
+        n_hits = searcher.matching_doc_ids(Q).count()
+        assert rows["all"] == n_hits
+        assert 0 < rows["mid"] < rows["all"]
+
+    def test_empty_range_kept_at_zero(self, searcher):
+        rows = dict(_rows(
+            aggs.range_agg(searcher, Q, "n_chars",
+                           [("none", 1e12, None), ("all", None, None)]),
+            "range_key", "n_docs"))
+        assert rows["none"] == 0 and rows["all"] > 0
+
+    def test_empty_spec_rejected(self, searcher):
+        with pytest.raises(ValueError):
+            aggs.range_agg(searcher, Q, "n_chars", [])
+
+
+class TestFiltersAgg:
+    NAMED = {
+        "es": {"lang": "es"},
+        "long_fr_de": {"lang": ["fr", "de"], "n_chars": {"gte": 300}},
+        "nothing": {"lang": "zz"},
+    }
+
+    def test_matches_oracle(self, searcher):
+        got = _rows(aggs.filters_agg(searcher, Q, self.NAMED),
+                    "filter_key", "n_docs")
+        want = sorted(_oracle(aggs.filters_oracle_sql(Q, self.NAMED)))
+        assert got == want and len(got) == 3
+
+    def test_zero_bucket_kept(self, searcher):
+        rows = dict(_rows(aggs.filters_agg(searcher, Q, self.NAMED),
+                          "filter_key", "n_docs"))
+        assert rows["nothing"] == 0
+        assert rows["es"] > 0
+
+    def test_empty_spec_rejected(self, searcher):
+        with pytest.raises(ValueError):
+            aggs.filters_agg(searcher, Q, {})
+
+
+class TestComposite:
+    SRC = ["source", "lang"]
+
+    def test_matches_oracle(self, searcher):
+        got = _rows(aggs.composite_agg(searcher, Q, self.SRC, 7,
+                                       after=("src12", "es")),
+                    "source", "lang", "n_docs")
+        want = sorted(_oracle(aggs.composite_oracle_sql(
+            Q, self.SRC, 7, after=("src12", "es"))))
+        assert got == want and len(got) == 7
+
+    def test_pages_stitch_to_full_listing(self, searcher):
+        full = [tuple(r) for r in aggs.composite_agg(
+            searcher, Q, self.SRC, 10**6).collect()]
+        assert len(full) > 5
+        # walk pages of 3 resuming from each page's last key
+        pages, after = [], None
+        while True:
+            page = [tuple(r) for r in aggs.composite_agg(
+                searcher, Q, self.SRC, 3, after=after).collect()]
+            if not page:
+                break
+            pages.extend(page)
+            after = tuple(page[-1][:2])
+        assert pages == full
+
+    def test_after_arity_checked(self, searcher):
+        with pytest.raises(ValueError):
+            aggs.composite_agg(searcher, Q, self.SRC, 3, after=("x",))
+
+
+class TestCollapse:
+    def test_matches_oracle(self, searcher):
+        got = [tuple(r) for r in aggs.collapse_topk(
+            searcher, Q, "source", 8, round_to=4).collect()]
+        want = _oracle(aggs.collapse_oracle_sql(Q, "source", k=8))
+        assert got == want and len(got) == 8
+
+    def test_collapse_field_unique(self, searcher):
+        vals = [r["source"] for r in aggs.collapse_topk(
+            searcher, Q, "source", 8, round_to=4).collect()]
+        assert len(vals) == len(set(vals))
+
+    def test_rank_one_is_global_best(self, searcher, built, spark):
+        top1 = Searcher(spark, built).topk(Q, 1, round_to=4).collect()[0]
+        col1 = aggs.collapse_topk(searcher, Q, "source", 1,
+                                  round_to=4).collect()[0]
+        assert (col1["doc_id"], col1["score"]) == (
+            top1["doc_id"], top1["score"])
+
+
+class TestDecay:
+    def test_matches_oracle_all_shapes(self, searcher):
+        for shape in ("gauss", "exp", "linear"):
+            got = [tuple(r) for r in searcher.decay_score_topk(
+                Q, "n_chars", 10, origin=300.0, scale=100.0, offset=25.0,
+                decay=0.5, shape=shape, round_to=4).collect()]
+            want = _oracle(bm25.decay_oracle_sql(
+                Q, "n_chars", k=10, origin=300.0, scale=100.0,
+                offset=25.0, decay=0.5, shape=shape))
+            assert got == want and len(got) == 10, shape
+
+    def test_inside_offset_keeps_score(self, searcher, spark, built):
+        # huge offset → every doc inside → multiplier 1.0 → plain topk
+        base = [tuple(r) for r in Searcher(spark, built).topk(
+            Q, 10, round_to=4).collect()]
+        dec = [tuple(r) for r in searcher.decay_score_topk(
+            Q, "n_chars", 10, origin=0.0, scale=1.0, offset=1e12,
+            decay=0.5, shape="gauss", round_to=4).collect()]
+        assert dec == base
+
+    def test_validation(self, searcher):
+        with pytest.raises(ValueError):
+            searcher.decay_score_topk(Q, "n_chars", 5, origin=0, scale=1,
+                                      decay=1.5)
+        with pytest.raises(ValueError):
+            searcher.decay_score_topk(Q, "n_chars", 5, origin=0, scale=-1,
+                                      decay=0.5)
+        with pytest.raises(ValueError):
+            searcher.decay_score_topk(Q, "n_chars", 5, origin=0, scale=1,
+                                      decay=0.5, shape="triangle")
+
+
+class TestMoreLikeThis:
+    def test_matches_oracle(self, searcher):
+        got = [tuple(r) for r in searcher.more_like_this_topk(
+            42, 10, max_query_terms=5, round_to=4).collect()]
+        want = _oracle(bm25.mlt_oracle_sql(42, k=10, max_query_terms=5))
+        assert got == want and len(got) == 10
+
+    def test_seed_excluded(self, searcher):
+        ids = {r["doc_id"] for r in searcher.more_like_this_topk(
+            7, 20, max_query_terms=8, round_to=4).collect()}
+        assert 7 not in ids and ids
+
+    def test_missing_seed(self, searcher):
+        with pytest.raises(ValueError):
+            searcher.more_like_this_topk(10**12, 5)
+
+
+class TestSuggestTerms:
+    def test_matches_oracle(self, searcher):
+        got = _rows(searcher.suggest_terms("sparc datq", max_edits=1,
+                                           size=3),
+                    "token", "suggestion", "df", "distance", "rank")
+        want = sorted(_oracle(bm25.term_suggest_oracle_sql(
+            "sparc datq", max_edits=1, size=3)))
+        assert got == want and len(got) > 0
+
+    def test_exact_token_not_suggested_for_itself(self, searcher):
+        # 'spark' IS a dictionary term; its only ≤2-edit neighbor in the
+        # sf0.001 vocabulary is 'part' — the token itself must not
+        # appear even though its own edit distance (0) is minimal
+        rows = searcher.suggest_terms("spark", max_edits=2,
+                                      size=10).collect()
+        assert rows and all(r["suggestion"] != "spark" for r in rows)
+
+    def test_empty_text(self, searcher):
+        assert searcher.suggest_terms("!!!", size=3).count() == 0
