@@ -1174,6 +1174,30 @@ def _q_suggest_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sparc datq", max_edits=1, size=3)
 
 
+# ES adjacency_matrix: singles + pairwise filter intersections in one
+# conditional-sum pass; empty cells omitted (ES prunes the matrix).
+_ADJ = {
+    "es": {"lang": "es"},
+    "long": {"n_chars": {"gte": 300}},
+    "src": {"source": ["src3", "src7", "src12"]},
+}
+
+
+@register("search_adjacency_matrix",
+          _aggs.adjacency_matrix_oracle_sql(_AGG_QUERY, _ADJ))
+def _q_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggs.adjacency_matrix_agg(_searcher(spark, sf_dir),
+                                      _AGG_QUERY, _ADJ)
+
+
+# ES _explain: per-term BM25 breakdown of one doc's score — block-level
+# postings point-read, rows fold to the doc's kernel score.
+@register("search_explain_doc",
+          bm25.explain_oracle_sql(_AGG_QUERY, 42))
+def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).explain(_AGG_QUERY, 42)
+
+
 # ES `date_histogram` aggregation (calendar_interval=day) with a
 # nested metric sub-aggregation — the canonical observability query
 # shape over a time-keyed stream.  Pure Catalyst: date_trunc groupBy

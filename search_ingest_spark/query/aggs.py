@@ -243,6 +243,66 @@ LIMIT {int(size)}
 """.strip()
 
 
+# -- adjacency_matrix --------------------------------------------------------
+
+def adjacency_matrix_agg(searcher, query_text: str,
+                         named: dict[str, dict]) -> DataFrame:
+    """ES `adjacency_matrix`: one bucket per named filter plus one per
+    pairwise intersection, keyed `"A&B"` with the names in the pair
+    sorted (ES's separator and ordering).  Empty buckets are omitted —
+    exactly ES, which prunes doc_count-0 cells so an N-filter request
+    never returns the full N² matrix.
+
+    Same one-pass shape as filters_agg: every single AND every pair is
+    a conditional sum over ONE hit-set join — N + N·(N−1)/2 counters
+    in a single aggregate, not a scan per cell.  (key, n_docs)."""
+    if not named:
+        raise ValueError("adjacency_matrix needs at least one filter")
+    cols = sorted({c for spec in named.values() for c in spec
+                   if c != "nested"}
+                  | {v["path"] for spec in named.values()
+                     for k, v in spec.items() if k == "nested"})
+    df = _hit_attrs(searcher, query_text, cols)
+    keys = sorted(named)
+    cells: list[tuple[str, object]] = []
+    for i, a in enumerate(keys):
+        cells.append((a, _filters.spark_cond(named[a])))
+        for b in keys[i + 1:]:
+            cells.append((f"{a}&{b}",
+                          _filters.spark_cond(named[a])
+                          & _filters.spark_cond(named[b])))
+    sums = [F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+            .alias(f"_c{i}") for i, (_, cond) in enumerate(cells)]
+    one = df.agg(*sums)
+    stack = ", ".join(f"{_sq(key)}, _c{i}"
+                      for i, (key, _) in enumerate(cells))
+    return (one.select(F.expr(f"stack({len(cells)}, {stack})")
+                       .alias("key", "n_docs"))
+            .where(F.col("n_docs") > 0))
+
+
+def adjacency_matrix_oracle_sql(query_text: str,
+                                named: dict[str, dict]) -> str:
+    keys = sorted(named)
+    arms = []
+    for i, a in enumerate(keys):
+        arms.append((a, _filters.sql_cond(named[a])))
+        for b in keys[i + 1:]:
+            arms.append((f"{a}&{b}",
+                         f"({_filters.sql_cond(named[a])}) AND "
+                         f"({_filters.sql_cond(named[b])})"))
+    body = "\nUNION ALL\n".join(
+        f"SELECT {_sq(key)} AS key,\n"
+        f"       coalesce(sum(CASE WHEN {cond} THEN 1 ELSE 0 END), 0)"
+        f"::BIGINT AS n_docs\n"
+        f"FROM documents d JOIN hits USING (doc_id)"
+        for key, cond in arms
+    )
+    return (f"WITH {hits_cte(query_text)},\n"
+            f"cells AS (\n{body}\n)\n"
+            f"SELECT key, n_docs FROM cells WHERE n_docs > 0").strip()
+
+
 # -- field collapsing --------------------------------------------------------
 
 def collapse_topk(searcher, query_text: str, field: str, k: int = 10, *,

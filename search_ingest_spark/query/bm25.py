@@ -1112,6 +1112,47 @@ FROM topk
 """.strip()
 
 
+def explain_oracle_sql(
+    query_text: str, doc_id: int, *, round_to: int = 4,
+) -> str:
+    """DuckDB replay of Searcher.explain: per-term tf/dl/df/idf and
+    the BM25 partial contribution for one document, brute-force from
+    raw text.  Same expressions (and op order) as bm25_oracle_sql's
+    score arm, one row per query term present in the doc."""
+    uniq = sorted(set(analyze_query(query_text, mode="simple")))
+    if not uniq:
+        raise ValueError("empty query after analysis")
+    term_list = ", ".join("('" + t.replace("'", "''") + "')" for t in uniq)
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::INT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+q(term) AS (VALUES {term_list}),
+dfreq AS (SELECT term, count(*)::BIGINT AS df FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1)
+SELECT tf.term,
+       tf.tf::INT AS tf,
+       dl.dl::INT AS dl,
+       dfreq.df::BIGINT AS df,
+       round(ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5)),
+             {int(round_to)})::DOUBLE AS idf,
+       round(
+         ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+         * tf.tf * ({K1} + 1.0)
+         / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl)),
+         {int(round_to)})::DOUBLE AS partial
+FROM tf
+JOIN dfreq USING (term)
+JOIN dl USING (doc_id)
+CROSS JOIN stats
+WHERE tf.doc_id = {int(doc_id)}
+""".strip()
+
+
 def term_suggest_oracle_sql(
     text: str, *, max_edits: int = 1, size: int = 3,
 ) -> str:

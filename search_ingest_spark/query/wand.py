@@ -708,6 +708,72 @@ class Searcher:
             .where(F.col("rank") <= int(size))
         )
 
+    def explain(self, query_text: str, doc_id: int, *,
+                round_to: int = 4) -> DataFrame:
+        """ES `_explain` analog: the per-term BM25 breakdown of ONE
+        document's score for a query — (term, tf, dl, df, idf,
+        partial), one row per query term the doc actually contains,
+        where partial = idf · tf-norm is exactly the contribution the
+        scoring kernel folds (same op order, so the rows sum to the
+        doc's Searcher score before rounding).
+
+        Point-read shape: the postings scan is pruned to the query's
+        term_ids AND to blocks whose [first_doc_id, last_doc_id]
+        covers the doc — both predicates reach the parquet scan, so at
+        100 TB this touches at most one block per query term (ES
+        answers _explain from exactly those per-segment postings).
+        The ≤|terms| decoded rows collect to the driver; idf/partial
+        are computed once there with the kernel's arithmetic."""
+        import pyarrow.compute as pc
+
+        terms = sorted(set(analyze_query(query_text, mode=self.mode)))
+        out_schema = ("term string, tf int, dl int, df long, "
+                      "idf double, partial double")
+        if not terms:
+            return self.spark.createDataFrame([], out_schema)
+        tbl = self._dict_ds.to_table(
+            columns=["term_id", "term", "df"],
+            filter=pc.field("term").isin(terms))
+        meta = {int(t): (s, int(d)) for t, s, d in zip(
+            tbl["term_id"].to_pylist(), tbl["term"].to_pylist(),
+            tbl["df"].to_pylist())}
+        if not meta:
+            return self.spark.createDataFrame([], out_schema)
+        d = int(doc_id)
+        pruned = self.postings.where(
+            F.col("term_id").isin(list(meta))
+            & (F.col("first_doc_id") <= d) & (F.col("last_doc_id") >= d))
+
+        def ker(pdf: pd.DataFrame) -> pd.DataFrame:
+            out = {"term_id": [], "tf": [], "dl": []}
+            for _, row in pdf.iterrows():
+                docs, tfs, dls = decode_block(
+                    row["data"], int(row["first_doc_id"]),
+                    int(row["n_docs"]))
+                pos = np.searchsorted(docs, d)
+                if pos < len(docs) and docs[pos] == d:
+                    out["term_id"].append(int(row["term_id"]))
+                    out["tf"].append(int(tfs[pos]))
+                    out["dl"].append(int(dls[pos]))
+            return pd.DataFrame(out, dtype="int64")
+
+        hit_rows = (pruned.groupBy("shard")
+                    .applyInPandas(ker, "term_id long, tf long, dl long")
+                    .collect())
+        n, avgdl = self.n_docs, self.avgdl
+        data = []
+        for r in sorted(hit_rows, key=lambda r: meta[r["term_id"]][0]):
+            term, df = meta[r["term_id"]]
+            tf, dl = int(r["tf"]), int(r["dl"])
+            idf = float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+            partial = idf * (
+                (tf * (K1 + 1.0))
+                / (tf + K1 * (1.0 - B + B * dl / avgdl)))
+            data.append((term, tf, dl, df,
+                         _round_half_up(idf, round_to),
+                         _round_half_up(partial, round_to)))
+        return self.spark.createDataFrame(data, out_schema)
+
     def matching_doc_ids(self, query_text: str, *,
                          match_all: bool = False,
                          min_match: int | None = None) -> DataFrame:

@@ -162,6 +162,66 @@ class TestComposite:
             aggs.composite_agg(searcher, Q, self.SRC, 3, after=("x",))
 
 
+class TestAdjacencyMatrix:
+    NAMED = {
+        "es": {"lang": "es"},
+        "long": {"n_chars": {"gte": 300}},
+        "none": {"lang": "zz"},
+    }
+
+    def test_matches_oracle(self, searcher):
+        got = _rows(aggs.adjacency_matrix_agg(searcher, Q, self.NAMED),
+                    "key", "n_docs")
+        want = sorted(_oracle(
+            aggs.adjacency_matrix_oracle_sql(Q, self.NAMED)))
+        assert got == want and len(got) > 0
+
+    def test_empty_cells_omitted(self, searcher):
+        keys = {k for k, _ in _rows(
+            aggs.adjacency_matrix_agg(searcher, Q, self.NAMED),
+            "key", "n_docs")}
+        # 'none' matches nothing → neither its single nor any pair
+        # containing it may appear
+        assert not any("none" in k for k in keys)
+        assert "es" in keys and "long" in keys
+
+    def test_pair_bounded_by_singles(self, searcher):
+        rows = dict(_rows(
+            aggs.adjacency_matrix_agg(searcher, Q, self.NAMED),
+            "key", "n_docs"))
+        if "es&long" in rows:
+            assert rows["es&long"] <= min(rows["es"], rows["long"])
+
+    def test_empty_spec_rejected(self, searcher):
+        with pytest.raises(ValueError):
+            aggs.adjacency_matrix_agg(searcher, Q, {})
+
+
+class TestExplain:
+    def test_matches_oracle(self, searcher):
+        # doc 3 at sf0.001 must contain ≥1 query term for a useful
+        # check; find one from the hit set deterministically
+        doc = searcher.matching_doc_ids(Q).orderBy("doc_id").first()[0]
+        got = _rows(searcher.explain(Q, doc),
+                    "term", "tf", "dl", "df", "idf", "partial")
+        want = sorted(_oracle(bm25.explain_oracle_sql(Q, doc)))
+        assert got == want and len(got) >= 1
+
+    def test_partials_sum_to_doc_score(self, searcher):
+        doc = searcher.matching_doc_ids(Q).orderBy("doc_id").first()[0]
+        partials = [r["partial"] for r in searcher.explain(Q, doc).collect()]
+        score = (searcher.all_matching_scores(Q, round_to=4)
+                 .where(F.col("doc_id") == doc).first()["score"])
+        assert abs(sum(partials) - score) <= len(partials) * 1e-4
+
+    def test_unmatched_doc_empty(self, searcher, documents_smoke):
+        n = documents_smoke.count()
+        assert searcher.explain(Q, n + 10**6).count() == 0
+
+    def test_unknown_terms_empty(self, searcher):
+        assert searcher.explain("zzzqqq", 0).count() == 0
+
+
 class TestCollapse:
     def test_matches_oracle(self, searcher):
         got = [tuple(r) for r in aggs.collapse_topk(
