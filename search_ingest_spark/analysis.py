@@ -272,3 +272,44 @@ def doc_terms_pandas(
         if with_positions:
             out["positions"] = poss
         yield pd.DataFrame(out)
+
+
+def doc_bigrams_pandas(
+    it: Iterator[pd.DataFrame],
+    *,
+    text_col: str,
+    mode: str = "standard",
+) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: rows(id, text) → doc-LOCAL adjacent-bigram
+    counts (w1, w2, cnt) — the map-side combine of the corpus bigram
+    LM the phrase suggester scores with.  Adjacency is POSITION order:
+    for the standard analyzer the stacked preserve_original token is
+    skipped (one token per position, the folded form), so "café au"
+    yields (cafe, au) — never the (cafe, café) artifact of the raw
+    emission stream.  Partial counts aggregate per Arrow batch; the
+    global groupBy sum in the build stage completes the count."""
+    simple_re = re.compile(r"[a-z0-9]+")
+    for batch in it:
+        counts: dict[tuple[str, str], int] = {}
+        for text in batch[text_col].values:
+            if text is None:
+                continue
+            if mode == "simple":
+                toks = simple_re.findall(text.lower())
+            else:
+                seen_pos = -1
+                toks = []
+                for t, p in analyze_pos(text):
+                    if p != seen_pos:
+                        toks.append(t)
+                        seen_pos = p
+            for a, b in zip(toks, toks[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        if not counts:
+            continue
+        keys = list(counts)
+        yield pd.DataFrame({
+            "w1": pd.array([k[0] for k in keys], dtype="str"),
+            "w2": pd.array([k[1] for k in keys], dtype="str"),
+            "cnt": pd.array([counts[k] for k in keys], dtype="int64"),
+        })

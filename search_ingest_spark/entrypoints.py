@@ -128,7 +128,8 @@ def _index_cat(spark: SparkSession, sf_dir: str):
                     with_positions=True,
                     attr_cols=["lang", "source", "lat", "lon", "tag",
                                "n_chars", "props"],
-                    quantize=True, store_fields=["lang", "source", "text"])
+                    quantize=True, store_fields=["lang", "source", "text"],
+                    with_bigrams=True)
         got = _INDEX_CACHE[key] = cat
     return got
 
@@ -1172,6 +1173,17 @@ def _q_mlt(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_suggest_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _searcher(spark, sf_dir).suggest_terms(
         "sparc datq", max_edits=1, size=3)
+
+
+# ES phrase suggester ("did you mean"): per-token candidates scored as
+# whole corrections by the build-time bigram LM (Stupid Backoff) plus
+# an edit-distance penalty.
+@register("suggest_phrase_typos",
+          bm25.phrase_suggest_oracle_sql("sparc datq", max_edits=1,
+                                         per_token=3, size=3))
+def _q_suggest_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).suggest_phrases(
+        "sparc datq", max_edits=1, per_token=3, size=3)
 
 
 # ES adjacency_matrix: singles + pairwise filter intersections in one

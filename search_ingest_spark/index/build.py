@@ -78,6 +78,7 @@ POSTINGS_Q_TABLE = "postings_q"
 DOC_STORE_TABLE = "doc_store"
 POSITIONS_TABLE = "positions"
 DOC_ATTRS_TABLE = "doc_attrs"
+BIGRAM_TABLE = "bigram_stats"
 MANIFEST_TABLE = "build_manifest"
 
 _STATE_FILE = "build_state.json"
@@ -454,6 +455,7 @@ def build_index(
     attr_cols: list[str] | None = None,
     quantize: bool = False,
     store_fields: list[str] | None = None,
+    with_bigrams: bool = False,
 ) -> BuildInfo:
     """Build the full index table set into `cat`.
 
@@ -485,7 +487,8 @@ def build_index(
         for flag, table in ((with_positions, POSITIONS_TABLE),
                             (bool(attr_cols), DOC_ATTRS_TABLE),
                             (quantize, POSTINGS_Q_TABLE),
-                            (bool(store_fields), DOC_STORE_TABLE)):
+                            (bool(store_fields), DOC_STORE_TABLE),
+                            (with_bigrams, BIGRAM_TABLE)):
             if not flag and cat.exists(table):
                 cat.drop(table)
 
@@ -689,12 +692,37 @@ def build_index(
             partition_by=["shard"], sort_within_partitions=["doc_id"],
         )
 
+    def _bigrams_fn():
+        # corpus adjacent-bigram counts — the LM the phrase suggester
+        # ("did you mean") scores candidate corrections with.  A
+        # SEPARATE tokenize pass on purpose: the shard-sorted exchange
+        # aggregates (doc, term) and destroys adjacency, and persisting
+        # the raw token stream to recover it would double the build's
+        # write volume for every build that never asks for bigrams.
+        # The kernel emits batch-local partial counts (map-side
+        # combine), the groupBy finishes them — the shuffle carries
+        # distinct-bigram rows, not the token stream.  Written
+        # w1-partitioned and (w1, w2)-sorted so the suggester's
+        # `w1 IN (…) AND w2 IN (…)` candidate probe prunes to a few
+        # row groups; unigram masses come from term_dict.cf and the
+        # exact stats.sum_dl — no extra tables.
+        from search_ingest_spark.analysis import doc_bigrams_pandas
+
+        big = docs.select(text_col).mapInPandas(
+            lambda it: doc_bigrams_pandas(it, text_col=text_col, mode=mode),
+            schema="w1 string, w2 string, cnt long",
+        ).groupBy("w1", "w2").agg(F.sum("cnt").alias("cnt"))
+        cat.write(BIGRAM_TABLE, big.repartition(n_part, "w1"),
+                  sort_within_partitions=["w1", "w2"])
+
     jobs = [
         _stage_job("doc_lens", [DOC_LENS_TABLE, STATS_TABLE], None, _doc_lens_fn),
         _stage_job("term_dict", [TERM_DICT_TABLE], None, _term_dict_fn),
     ]
     if with_positions:
         jobs.append(_stage_job("positions", [POSITIONS_TABLE], None, _positions_fn))
+    if with_bigrams:
+        jobs.append(_stage_job("bigrams", [BIGRAM_TABLE], None, _bigrams_fn))
     if attr_cols:
         jobs.append(_stage_job("doc_attrs", [DOC_ATTRS_TABLE], None, _doc_attrs_fn))
     if store_fields:

@@ -1112,6 +1112,104 @@ FROM topk
 """.strip()
 
 
+def phrase_suggest_oracle_sql(
+    text: str, *, max_edits: int = 1, per_token: int = 3, size: int = 3,
+    edit_weight: float = 1.0, backoff: float = 0.4, round_to: int = 4,
+) -> str:
+    """DuckDB replay of Searcher.suggest_phrases: dictionary (df, cf),
+    corpus bigram counts and total recomputed brute-force from raw
+    text; per-position candidate CTEs (same (distance, df desc, term)
+    ranking, raw-token fallback when empty), cross-joined and scored
+    with the identical Stupid-Backoff float chain."""
+    tokens = analyze_query(text, mode="simple")
+    if not tokens:
+        raise ValueError("empty suggest text after analysis")
+    if len(tokens) > 8:
+        raise ValueError(f"phrase suggester caps input at 8 tokens, "
+                         f"got {len(tokens)}")
+    e, c = int(max_edits), int(per_token)
+    n = len(tokens)
+    cand_ctes = []
+    for i, t in enumerate(tokens):
+        lit = "'" + t.replace("'", "''") + "'"
+        cand_ctes.append(f"""
+cand_{i} AS (
+  SELECT term, cf, levenshtein(term, {lit})::INT AS d
+  FROM dict
+  WHERE abs(length(term) - {len(t)}) <= {e}
+    AND levenshtein(term, {lit}) <= {e}
+  ORDER BY levenshtein(term, {lit}) ASC, df DESC, term ASC
+  LIMIT {c}
+),
+cand_{i}f AS (
+  SELECT term, cf, d FROM cand_{i}
+  UNION ALL
+  SELECT {lit}, 0::BIGINT, 0
+  WHERE NOT EXISTS (SELECT 1 FROM cand_{i})
+)""".strip())
+    combo_cols = ", ".join(
+        f"c{i}.term AS t{i}, c{i}.cf AS cf{i}, c{i}.d AS d{i}"
+        for i in range(n))
+    combo_from = " CROSS JOIN ".join(
+        f"cand_{i}f c{i}" for i in range(n))
+    sug = " || ' ' || ".join(f"t{i}" for i in range(n))
+    bo, ew = float(backoff), float(edit_weight)
+    score_terms = [f"ln((cf0 + 1.0) / (tot.total + 1.0))"]
+    joins = []
+    for i in range(n - 1):
+        score_terms.append(
+            f"CASE WHEN b{i}.cnt IS NOT NULL "
+            f"THEN ln(b{i}.cnt * 1.0 / s{i}.s) "
+            f"ELSE ln({bo!r} * (cf{i + 1} + 1.0) / (tot.total + 1.0)) END")
+        joins.append(f"LEFT JOIN big b{i} ON b{i}.w1 = t{i} "
+                     f"AND b{i}.w2 = t{i + 1}")
+        joins.append(f"LEFT JOIN startc s{i} ON s{i}.w1 = t{i}")
+    edits = " + ".join(f"d{i}" for i in range(n))
+    score = ("\n      + ".join(score_terms)
+             + f"\n      - {ew!r} * ({edits})")
+    nl = ",\n".join(cand_ctes)
+    return f"""
+WITH docs_arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS a
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, generate_subscripts(a, 1) AS pos, unnest(a) AS w
+  FROM docs_arr
+),
+dict AS (
+  SELECT w AS term, count(DISTINCT doc_id)::BIGINT AS df,
+         count(*)::BIGINT AS cf
+  FROM toks GROUP BY 1
+),
+tot AS (SELECT count(*)::BIGINT AS total FROM toks),
+big AS (
+  SELECT t1.w AS w1, t2.w AS w2, count(*)::BIGINT AS cnt
+  FROM toks t1
+  JOIN toks t2 ON t1.doc_id = t2.doc_id AND t2.pos = t1.pos + 1
+  GROUP BY 1, 2
+),
+startc AS (SELECT w1, sum(cnt)::BIGINT AS s FROM big GROUP BY 1),
+{nl},
+combos AS (
+  SELECT {combo_cols} FROM {combo_from}
+),
+scored AS (
+  SELECT {sug} AS suggestion,
+    round({score}, {int(round_to)})::DOUBLE AS score
+  FROM combos CROSS JOIN tot
+  {chr(10).join(joins)}
+),
+topk AS (
+  SELECT suggestion, score FROM scored
+  ORDER BY score DESC, suggestion ASC LIMIT {int(size)}
+)
+SELECT suggestion, score,
+       row_number() OVER (ORDER BY score DESC, suggestion ASC)::INT AS rank
+FROM topk
+""".strip()
+
+
 def explain_oracle_sql(
     query_text: str, doc_id: int, *, round_to: int = 4,
 ) -> str:

@@ -708,6 +708,117 @@ class Searcher:
             .where(F.col("rank") <= int(size))
         )
 
+    def suggest_phrases(
+        self, text: str, *, max_edits: int = 1, per_token: int = 3,
+        size: int = 3, edit_weight: float = 1.0, backoff: float = 0.4,
+        round_to: int = 4,
+    ) -> DataFrame:
+        """ES `phrase` suggester ("did you mean"): whole-query
+        corrections ranked by a corpus bigram language model plus an
+        edit-distance channel penalty — the deterministic core of ES's
+        candidate-generator + smoothed-LM design (ES default: Stupid
+        Backoff, factor 0.4).
+
+        Per position, the top `per_token` dictionary candidates within
+        `max_edits` (the token itself at distance 0 when indexed; the
+        raw token as a zero-frequency fallback when nothing is close).
+        Every combination is scored
+
+            log P(w₁) + Σᵢ log P(wᵢ | wᵢ₋₁) − edit_weight · Σ edits
+
+        with P(w) = (cf(w)+1)/(total+1), P(w₂|w₁) = cnt(w₁,w₂)/start(w₁)
+        when the bigram was seen, else backoff·P(w₂) — cf from the
+        dictionary, cnt from the build-time bigram table
+        (with_bigrams=True), total = the exact stats.sum_dl.
+
+        Scale shape: ONE dictionary pass generates all candidates
+        (vocabulary-sized, like suggest_terms), ONE pruned probe of the
+        bigram table (`w1 IN (…) AND w2 IN (…)` reaches the parquet
+        scan of a w1-partitioned, (w1,w2)-sorted table), and the
+        ≤ per_token^T enumeration runs on the driver over those
+        collected counts — exactly ES's per-shard candidate scoring,
+        never a corpus scan.  (suggestion, score, rank), score rounded
+        so the DuckDB oracle replays the float chain."""
+        import itertools
+        import math
+
+        if not self.cat.exists(ib.BIGRAM_TABLE):
+            raise ValueError(
+                "phrase suggester requires bigram stats — build the "
+                "index with with_bigrams=True")
+        tokens = analyze_query(text, mode=self.mode)
+        out_schema = "suggestion string, score double, rank int"
+        if not tokens:
+            return self.spark.createDataFrame([], out_schema)
+        if len(tokens) > 8:
+            raise ValueError(
+                f"phrase suggester caps input at 8 tokens, got "
+                f"{len(tokens)}")
+        from pyspark.sql import Window
+
+        uniq = sorted(set(tokens))
+        tok_df = self.spark.createDataFrame(
+            [(t,) for t in uniq], "token string")
+        e = int(max_edits)
+        w = Window.partitionBy("token").orderBy(
+            F.asc("distance"), F.desc("df"), F.asc("term"))
+        cand_rows = (
+            self.term_dict.select("term", "df", "cf")
+            .join(F.broadcast(tok_df))
+            .where((F.abs(F.length("term") - F.length("token")) <= e)
+                   & (F.levenshtein("term", "token") <= e))
+            .select("token", "term", "df", "cf",
+                    F.levenshtein("term", "token").alias("distance"))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= int(per_token))
+            .collect()
+        )
+        by_tok: dict[str, list[tuple[str, int, int]]] = {}
+        for r in cand_rows:
+            by_tok.setdefault(r["token"], []).append(
+                (r["term"], int(r["cf"]), int(r["distance"])))
+        for t in uniq:
+            if t not in by_tok:  # nothing within max_edits: keep raw
+                by_tok[t] = [(t, 0, 0)]
+        lists = [by_tok[t] for t in tokens]
+        n_combos = math.prod(len(li) for li in lists)
+        if n_combos > 4096:
+            raise ValueError(
+                f"candidate explosion: {n_combos} combinations — lower "
+                f"per_token or shorten the query")
+        w1s = sorted({c[0] for li in lists[:-1] for c in li})
+        w2s = sorted({c[0] for li in lists[1:] for c in li})
+        cnt: dict[tuple[str, str], int] = {}
+        start: dict[str, int] = {}
+        if w1s and w2s:
+            big = self.cat.read(ib.BIGRAM_TABLE)
+            for r in (big.where(F.col("w1").isin(w1s)
+                                & F.col("w2").isin(w2s))
+                      .collect()):
+                cnt[(r["w1"], r["w2"])] = int(r["cnt"])
+            for r in (big.where(F.col("w1").isin(w1s))
+                      .groupBy("w1").agg(F.sum("cnt").alias("s"))
+                      .collect()):
+                start[r["w1"]] = int(r["s"])
+        total = int(self.cat.read(ib.STATS_TABLE).first()["sum_dl"])
+        bo, ew = float(backoff), float(edit_weight)
+        scored: list[tuple[str, float]] = []
+        for combo in itertools.product(*lists):
+            words = [c[0] for c in combo]
+            s = math.log((combo[0][1] + 1.0) / (total + 1.0))
+            for (a, _, _), (b, cf_b, _) in zip(combo, combo[1:]):
+                c_ab = cnt.get((a, b), 0)
+                if c_ab > 0:
+                    s = s + math.log(c_ab * 1.0 / start[a])
+                else:
+                    s = s + math.log(bo * (cf_b + 1.0) / (total + 1.0))
+            s = s - ew * sum(c[2] for c in combo)
+            scored.append((" ".join(words), _round_half_up(s, round_to)))
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        data = [(sug, sc, i + 1) for i, (sug, sc) in
+                enumerate(scored[:int(size)])]
+        return self.spark.createDataFrame(data, out_schema)
+
     def explain(self, query_text: str, doc_id: int, *,
                 round_to: int = 4) -> DataFrame:
         """ES `_explain` analog: the per-term BM25 breakdown of ONE

@@ -29,7 +29,7 @@ def built(spark, documents_smoke, tmp_path_factory):
     ib.build_index(spark, documents_smoke, cat, mode="simple",
                    docs_per_shard=50,
                    attr_cols=["lang", "source", "n_chars"],
-                   store_fields=["text"])
+                   store_fields=["text"], with_bigrams=True)
     return cat
 
 
@@ -289,6 +289,75 @@ class TestMoreLikeThis:
     def test_missing_seed(self, searcher):
         with pytest.raises(ValueError):
             searcher.more_like_this_topk(10**12, 5)
+
+
+class TestPhraseSuggest:
+    def test_matches_oracle(self, searcher):
+        got = _rows(searcher.suggest_phrases("sparc datq", max_edits=1,
+                                             per_token=3, size=3),
+                    "suggestion", "score", "rank")
+        want = sorted(_oracle(bm25.phrase_suggest_oracle_sql(
+            "sparc datq", max_edits=1, per_token=3, size=3)))
+        assert got == want and len(got) >= 1
+
+    def test_corrects_to_spark_data(self, searcher):
+        top = searcher.suggest_phrases("sparc datq", max_edits=1,
+                                       per_token=3, size=1).collect()
+        assert top[0]["suggestion"] == "spark data"
+
+    def test_wider_candidates_match_oracle(self, searcher):
+        got = _rows(searcher.suggest_phrases(
+            "dat mart quary", max_edits=2, per_token=4, size=5),
+            "suggestion", "score", "rank")
+        want = sorted(_oracle(bm25.phrase_suggest_oracle_sql(
+            "dat mart quary", max_edits=2, per_token=4, size=5)))
+        assert got == want and len(got) >= 1
+
+    def test_single_token(self, searcher):
+        got = _rows(searcher.suggest_phrases("sparc", max_edits=1,
+                                             per_token=3, size=3),
+                    "suggestion", "score", "rank")
+        want = sorted(_oracle(bm25.phrase_suggest_oracle_sql(
+            "sparc", max_edits=1, per_token=3, size=3)))
+        assert got == want and len(got) >= 1
+
+    def test_requires_bigram_table(self, spark, documents_smoke,
+                                   tmp_path_factory):
+        from search_ingest_spark.query.wand import Searcher
+        cat = Catalog(spark, str(tmp_path_factory.mktemp("nobig")))
+        ib.build_index(spark, documents_smoke, cat, mode="simple",
+                       docs_per_shard=50)
+        with pytest.raises(ValueError, match="with_bigrams"):
+            Searcher(spark, cat).suggest_phrases("sparc datq")
+
+    def test_too_many_tokens_rejected(self, searcher):
+        with pytest.raises(ValueError, match="8 tokens"):
+            searcher.suggest_phrases("a b c d e f g h i")
+
+    def test_bigram_kernel_counts(self):
+        import pandas as pd
+
+        from search_ingest_spark.analysis import doc_bigrams_pandas
+
+        batch = pd.DataFrame({"text": [
+            "spark data spark data", "data spark", None, ""]})
+        out = pd.concat(list(doc_bigrams_pandas(
+            iter([batch]), text_col="text", mode="simple")))
+        got = {(r.w1, r.w2): r.cnt for r in out.itertuples()}
+        assert got == {("spark", "data"): 2, ("data", "spark"): 2}
+
+    def test_bigram_kernel_skips_stacked_tokens(self):
+        import pandas as pd
+
+        from search_ingest_spark.analysis import doc_bigrams_pandas
+
+        batch = pd.DataFrame({"text": ["café au lait"]})
+        out = pd.concat(list(doc_bigrams_pandas(
+            iter([batch]), text_col="text", mode="standard")))
+        got = {(r.w1, r.w2): r.cnt for r in out.itertuples()}
+        # one token per position: (cafe, au), (au, lait) — never the
+        # stacked (cafe, café) emission artifact
+        assert got == {("cafe", "au"): 1, ("au", "lait"): 1}
 
 
 class TestSuggestTerms:
