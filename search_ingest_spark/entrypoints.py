@@ -20,7 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from search_ingest_spark.ops import dedup, similarity, textstats
+from search_ingest_spark.ops import decontam, dedup, similarity, textstats
 from search_ingest_spark.query import bm25, significant
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1470,6 +1470,19 @@ def _q_repetition(spark, sf_dir):
     """Gopher-style duplicate-trigram fraction — the repetition filter
     family of web-corpus curation (boilerplate/keyword-stuffing flag)."""
     return textstats.repetition_ratio(_docs(spark, sf_dir))
+
+
+# Benchmark decontamination (GPT-3-style n-gram rule): benchmark =
+# every 97th doc, training corpus = the rest; n=4 because the synthetic
+# corpus has no longer cross-doc duplication (plan identical at n=13).
+@register("decontam_ngram_overlap",
+          decontam.contamination_oracle_sql(n=4,
+                                            bench_where="doc_id % 97 = 0"))
+def _q_decontam(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    train = d.where(F.col("doc_id") % 97 != 0)
+    return decontam.ngram_contamination(train, bench, n=4)
 
 
 # ---------------------------------------------------------------------------

@@ -357,3 +357,68 @@ def test_embedding_near_dups_fenced(spark):
     # explicit raise keeps oracle duty working
     assert dedup.embedding_near_dups(emb, threshold=0.99,
                                      max_rows=100).count() >= 0
+
+
+class TestDecontam:
+    def _oracle(self, sql):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+    def test_matches_oracle(self, spark, documents_smoke):
+        from search_ingest_spark.ops import decontam
+
+        d = documents_smoke.select("doc_id", "text")
+        got = sorted(
+            (r["doc_id"], r["n_hits"])
+            for r in decontam.ngram_contamination(
+                d.where(F.col("doc_id") % 97 != 0),
+                d.where(F.col("doc_id") % 97 == 0), n=4).collect()
+        )
+        want = self._oracle(decontam.contamination_oracle_sql(
+            n=4, bench_where="doc_id % 97 = 0"))
+        assert got == want and len(got) > 0
+
+    def test_self_overlap_is_total(self, spark, documents_smoke):
+        from search_ingest_spark.ops import decontam
+
+        d = documents_smoke.select("doc_id", "text").limit(20)
+        out = decontam.ngram_contamination(d, d, n=4)
+        # every doc with ≥4 tokens shares all its own shingles
+        n_long = d.where(
+            F.size(F.expr(
+                "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")) >= 4
+        ).count()
+        assert out.count() == n_long
+
+    def test_short_docs_produce_no_grams(self, spark):
+        from search_ingest_spark.ops import decontam
+
+        d = spark.createDataFrame(
+            [(1, "only three tokens"), (2, "a b c d e")],
+            "doc_id long, text string")
+        b = spark.createDataFrame([(9, "a b c d e")],
+                                  "doc_id long, text string")
+        rows = decontam.ngram_contamination(d, b, n=4).collect()
+        assert {r["doc_id"] for r in rows} == {2}
+
+    def test_benchmark_side_broadcast(self, spark, documents_smoke):
+        from search_ingest_spark.ops import decontam
+
+        d = documents_smoke.select("doc_id", "text")
+        plan = decontam.ngram_contamination(
+            d, d.limit(5), n=4)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_bad_n(self, spark, documents_smoke):
+        from search_ingest_spark.ops import decontam
+
+        with pytest.raises(ValueError):
+            decontam.ngram_contamination(documents_smoke, documents_smoke,
+                                         n=0)
