@@ -1175,6 +1175,67 @@ def _q_suggest_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sparc datq", max_edits=1, size=3)
 
 
+# -- pipeline aggregations over the date_histogram bucket frame --------------
+# ES derivative / cumulative_sum / moving_fn / bucket_selector +
+# bucket_sort: post-processing of the ALREADY-REDUCED bucket list
+# (coalesce(1) + window = ES's coordinating-node execution, O(buckets)).
+_BUCKETS_SQL = ("SELECT CAST(ts AS DATE) AS day, count(*)::BIGINT AS "
+                "n_events FROM events WHERE event_type = 'click' "
+                "GROUP BY 1")
+
+
+def _day_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return (ev.where(F.col("event_type") == "click")
+            .groupBy(F.to_date("ts").alias("day"))
+            .agg(F.count("*").alias("n_events")))
+
+
+@register("events_derivative_cumsum",
+          _aggs.derivative_cumsum_oracle_sql(_BUCKETS_SQL, "day",
+                                             "n_events"))
+def _q_deriv_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggs.derivative_cumsum(_day_buckets(spark, sf_dir), "day",
+                                   "n_events")
+
+
+@register("events_moving_avg",
+          _aggs.moving_metric_oracle_sql(_BUCKETS_SQL, "day", "n_events",
+                                         window=3))
+def _q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggs.moving_metric(_day_buckets(spark, sf_dir), "day",
+                               "n_events", window=3)
+
+
+@register("events_bucket_selector",
+          _aggs.bucket_selector_sort_oracle_sql(_BUCKETS_SQL, "day",
+                                                "n_events",
+                                                min_value=60.0, size=5))
+def _q_bucket_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggs.bucket_selector_sort(_day_buckets(spark, sf_dir), "day",
+                                      "n_events", min_value=60.0, size=5)
+
+
+# ES sampler / diversified_sampler with a terms sub-agg: the sub-agg
+# sees only the top-scoring sample (diversified: ≤2 docs per source).
+@register("search_sampler_terms",
+          _aggs.sampler_terms_oracle_sql(_AGG_QUERY, "lang",
+                                         shard_size=50))
+def _q_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggs.sampler_terms(_searcher(spark, sf_dir), _AGG_QUERY,
+                               "lang", shard_size=50)
+
+
+@register("search_diversified_sampler",
+          _aggs.sampler_terms_oracle_sql(_AGG_QUERY, "lang",
+                                         shard_size=30,
+                                         max_per_value=("source", 2)))
+def _q_diversified_sampler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggs.sampler_terms(_searcher(spark, sf_dir), _AGG_QUERY,
+                               "lang", shard_size=30,
+                               max_per_value=("source", 2))
+
+
 # ES phrase suggester ("did you mean"): per-token candidates scored as
 # whole corrections by the build-time bigram LM (Stupid Backoff) plus
 # an edit-distance penalty.

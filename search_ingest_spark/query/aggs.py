@@ -243,6 +243,170 @@ LIMIT {int(size)}
 """.strip()
 
 
+# -- pipeline aggregations ---------------------------------------------------
+# ES pipeline aggs (derivative / cumulative_sum / moving_fn /
+# bucket_selector / bucket_sort) post-process an ALREADY-REDUCED bucket
+# list on the coordinating node — the input here is a bucketed frame
+# (one row per bucket, e.g. date_histogram output), so the explicit
+# coalesce(1) + ordered window below is exactly ES's execution shape,
+# not an accidental single-partition bottleneck: the frame is
+# O(buckets), never O(docs).
+
+def derivative_cumsum(buckets: DataFrame, key: str,
+                      metric: str) -> DataFrame:
+    """ES `derivative` + `cumulative_sum` over a bucket frame ordered
+    by `key`: deriv = metric − lag(metric) (NULL for the first bucket,
+    as ES omits it), cumsum = running total.  Integer metrics stay
+    exact."""
+    w = Window.orderBy(F.asc(key))
+    return (
+        buckets.coalesce(1)
+        .withColumn("deriv", F.col(metric) - F.lag(metric, 1).over(w))
+        .withColumn("cumsum",
+                    F.sum(metric).over(
+                        w.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+
+
+def derivative_cumsum_oracle_sql(inner_sql: str, key: str,
+                                 metric: str) -> str:
+    """Wrap a bucket-producing SELECT with the same window math."""
+    return f"""
+WITH buckets AS ({inner_sql})
+SELECT *,
+       ({metric} - lag({metric}, 1) OVER (ORDER BY {key} ASC))
+         AS deriv,
+       sum({metric}) OVER (ORDER BY {key} ASC
+                           ROWS UNBOUNDED PRECEDING) AS cumsum
+FROM buckets
+""".strip()
+
+
+def moving_metric(buckets: DataFrame, key: str, metric: str, *,
+                  window: int = 3, round_to: int = 4) -> DataFrame:
+    """ES `moving_fn` (unweightedAvg) over the trailing `window`
+    buckets INCLUDING the current one; fewer exist at the start → avg
+    of what's there (MovingFunctions.unweightedAvg semantics over the
+    available values).  avg = exact integer sum / count, rounded, so
+    the oracle replays it."""
+    if window < 1:
+        raise ValueError(f"window must be positive, got {window}")
+    w = (Window.orderBy(F.asc(key))
+         .rowsBetween(-(int(window) - 1), 0))
+    return buckets.coalesce(1).withColumn(
+        "mavg",
+        F.round(F.sum(metric).over(w).cast("double")
+                / F.count(metric).over(w).cast("double"),
+                int(round_to)))
+
+
+def moving_metric_oracle_sql(inner_sql: str, key: str, metric: str, *,
+                             window: int = 3, round_to: int = 4) -> str:
+    return f"""
+WITH buckets AS ({inner_sql})
+SELECT *,
+       round(sum({metric}) OVER (ORDER BY {key} ASC
+                ROWS {int(window) - 1} PRECEDING)::DOUBLE
+             / count({metric}) OVER (ORDER BY {key} ASC
+                ROWS {int(window) - 1} PRECEDING)::DOUBLE,
+             {int(round_to)})::DOUBLE AS mavg
+FROM buckets
+""".strip()
+
+
+def bucket_selector_sort(buckets: DataFrame, key: str, metric: str, *,
+                         min_value: float, size: int) -> DataFrame:
+    """ES `bucket_selector` (keep buckets where metric > min_value)
+    composed with `bucket_sort` (metric desc, key asc, top `size`) —
+    the HAVING + ORDER/LIMIT of the agg world."""
+    return (
+        buckets.where(F.col(metric) > F.lit(min_value))
+        .orderBy(F.desc(metric), F.asc(key))
+        .limit(int(size))
+    )
+
+
+def bucket_selector_sort_oracle_sql(inner_sql: str, key: str,
+                                    metric: str, *, min_value: float,
+                                    size: int) -> str:
+    return f"""
+WITH buckets AS ({inner_sql})
+SELECT * FROM buckets
+WHERE {metric} > {float(min_value)!r}
+ORDER BY {metric} DESC, {key} ASC
+LIMIT {int(size)}
+""".strip()
+
+
+# -- sampler / diversified_sampler -------------------------------------------
+
+def sampler_terms(searcher, query_text: str, field: str, *,
+                  shard_size: int = 100, round_to: int = 4,
+                  max_per_value: tuple[str, int] | None = None,
+                  ) -> DataFrame:
+    """ES `sampler` (and `diversified_sampler`) with a `terms`
+    sub-aggregation: restrict the sub-agg to the top `shard_size`
+    highest-scoring hits, optionally first capping hits per value of a
+    diversity field (`max_per_value = (div_field, cap)`).
+
+    Single-logical-shard analog of ES's per-shard sampling (documented
+    divergence: ES samples per shard; one global top-N here — the
+    deterministic form).  Ties cut at the boundary break on (rounded
+    score desc, doc_id asc), both engines identically.  Rides
+    all_matching_scores + doc_attrs, so the sample is one pruned
+    postings scan + one TakeOrdered, never a corpus pass.
+    (value, n_docs)."""
+    scored = searcher.all_matching_scores(query_text, round_to=round_to)
+    cols = [field] + ([max_per_value[0]] if max_per_value else [])
+    attrs = searcher.cat.read(ib.DOC_ATTRS_TABLE).select(
+        "doc_id", *dict.fromkeys(cols))
+    j = scored.join(attrs, "doc_id")
+    if max_per_value is not None:
+        div_field, cap = max_per_value
+        wdiv = Window.partitionBy(div_field).orderBy(
+            F.desc("score"), F.asc("doc_id"))
+        j = (j.withColumn("_dr", F.row_number().over(wdiv))
+             .where(F.col("_dr") <= int(cap)))
+    top = j.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(shard_size))
+    return (top.groupBy(F.col(field).alias("value"))
+            .agg(F.count("*").alias("n_docs")))
+
+
+def sampler_terms_oracle_sql(query_text: str, field: str, *,
+                             shard_size: int = 100, round_to: int = 4,
+                             max_per_value: tuple[str, int] | None = None,
+                             ) -> str:
+    from search_ingest_spark.query.bm25 import bm25_scores_cte
+
+    cols = [field] + ([max_per_value[0]] if max_per_value else [])
+    attr_cols = ", ".join(f"d.{c}" for c in dict.fromkeys(cols))
+    div = ""
+    if max_per_value is not None:
+        div_field, cap = max_per_value
+        div = f"""
+, divd AS (
+  SELECT *, row_number() OVER (PARTITION BY {div_field}
+            ORDER BY score DESC, doc_id ASC) AS _dr
+  FROM joined
+)"""
+        src = f"divd WHERE _dr <= {int(cap)}"
+    else:
+        src = "joined"
+    return f"""
+WITH {bm25_scores_cte(query_text, round_to=round_to)},
+joined AS (
+  SELECT s.doc_id, s.score, {attr_cols}
+  FROM scores_r s JOIN documents d USING (doc_id)
+){div},
+top_n AS (
+  SELECT * FROM {src}
+  ORDER BY score DESC, doc_id ASC LIMIT {int(shard_size)}
+)
+SELECT {field} AS value, count(*)::BIGINT AS n_docs
+FROM top_n GROUP BY 1
+""".strip()
+
+
 # -- adjacency_matrix --------------------------------------------------------
 
 def adjacency_matrix_agg(searcher, query_text: str,

@@ -291,6 +291,86 @@ class TestMoreLikeThis:
             searcher.more_like_this_topk(10**12, 5)
 
 
+class TestPipelineAggs:
+    @pytest.fixture(scope="class")
+    def buckets(self, spark):
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        return (ev.where(F.col("event_type") == "click")
+                .groupBy(F.to_date("ts").alias("day"))
+                .agg(F.count("*").alias("n_events")))
+
+    def test_derivative_cumsum_invariants(self, buckets):
+        rows = (aggs.derivative_cumsum(buckets, "day", "n_events")
+                .orderBy("day").collect())
+        assert rows[0]["deriv"] is None  # ES omits the first derivative
+        run = 0
+        prev = None
+        for r in rows:
+            run += r["n_events"]
+            assert r["cumsum"] == run
+            if prev is not None:
+                assert r["deriv"] == r["n_events"] - prev
+            prev = r["n_events"]
+
+    def test_moving_avg_window(self, buckets):
+        rows = (aggs.moving_metric(buckets, "day", "n_events", window=3)
+                .orderBy("day").collect())
+        # first bucket: avg of itself; third onward: trailing 3
+        assert rows[0]["mavg"] == float(rows[0]["n_events"])
+        vals = [r["n_events"] for r in rows]
+        want = round(sum(vals[0:3]) / 3.0, 4)
+        assert abs(rows[2]["mavg"] - want) < 1e-9
+
+    def test_moving_bad_window(self, buckets):
+        with pytest.raises(ValueError):
+            aggs.moving_metric(buckets, "day", "n_events", window=0)
+
+    def test_bucket_selector_sort(self, buckets):
+        full = {r["day"]: r["n_events"] for r in buckets.collect()}
+        rows = aggs.bucket_selector_sort(
+            buckets, "day", "n_events", min_value=5.0, size=4).collect()
+        assert len(rows) == 4
+        got = [r["n_events"] for r in rows]
+        assert got == sorted(full.values(), reverse=True)[:4]
+        assert all(v > 5.0 for v in got)
+
+
+class TestSampler:
+    def test_sample_size_bounds_subagg(self, searcher):
+        rows = aggs.sampler_terms(searcher, Q, "lang",
+                                  shard_size=25).collect()
+        assert sum(r["n_docs"] for r in rows) == 25
+
+    def test_sample_larger_than_hits_is_full_set(self, searcher):
+        n_hits = searcher.matching_doc_ids(Q).count()
+        rows = aggs.sampler_terms(searcher, Q, "lang",
+                                  shard_size=10**6).collect()
+        assert sum(r["n_docs"] for r in rows) == n_hits
+
+    def test_diversified_caps_per_value(self, searcher):
+        # diversity field == agg field → every bucket count ≤ cap
+        rows = aggs.sampler_terms(
+            searcher, Q, "source", shard_size=10**6,
+            max_per_value=("source", 2)).collect()
+        assert rows and all(r["n_docs"] <= 2 for r in rows)
+
+    def test_matches_oracle_smoke(self, searcher):
+        got = _rows(aggs.sampler_terms(searcher, Q, "lang",
+                                       shard_size=40),
+                    "value", "n_docs")
+        want = sorted(_oracle(aggs.sampler_terms_oracle_sql(
+            Q, "lang", shard_size=40)))
+        assert got == want and len(got) > 0
+
+    def test_diversified_matches_oracle(self, searcher):
+        got = _rows(aggs.sampler_terms(
+            searcher, Q, "lang", shard_size=20,
+            max_per_value=("source", 2)), "value", "n_docs")
+        want = sorted(_oracle(aggs.sampler_terms_oracle_sql(
+            Q, "lang", shard_size=20, max_per_value=("source", 2))))
+        assert got == want and len(got) > 0
+
+
 class TestPhraseSuggest:
     def test_matches_oracle(self, searcher):
         got = _rows(searcher.suggest_phrases("sparc datq", max_edits=1,
