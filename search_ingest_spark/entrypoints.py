@@ -1409,6 +1409,30 @@ def _q_phrase_slop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "data table", 10, slop=3, round_to=4)
 
 
+# ES span_near (single-term clauses): every clause inside a
+# (width − n) ≤ slop window, unordered / ordered; span_freq = count of
+# qualifying position combinations, phrase-weight scored (documented
+# Lucene sloppyFreq divergence in span_near_topk's docstring).
+from search_ingest_spark.query.phrase import span_near_oracle_sql  # noqa: E402
+
+
+@register("search_span_near_topk",
+          span_near_oracle_sql("spark data query", k=10, slop=3))
+def _q_span_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _index_cat(spark, sf_dir)
+    return PhraseSearcher(spark, cat).span_near_topk(
+        "spark data query", 10, slop=3, round_to=4)
+
+
+@register("search_span_near_ordered",
+          span_near_oracle_sql("spark data query", k=10, slop=3,
+                               in_order=True))
+def _q_span_near_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cat = _index_cat(spark, sf_dir)
+    return PhraseSearcher(spark, cat).span_near_topk(
+        "spark data query", 10, slop=3, in_order=True, round_to=4)
+
+
 # ES match_phrase_prefix (search-as-you-type): fixed slots + the last
 # term prefix-expanded over the dictionary, stacked on the final slot.
 @register(

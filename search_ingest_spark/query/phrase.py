@@ -257,6 +257,113 @@ class PhraseSearcher:
         topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
         return ranked_desc(topk, "score", "doc_id")
 
+    def span_near_topk(
+        self, terms_text: str, k: int = 10, *, slop: int = 2,
+        in_order: bool = False, round_to: int | None = None,
+    ) -> DataFrame:
+        """ES `span_near` with single-term clauses: docs containing one
+        occurrence of EVERY clause term inside a window of
+        (width − n_clauses) ≤ `slop` tokens, optionally in clause order
+        (`in_order=True`, strictly increasing positions — Lucene's
+        ordered SpanNearQuery).  Unlike match_phrase slop there is no
+        anchor slot: any qualifying combination counts, which is what
+        makes unordered proximity search ("these words near each
+        other") expressible.
+
+        Scoring, documented deterministic subset: span_freq = the
+        NUMBER of qualifying position combinations, scored like the
+        phrase weight — (Σ clause idf) · tfnorm(span_freq, dl).
+        Lucene's SpanScorer instead sums 1/(1+matchLength) over a
+        greedy non-overlapping enumeration; the combination count is
+        order-independent and SQL-replayable, same monotonicity (more
+        and tighter co-occurrence ⇒ larger span_freq).
+
+        Plan: ONE positions scan pruned to the clause terms
+        (PushedFilters on `term`), groupBy(doc) applyInPandas kernel
+        over sorted position arrays — shuffle bounded by the clause
+        terms' postings, never the corpus.  The kernel evaluates the
+        combination lattice vectorized (meshgrid) and guards the
+        product (content-word clauses stay tiny; a stopword clause can
+        exceed it, the error says so)."""
+        import pandas as pd
+
+        if slop < 0:
+            raise ValueError(f"slop must be >= 0, got {slop}")
+        terms = analyze_query(terms_text, mode=self.mode)
+        out_schema = "doc_id long, score double, rank int"
+        if not terms:
+            return self.spark.createDataFrame([], out_schema)
+        if len(terms) != len(set(terms)):
+            raise ValueError(
+                f"span_near clauses must be distinct terms, got {terms}")
+        if len(terms) > 4:
+            raise ValueError(
+                f"span_near caps clauses at 4, got {len(terms)}")
+        idf = self._idf(terms)
+        if any(t not in idf for t in terms):
+            return self.spark.createDataFrame([], out_schema)
+        idf_sum = 0.0
+        for t in terms:  # clause-order accumulation, oracle mirrors
+            idf_sum += idf[t]
+        n = len(terms)
+        _terms, _slop, _ord = list(terms), int(slop), bool(in_order)
+
+        def ker(it):
+            for pdf in it:
+                out_d, out_c = [], []
+                for d, tp in zip(pdf["doc_id"].values, pdf["tp"].values):
+                    by_term = {e["term"]: np.asarray(e["positions"],
+                                                     dtype=np.int64)
+                               for e in tp}
+                    lists = [by_term[t] for t in _terms]
+                    prod = 1
+                    for li in lists:
+                        prod *= len(li)
+                    if prod > 1_000_000:
+                        raise ValueError(
+                            f"span_near combination lattice too large "
+                            f"({prod}) for doc {d} — clause terms too "
+                            f"frequent")
+                    grids = np.meshgrid(*lists, indexing="ij")
+                    stack = np.stack([g.ravel() for g in grids])
+                    width = stack.max(axis=0) - stack.min(axis=0) + 1
+                    ok = (width - n) <= _slop
+                    if _ord:
+                        for i in range(n - 1):
+                            ok &= stack[i] < stack[i + 1]
+                    c = int(ok.sum())
+                    if c > 0:
+                        out_d.append(int(d))
+                        out_c.append(c)
+                yield pd.DataFrame(
+                    {"doc_id": pd.array(out_d, dtype="int64"),
+                     "spans": pd.array(out_c, dtype="int64")})
+
+        pos = self.cat.read(ib.POSITIONS_TABLE).where(
+            F.col("term").isin(sorted(terms)))
+        # ONE shuffle on doc_id (bounded by the clause terms' pruned
+        # postings); size(tp) == n keeps only docs with every clause
+        # present (terms are distinct), so the kernel sees candidates
+        # only — one row per doc, via mapInPandas (no per-group call)
+        g = (pos.select("doc_id", "term", "positions")
+             .groupBy("doc_id")
+             .agg(F.collect_list(F.struct("term", "positions")).alias("tp"))
+             .where(F.size("tp") == n))
+        spans = g.mapInPandas(ker, "doc_id long, spans long")
+        dl = self.cat.read(ib.DOC_LENS_TABLE).select("doc_id", "dl")
+        scored = spans.join(dl, "doc_id").select(
+            "doc_id",
+            (F.lit(idf_sum)
+             * (F.col("spans") * (K1 + 1.0))
+             / (F.col("spans")
+                + K1 * (1.0 - B + B * F.col("dl") / F.lit(self.avgdl)))
+             ).alias("score"),
+        )
+        if round_to is not None:
+            scored = scored.withColumn("score", F.round("score", round_to))
+        topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        return ranked_desc(topk, "score", "doc_id")
+
     def topk_phrase_prefix(
         self, phrase_text: str, k: int = 10, *, max_expansions: int = 50,
         round_to: int | None = None,
@@ -548,6 +655,85 @@ scores AS (
 topk AS (
   SELECT doc_id, round(raw, {round_to})::DOUBLE AS score FROM scores
   ORDER BY score DESC, doc_id ASC LIMIT {k}
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM topk
+""".strip()
+
+
+def span_near_oracle_sql(
+    terms_text: str, k: int = 10, *, slop: int = 2,
+    in_order: bool = False, round_to: int = 4,
+) -> str:
+    """DuckDB replay of span_near_topk: position combinations counted
+    brute-force from raw text (1-based positions — window width and
+    order are offset-invariant), same clause-order idf sum and phrase
+    tfnorm."""
+    terms = analyze_query(terms_text, mode="simple")
+    if not terms or len(terms) != len(set(terms)) or len(terms) > 4:
+        raise ValueError(f"bad span_near clause list: {terms}")
+    n = len(terms)
+    xs, joins = [], []
+    for i, t in enumerate(terms):
+        lit = "'" + t.replace("'", "''") + "'"
+        xs.append(f"x{i} AS (SELECT doc_id, pos AS p{i} FROM tok "
+                  f"WHERE w = {lit})")
+        if i:
+            joins.append(f"JOIN x{i} USING (doc_id)")
+    ps = ", ".join(f"p{i}" for i in range(n))
+    width = (f"greatest({ps}) - least({ps}) + 1" if n > 1 else "1")
+    conds = [f"({width}) - {n} <= {int(slop)}"]
+    if in_order:
+        conds += [f"p{i} < p{i + 1}" for i in range(n - 1)]
+    idf_terms = []
+    for t in terms:
+        lit = "'" + t.replace("'", "''") + "'"
+        idf_terms.append(
+            f"ln(1.0 + (st.n_docs - "
+            f"(SELECT df FROM dfreq WHERE term = {lit}) + 0.5) / "
+            f"((SELECT df FROM dfreq WHERE term = {lit}) + 0.5))")
+    idf_sum = " + ".join(idf_terms)
+    term_list = ", ".join("('" + t.replace("'", "''") + "')"
+                          for t in sorted(set(terms)))
+    xs_sql = ",\n".join(xs)
+    join_sql = " ".join(joins)
+    cond_sql = " AND ".join(conds)
+    return f"""
+WITH docs_arr AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS a
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, generate_subscripts(a, 1) AS pos, unnest(a) AS w
+  FROM docs_arr
+),
+q(term) AS (VALUES {term_list}),
+dfreq AS (
+  SELECT w AS term, count(DISTINCT doc_id)::BIGINT AS df FROM tok
+  WHERE w IN (SELECT term FROM q) GROUP BY 1
+),
+{xs_sql},
+spans AS (
+  SELECT x0.doc_id, count(*)::BIGINT AS c
+  FROM x0 {join_sql}
+  WHERE {cond_sql}
+  GROUP BY 1
+),
+dl AS (SELECT doc_id, len(a)::INT AS dl FROM docs_arr),
+st AS (SELECT count(*)::BIGINT AS n_docs,
+              avg(len(a))::DOUBLE AS avgdl FROM docs_arr),
+scored AS (
+  SELECT s.doc_id,
+         round(({idf_sum})
+               * (s.c * ({K1} + 1.0))
+               / (s.c + {K1} * (1.0 - {B} + {B} * dl.dl / st.avgdl)),
+               {int(round_to)})::DOUBLE AS score
+  FROM spans s JOIN dl USING (doc_id) CROSS JOIN st
+),
+topk AS (
+  SELECT doc_id, score FROM scored
+  ORDER BY score DESC, doc_id ASC LIMIT {int(k)}
 )
 SELECT doc_id, score,
        row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank

@@ -233,3 +233,68 @@ class TestSloppyPhrase:
                 want = sorted(tuple(r) for r in con.execute(
                     phrase_oracle_sql(phrase, k=10, slop=slop)).fetchall())
                 assert got == want, (phrase, slop, got, want)
+
+
+class TestSpanNear:
+    ROWS = [
+        "alpha beta gamma",          # 0: all adjacent, in order
+        "gamma x alpha y beta",      # 1: width 5, unordered only at slop>=2
+        "beta gamma alpha",          # 2: width 3, out of order
+        "alpha x x x x gamma beta",  # 3: wide
+        "alpha beta",                # 4: missing gamma
+    ]
+
+    def _oracle(self, spark, rows, sql):
+        import duckdb
+
+        con = duckdb.connect()
+        con.register("documents_src", spark.createDataFrame(
+            [(i, t) for i, t in enumerate(rows)],
+            "doc_id long, text string").toPandas())
+        con.execute("CREATE VIEW documents AS SELECT * FROM documents_src")
+        return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+    def test_matches_oracle_unordered_and_ordered(self, spark, tmp_path):
+        from search_ingest_spark.query.phrase import span_near_oracle_sql
+
+        ps = _build(spark, tmp_path, self.ROWS)
+        for kw in (dict(slop=2), dict(slop=2, in_order=True),
+                   dict(slop=0), dict(slop=4)):
+            got = sorted(tuple(r) for r in ps.span_near_topk(
+                "alpha beta gamma", 10, round_to=4, **kw).collect())
+            want = self._oracle(spark, self.ROWS, span_near_oracle_sql(
+                "alpha beta gamma", k=10, **kw))
+            assert got == want, kw
+
+    def test_ordered_subset_of_unordered(self, spark, tmp_path):
+        ps = _build(spark, tmp_path, self.ROWS)
+        uno = {r["doc_id"] for r in ps.span_near_topk(
+            "alpha beta gamma", 10, slop=2).collect()}
+        ordd = {r["doc_id"] for r in ps.span_near_topk(
+            "alpha beta gamma", 10, slop=2, in_order=True).collect()}
+        assert ordd <= uno
+        assert 0 in ordd          # adjacent in-order doc
+        assert 2 in uno - ordd    # out-of-order within window
+
+    def test_slop_monotone(self, spark, tmp_path):
+        ps = _build(spark, tmp_path, self.ROWS)
+        prev: set = set()
+        for slop in (0, 1, 2, 4, 8):
+            cur = {r["doc_id"] for r in ps.span_near_topk(
+                "alpha beta gamma", 10, slop=slop).collect()}
+            assert prev <= cur
+            prev = cur
+        assert prev == {0, 1, 2, 3}  # doc 4 misses gamma forever
+
+    def test_validation(self, spark, tmp_path):
+        ps = _build(spark, tmp_path, self.ROWS)
+        with pytest.raises(ValueError, match="distinct"):
+            ps.span_near_topk("alpha alpha", 5)
+        with pytest.raises(ValueError, match="slop"):
+            ps.span_near_topk("alpha beta", 5, slop=-1)
+        with pytest.raises(ValueError, match="caps"):
+            ps.span_near_topk("a b c d e", 5)
+
+    def test_unknown_term_empty(self, spark, tmp_path):
+        ps = _build(spark, tmp_path, self.ROWS)
+        assert ps.span_near_topk("alpha zzz", 5).count() == 0
