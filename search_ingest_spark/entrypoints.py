@@ -20,7 +20,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from search_ingest_spark.ops import decontam, dedup, similarity, textstats
+from search_ingest_spark.ops import (decontam, dedup, similarity, textstats,
+                                     urls)
 from search_ingest_spark.query import bm25, significant
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -1555,6 +1556,31 @@ def _q_repetition(spark, sf_dir):
     """Gopher-style duplicate-trigram fraction — the repetition filter
     family of web-corpus curation (boilerplate/keyword-stuffing flag)."""
     return textstats.repetition_ratio(_docs(spark, sf_dir))
+
+
+# Canonical-URL dedup: messy URL variants (host case, default port,
+# trailing slash, utm params, fragments) synthesized deterministically
+# from doc_id — IDENTICAL SQL expression on both engines — then the
+# real canonicalization operator groups them.
+_URL_EXPR = (
+    "'https://' || (CASE WHEN doc_id % 5 = 0 THEN 'WWW.Example.COM' "
+    "ELSE 'www.example.com' END) || "
+    "(CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END) || "
+    "'/page/' || (doc_id % 60) || "
+    "(CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) || "
+    "(CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&ref=x' ELSE "
+    "(CASE WHEN doc_id % 7 = 0 THEN '?ref=x&utm_campaign=z' ELSE '' END) "
+    "END) || "
+    "(CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END)"
+)
+
+
+@register("dedup_canonical_url",
+          urls.url_duplicates_oracle_sql(_URL_EXPR))
+def _q_url_dedup(spark, sf_dir):
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_URL_EXPR).alias("url"))
+    return urls.url_duplicates(d)
 
 
 # Benchmark decontamination (GPT-3-style n-gram rule): benchmark =

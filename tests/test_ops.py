@@ -422,3 +422,41 @@ class TestDecontam:
         with pytest.raises(ValueError):
             decontam.ngram_contamination(documents_smoke, documents_smoke,
                                          n=0)
+
+
+class TestUrlCanonical:
+    CASES = [
+        ("https://WWW.Example.COM:443/a/", "https://www.example.com/a"),
+        ("http://host.com:80/x", "http://host.com/x"),
+        ("http://host.com:8080/x", "http://host.com:8080/x"),
+        ("https://h.com/p?utm_source=a&id=7&fbclid=z", "https://h.com/p?id=7"),
+        ("https://h.com/p?b=2&a=1", "https://h.com/p?b=2&a=1"),  # order kept
+        ("https://h.com/p#frag", "https://h.com/p"),
+        ("https://h.com", "https://h.com/"),
+        ("https://h.com/?utm_campaign=x", "https://h.com/"),
+        ("not a url#frag", "not a url"),  # passthrough minus fragment
+    ]
+
+    def test_canonicalization_rules(self, spark):
+        from search_ingest_spark.ops import urls
+
+        df = spark.createDataFrame([(u,) for u, _ in self.CASES],
+                                   "url string")
+        got = [r["c"] for r in df.select(
+            urls.canonical_url(F.col("url")).alias("c")).collect()]
+        assert got == [want for _, want in self.CASES]
+
+    def test_dedup_groups_variants(self, spark):
+        from search_ingest_spark.ops import urls
+
+        rows = [
+            (1, "https://A.com/x"),
+            (2, "https://a.com/x/"),
+            (3, "https://a.com:443/x?utm_source=y"),
+            (4, "https://a.com/other"),
+        ]
+        out = urls.url_duplicates(spark.createDataFrame(
+            rows, "doc_id long, url string"), url_col="url").collect()
+        assert len(out) == 1
+        assert out[0]["keep_doc_id"] == 1 and out[0]["group_size"] == 3
+        assert out[0]["canonical_url"] == "https://a.com/x"
