@@ -1272,6 +1272,17 @@ def _q_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _searcher(spark, sf_dir).explain(_AGG_QUERY, 42)
 
 
+# serving-path twin: Spark-free pyarrow point-read, bitwise-identical
+# rows (parity asserted in tests/test_reader.py).
+@register("search_explain_local",
+          bm25.explain_oracle_sql(_AGG_QUERY, 42))
+def _q_explain_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _local_searcher(spark, sf_dir).explain(_AGG_QUERY, 42)
+    return spark.createDataFrame(
+        rows, "term string, tf int, dl int, df long, idf double, "
+              "partial double")
+
+
 # ES `date_histogram` aggregation (calendar_interval=day) with a
 # nested metric sub-aggregation — the canonical observability query
 # shape over a time-keyed stream.  Pure Catalyst: date_trunc groupBy

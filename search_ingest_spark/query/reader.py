@@ -882,6 +882,56 @@ class LocalSearcher:
         return [(str(tbl["term"].iloc[i]), int(tbl["df"].iloc[i]))
                 for i in order]
 
+    def explain(self, query_text: str, doc_id: int, *,
+                round_to: int = 4,
+                ) -> list[tuple[str, int, int, int, float, float]]:
+        """Spark-free ES `_explain` analog — [(term, tf, dl, df, idf,
+        partial)] rows bitwise identical to Searcher.explain (same
+        arithmetic, same rounding): ONE pyarrow point-read of the
+        posting blocks whose term_id AND [first_doc_id, last_doc_id]
+        range cover the doc (row-group stats prune both ways), decode,
+        pick the doc's posting."""
+        from search_ingest_spark.index.codec import decode_block
+
+        terms = sorted(set(analyze_query(query_text, mode=self.mode)))
+        if not terms:
+            return []
+        tbl = self._dict.to_table(
+            columns=["term_id", "term", "df"],
+            filter=pc.field("term").isin(terms))
+        meta = {int(t): (s, int(d)) for t, s, d in zip(
+            tbl["term_id"].to_pylist(), tbl["term"].to_pylist(),
+            tbl["df"].to_pylist())}
+        if not meta:
+            return []
+        d = int(doc_id)
+        blocks = self._postings.to_table(
+            columns=["term_id", "first_doc_id", "n_docs", "data"],
+            filter=(pc.field("term_id").isin(list(meta))
+                    & (pc.field("first_doc_id") <= d)
+                    & (pc.field("last_doc_id") >= d)),
+        ).to_pylist()
+        out = []
+        n, avgdl = self.n_docs, self.avgdl
+        hits = []
+        for row in blocks:
+            docs, tfs, dls = decode_block(
+                row["data"], int(row["first_doc_id"]), int(row["n_docs"]))
+            pos = np.searchsorted(docs, d)
+            if pos < len(docs) and docs[pos] == d:
+                hits.append((int(row["term_id"]), int(tfs[pos]),
+                             int(dls[pos])))
+        for tid, tf, dl in sorted(hits, key=lambda h: meta[h[0]][0]):
+            term, df = meta[tid]
+            idf = float(np.log(1.0 + (n - df + 0.5) / (df + 0.5)))
+            partial = idf * (
+                (tf * (K1 + 1.0))
+                / (tf + K1 * (1.0 - B + B * dl / avgdl)))
+            out.append((term, tf, dl, df,
+                        _round_half_up(idf, round_to),
+                        _round_half_up(partial, round_to)))
+        return out
+
     def phrase_topk(self, phrase_text: str, k: int = 10,
                     ) -> list[tuple[int, float, int]]:
         """Spark-free match_phrase over the positions table — same slot

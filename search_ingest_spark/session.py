@@ -63,6 +63,20 @@ def get_spark(
         # A cluster against object storage would LOWER this again.
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
                 "10000")
+        # a crashed Python worker otherwise reports only "exited
+        # unexpectedly"; faulthandler costs nothing until a crash and
+        # turns it into a real traceback
+        .config("spark.python.worker.faulthandler.enabled", "true")
+        .config("spark.sql.execution.pyspark.udf.faulthandler.enabled",
+                "true")
+        # this sandbox's VM can stall for minutes at a time (host-level
+        # pause: observed "no recent heartbeats: 288949 ms exceeds
+        # timeout 120000 ms" killing the local executor — and with it
+        # the whole context — mid-test-suite).  Heartbeats are in-JVM
+        # in local mode, so a generous window costs nothing; on a real
+        # cluster 10 min is still a sane dead-node bound.
+        .config("spark.network.timeout", "600s")
+        .config("spark.executor.heartbeatInterval", "60s")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

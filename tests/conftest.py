@@ -10,6 +10,13 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
+    # pinned JVM error file: a silent JVM death under the full suite
+    # then leaves an hs_err report instead of a Connection-refused
+    # cascade (faulthandler for Python workers is on in get_spark)
+    import os
+
+    os.environ.setdefault(
+        "SPARK_SUBMIT_OPTS", "-XX:ErrorFile=/tmp/hs_err_tests_%p.log")
     s = get_spark("tests", master="local[8]", shuffle_partitions=8)
     yield s
 

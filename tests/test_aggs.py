@@ -221,6 +221,15 @@ class TestExplain:
     def test_unknown_terms_empty(self, searcher):
         assert searcher.explain("zzzqqq", 0).count() == 0
 
+    def test_local_serving_parity(self, searcher, built):
+        from search_ingest_spark.query.reader import LocalSearcher
+
+        doc = searcher.matching_doc_ids(Q).orderBy("doc_id").first()[0]
+        spark_rows = sorted(tuple(r) for r in
+                            searcher.explain(Q, doc).collect())
+        local_rows = sorted(LocalSearcher(built).explain(Q, doc))
+        assert spark_rows == local_rows and len(local_rows) >= 1
+
 
 class TestCollapse:
     def test_matches_oracle(self, searcher):
