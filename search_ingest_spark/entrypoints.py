@@ -1217,6 +1217,16 @@ def _q_bucket_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       "n_events", min_value=60.0, size=5)
 
 
+# ES weighted_avg: Σ(value·weight)/Σ(weight) over the hit set —
+# deterministic integer weight expression, exact integer sums.
+@register("search_weighted_avg",
+          _aggs.weighted_avg_oracle_sql(_AGG_QUERY, "n_chars",
+                                        "(doc_id % 7 + 1)"))
+def _q_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggs.weighted_avg(_searcher(spark, sf_dir), _AGG_QUERY,
+                              "n_chars", "(doc_id % 7 + 1)")
+
+
 # ES sampler / diversified_sampler with a terms sub-agg: the sub-agg
 # sees only the top-scoring sample (diversified: ≤2 docs per source).
 @register("search_sampler_terms",

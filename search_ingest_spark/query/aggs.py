@@ -338,6 +338,40 @@ LIMIT {int(size)}
 """.strip()
 
 
+# -- weighted_avg -------------------------------------------------------------
+
+def weighted_avg(searcher, query_text: str, value_col: str,
+                 weight_expr: str, *, round_to: int = 4) -> DataFrame:
+    """ES `weighted_avg` over the hit set: Σ(value·weight) / Σ(weight).
+    `weight_expr` is a SQL expression over doc_attrs columns/doc_id
+    (ES reads the weight from a field; an expression generalizes it).
+    Integer inputs keep both sums exact (associative), so the single
+    final division + round replays in the oracle.  (weighted_avg,
+    n_docs)."""
+    df = _hit_attrs(searcher, query_text, [value_col])
+    w = F.expr(weight_expr)
+    return df.agg(
+        F.round(
+            F.sum(F.col(value_col) * w).cast("double")
+            / F.sum(w).cast("double"), int(round_to)
+        ).alias("weighted_avg"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def weighted_avg_oracle_sql(query_text: str, value_col: str,
+                            weight_expr: str, *,
+                            round_to: int = 4) -> str:
+    return f"""
+WITH {hits_cte(query_text)}
+SELECT round(sum(d.{value_col} * ({weight_expr}))::DOUBLE
+             / sum({weight_expr})::DOUBLE, {int(round_to)})::DOUBLE
+         AS weighted_avg,
+       count(*)::BIGINT AS n_docs
+FROM documents d JOIN hits USING (doc_id)
+""".strip()
+
+
 # -- sampler / diversified_sampler -------------------------------------------
 
 def sampler_terms(searcher, query_text: str, field: str, *,

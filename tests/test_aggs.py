@@ -344,6 +344,25 @@ class TestPipelineAggs:
         assert all(v > 5.0 for v in got)
 
 
+class TestWeightedAvg:
+    def test_matches_oracle(self, searcher):
+        got = _rows(aggs.weighted_avg(searcher, Q, "n_chars",
+                                      "(doc_id % 7 + 1)"),
+                    "weighted_avg", "n_docs")
+        want = sorted(_oracle(aggs.weighted_avg_oracle_sql(
+            Q, "n_chars", "(doc_id % 7 + 1)")))
+        assert got == want and got[0][1] > 0
+
+    def test_unit_weight_is_plain_avg(self, searcher):
+        wavg = aggs.weighted_avg(searcher, Q, "n_chars",
+                                 "1").collect()[0]
+        df = aggs.histogram_agg(searcher, Q, "n_chars", 1)
+        total = sum(r["bucket_key"] * r["n_docs"] for r in df.collect())
+        n = searcher.matching_doc_ids(Q).count()
+        assert abs(wavg["weighted_avg"] - round(total / n, 4)) < 1e-9
+        assert wavg["n_docs"] == n
+
+
 class TestSampler:
     def test_sample_size_bounds_subagg(self, searcher):
         rows = aggs.sampler_terms(searcher, Q, "lang",
