@@ -1274,6 +1274,65 @@ def _q_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       _AGG_QUERY, _ADJ)
 
 
+# ES top_metrics: fields of the 3 hits ranking highest on n_chars — a
+# doc-values TakeOrdered, ties broken on doc_id in both engines.
+@register("search_top_metrics",
+          _aggs.top_metrics_oracle_sql(_AGG_QUERY, "n_chars",
+                                       ["lang", "source"], size=3))
+def _q_top_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggs.top_metrics(_searcher(spark, sf_dir), _AGG_QUERY,
+                             "n_chars", ["lang", "source"], 3)
+
+
+# ES extended_stats on n_chars: exact BIGINT Σx/Σx², ES's population
+# variance formula replayed division-for-division in the oracle.
+@register("search_extended_stats",
+          _aggs.extended_stats_oracle_sql(_AGG_QUERY, "n_chars"))
+def _q_extended_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggs.extended_stats(_searcher(spark, sf_dir), _AGG_QUERY,
+                                "n_chars")
+
+
+# ES string_stats on the source keyword: length moments + Shannon
+# entropy over the character distribution (13-char alphabet here).
+@register("search_string_stats",
+          _aggs.string_stats_oracle_sql(_AGG_QUERY, "source"))
+def _q_string_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggs.string_stats(_searcher(spark, sf_dir), _AGG_QUERY,
+                              "source")
+
+
+# `tag` is the nullable synthetic attr (non-NULL iff doc_id % 3 == 0,
+# value = source — _docs_with_geo); the oracle replays the formula.
+_TAG_SQL = "CASE WHEN doc_id % 3 = 0 THEN source END"
+
+
+# ES missing: hits with no tag value.
+@register("search_missing_tag",
+          _aggs.missing_oracle_sql(_AGG_QUERY, _TAG_SQL))
+def _q_missing_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggs.missing_agg(_searcher(spark, sf_dir), _AGG_QUERY, "tag")
+
+
+# ES rare_terms: tag values carried by at most 8 hits (the long tail a
+# top-N terms agg never shows); NULLs excluded per the terms family.
+@register("search_rare_terms",
+          _aggs.rare_terms_oracle_sql(_AGG_QUERY, _TAG_SQL, 8))
+def _q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggs.rare_terms(_searcher(spark, sf_dir), _AGG_QUERY, "tag", 8)
+
+
+# ES geo_distance rings around Paris over the synthetic lat/lon attrs;
+# oracle replays the doc_id formulas + the engine's haversine rendering.
+@register("search_geo_distance_rings",
+          _aggs.geo_distance_oracle_sql(
+              _AGG_QUERY, 48.85, 2.35, [3000.0, 8000.0, 15000.0],
+              lat_sql=_LAT_SQL, lon_sql=_LON_SQL))
+def _q_geo_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggs.geo_distance_agg(_searcher(spark, sf_dir), _AGG_QUERY,
+                                  48.85, 2.35, [3000.0, 8000.0, 15000.0])
+
+
 # ES _explain: per-term BM25 breakdown of one doc's score — block-level
 # postings point-read, rows fold to the doc's kernel score.
 @register("search_explain_doc",

@@ -501,6 +501,292 @@ def adjacency_matrix_oracle_sql(query_text: str,
             f"SELECT key, n_docs FROM cells WHERE n_docs > 0").strip()
 
 
+# -- top_metrics ---------------------------------------------------------------
+
+def top_metrics(searcher, query_text: str, sort_field: str,
+                metrics: list[str], size: int = 3, *,
+                ascending: bool = False) -> DataFrame:
+    """ES `top_metrics`: the metric values of the `size` hits ranking
+    highest (or lowest) on `sort_field` — "what are the langs of the
+    3 longest matching docs".  A pure doc-values TakeOrdered over the
+    hit set (ES executes it as a per-segment heap of size `size`;
+    Spark's orderBy+limit is the same partial-top-N shape, no full
+    sort materializes).  Tie-break doc_id asc so both engines agree.
+    (doc_id, sort_field, metrics…)."""
+    df = _hit_attrs(searcher, query_text,
+                    list(dict.fromkeys([sort_field, *metrics])))
+    order = F.asc(sort_field) if ascending else F.desc(sort_field)
+    return (df.orderBy(order, F.asc("doc_id")).limit(int(size))
+            .select("doc_id", sort_field, *[m for m in metrics
+                                            if m != sort_field]))
+
+
+def top_metrics_oracle_sql(query_text: str, sort_field: str,
+                           metrics: list[str], size: int = 3, *,
+                           ascending: bool = False) -> str:
+    cols = ", ".join(f"d.{c}" for c in dict.fromkeys([sort_field, *metrics]))
+    direction = "ASC" if ascending else "DESC"
+    return f"""
+WITH {hits_cte(query_text)}
+SELECT d.doc_id, {cols}
+FROM documents d JOIN hits USING (doc_id)
+ORDER BY d.{sort_field} {direction}, d.doc_id ASC
+LIMIT {int(size)}
+""".strip()
+
+
+# -- extended_stats ------------------------------------------------------------
+
+def extended_stats(searcher, query_text: str, field: str, *,
+                   round_to: int = 4) -> DataFrame:
+    """ES `extended_stats`: count/min/max/sum plus sum_of_squares,
+    population variance and std_deviation, ES's exact formulas
+    (variance = (Σx² − (Σx)²/n)/n).  Integer fields keep BOTH sums
+    exact BIGINTs, so the only float math is the final three divisions
+    — replayed operation-for-operation in the oracle.  One aggregate,
+    map-side combinable (all five accumulators are algebraic)."""
+    df = _hit_attrs(searcher, query_text, [field])
+    c = F.col(field)
+    base = df.agg(
+        F.count("*").alias("n_docs"),
+        F.min(c).cast("long").alias("min_v"),
+        F.max(c).cast("long").alias("max_v"),
+        F.sum(c).cast("long").alias("sum_v"),
+        F.sum(c.cast("long") * c.cast("long")).cast("long").alias("sum_sq"),
+    )
+    n = F.col("n_docs").cast("double")
+    s = F.col("sum_v").cast("double")
+    var = (F.col("sum_sq").cast("double") - s * s / n) / n
+    return base.select(
+        "n_docs", "min_v", "max_v", "sum_v", "sum_sq",
+        F.round(s / n, int(round_to)).alias("avg_v"),
+        F.round(var, int(round_to)).alias("variance"),
+        F.round(F.sqrt(var), int(round_to)).alias("std_dev"),
+    )
+
+
+def extended_stats_oracle_sql(query_text: str, field: str, *,
+                              round_to: int = 4) -> str:
+    r = int(round_to)
+    return f"""
+WITH {hits_cte(query_text)},
+base AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         min(d.{field})::BIGINT AS min_v,
+         max(d.{field})::BIGINT AS max_v,
+         sum(d.{field})::BIGINT AS sum_v,
+         sum(d.{field}::BIGINT * d.{field}::BIGINT)::BIGINT AS sum_sq
+  FROM documents d JOIN hits USING (doc_id)
+)
+SELECT n_docs, min_v, max_v, sum_v, sum_sq,
+       round(sum_v::DOUBLE / n_docs::DOUBLE, {r})::DOUBLE AS avg_v,
+       round((sum_sq::DOUBLE - sum_v::DOUBLE * sum_v::DOUBLE
+              / n_docs::DOUBLE) / n_docs::DOUBLE, {r})::DOUBLE AS variance,
+       round(sqrt((sum_sq::DOUBLE - sum_v::DOUBLE * sum_v::DOUBLE
+              / n_docs::DOUBLE) / n_docs::DOUBLE), {r})::DOUBLE AS std_dev
+FROM base
+""".strip()
+
+
+# -- string_stats ---------------------------------------------------------------
+
+def string_stats(searcher, query_text: str, field: str, *,
+                 round_to: int = 4) -> DataFrame:
+    """ES `string_stats` on a keyword field over the hit set: value
+    count, min/max/avg length, and Shannon entropy (log2) over the
+    character distribution of ALL values concatenated — ES's exact
+    definition.  Two tiny aggregates (length moments + a per-character
+    groupBy whose cardinality is the alphabet, not the corpus) crossed
+    at the end; entropy's float sum is order-dependent across engines
+    only below ~1e-12, far under round_to=4.  (n_values, min_len,
+    max_len, avg_len, entropy)."""
+    df = _hit_attrs(searcher, query_text, [field]).where(
+        F.col(field).isNotNull())
+    lens = df.agg(
+        F.count("*").alias("n_values"),
+        F.min(F.length(field)).cast("int").alias("min_len"),
+        F.max(F.length(field)).cast("int").alias("max_len"),
+        F.round(F.sum(F.length(field)).cast("double")
+                / F.count("*").cast("double"),
+                int(round_to)).alias("avg_len"),
+    )
+    chars = (df.select(F.explode(
+                 F.expr(f"regexp_extract_all({field}, '.', 0)")).alias("ch"))
+             .groupBy("ch").agg(F.count("*").alias("cnt")))
+    # alphabet-sized frame: the all-rows window is a one-partition pass
+    # over ≤ |alphabet| rows, not a corpus bottleneck
+    p = (F.col("cnt").cast("double")
+         / F.sum("cnt").over(Window.partitionBy()).cast("double"))
+    ent = (chars.withColumn("_plogp", p * F.log2(p))
+           .agg(F.round(-F.sum("_plogp"), int(round_to)).alias("entropy")))
+    return lens.crossJoin(ent)
+
+
+def string_stats_oracle_sql(query_text: str, field: str, *,
+                            round_to: int = 4) -> str:
+    r = int(round_to)
+    return f"""
+WITH {hits_cte(query_text)},
+vals AS (
+  SELECT d.{field} AS v FROM documents d JOIN hits USING (doc_id)
+  WHERE d.{field} IS NOT NULL
+),
+lens AS (
+  SELECT count(*)::BIGINT AS n_values,
+         min(length(v))::INT AS min_len,
+         max(length(v))::INT AS max_len,
+         round(sum(length(v))::DOUBLE / count(*)::DOUBLE, {r})::DOUBLE
+           AS avg_len
+  FROM vals
+),
+chars AS (
+  SELECT unnest(regexp_extract_all(v, '.')) AS ch FROM vals
+),
+freq AS (SELECT ch, count(*)::BIGINT AS cnt FROM chars GROUP BY 1),
+ent AS (
+  SELECT round(-sum((cnt::DOUBLE / total) * log2(cnt::DOUBLE / total)),
+               {r})::DOUBLE AS entropy
+  FROM freq, (SELECT sum(cnt)::DOUBLE AS total FROM freq)
+)
+SELECT * FROM lens, ent
+""".strip()
+
+
+# -- missing --------------------------------------------------------------------
+
+def missing_agg(searcher, query_text: str, field: str) -> DataFrame:
+    """ES `missing`: how many hits lack a value for `field` (NULL in
+    the doc-values table — the flattened analog of an absent field).
+    One conditional sum over the hit-set join.  (n_missing, n_docs)."""
+    df = _hit_attrs(searcher, query_text, [field])
+    return df.agg(
+        F.sum(F.when(F.col(field).isNull(), 1).otherwise(0))
+        .cast("long").alias("n_missing"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+def missing_oracle_sql(query_text: str, field_sql: str) -> str:
+    """`field_sql` is the raw-table rendering of the attr (synthetic
+    attrs are pure doc_id formulas the oracle replays)."""
+    return f"""
+WITH {hits_cte(query_text)}
+SELECT coalesce(sum(CASE WHEN ({field_sql}) IS NULL THEN 1 ELSE 0 END), 0)
+         ::BIGINT AS n_missing,
+       count(*)::BIGINT AS n_docs
+FROM documents d JOIN hits USING (doc_id)
+""".strip()
+
+
+# -- rare_terms -----------------------------------------------------------------
+
+def rare_terms(searcher, query_text: str, field: str,
+               max_doc_count: int) -> DataFrame:
+    """ES `rare_terms`: the values of `field` appearing in at most
+    `max_doc_count` hits — the long tail a terms agg's top-N truncates
+    away.  NULLs excluded (ES's missing-value rule for the terms
+    family).  ES bounds memory with a CuckooFilter sketch and accepts
+    false negatives; the exact groupBy here is the deterministic twin
+    — at 100 TB the aggregation state is |values|, map-side combined,
+    and the ≤max_doc_count predicate prunes before any collect.
+    (value, n_docs)."""
+    if max_doc_count < 1:
+        raise ValueError(
+            f"max_doc_count must be positive, got {max_doc_count}")
+    df = _hit_attrs(searcher, query_text, [field]).where(
+        F.col(field).isNotNull())
+    return (df.groupBy(F.col(field).alias("value"))
+            .agg(F.count("*").alias("n_docs"))
+            .where(F.col("n_docs") <= int(max_doc_count)))
+
+
+def rare_terms_oracle_sql(query_text: str, field_sql: str,
+                          max_doc_count: int) -> str:
+    return f"""
+WITH {hits_cte(query_text)}
+SELECT ({field_sql}) AS value, count(*)::BIGINT AS n_docs
+FROM documents d JOIN hits USING (doc_id)
+WHERE ({field_sql}) IS NOT NULL
+GROUP BY 1
+HAVING count(*) <= {int(max_doc_count)}
+""".strip()
+
+
+# -- geo_distance rings ----------------------------------------------------------
+
+def geo_distance_agg(searcher, query_text: str, lat: float, lon: float,
+                     edges: list[float], *, lat_col: str = "lat",
+                     lon_col: str = "lon") -> DataFrame:
+    """ES `geo_distance` aggregation: concentric rings around an
+    origin — [0, e1), [e1, e2), …, [e_last, ∞), from-inclusive /
+    to-exclusive exactly like the range agg.  Every requested ring is
+    kept (0 when empty, ES keeps all buckets).  One haversine
+    projection + conditional sums — a single pass, no per-ring scan;
+    the distance never leaves the JVM.  Ring keys use ES's "*-100",
+    "100-300", "300-*" naming.  (ring_key, n_docs).
+
+    Float caveat (see query/geo.py): haversine is transcendental, so
+    edges must not sit adversarially close to a document's true
+    distance — the module-level contract for every geo predicate."""
+    from search_ingest_spark.query.geo import haversine_km
+
+    if not edges or sorted(edges) != list(edges):
+        raise ValueError(f"edges must be non-empty ascending, got {edges}")
+    dist = haversine_km(lat_col, lon_col, lat, lon)
+    bounds = [None, *[float(e) for e in edges], None]
+    rings: list[tuple[str, float | None, float | None]] = []
+    for i in range(len(bounds) - 1):
+        frm, to = bounds[i], bounds[i + 1]
+        key = (f"{'*' if frm is None else int(frm)}"
+               f"-{'*' if to is None else int(to)}")
+        rings.append((key, frm, to))
+    df = _hit_attrs(searcher, query_text, [lat_col, lon_col])
+    sums = []
+    for key, frm, to in rings:
+        cond = F.lit(True)
+        if frm is not None:
+            cond = cond & (dist >= F.lit(frm))
+        if to is not None:
+            cond = cond & (dist < F.lit(to))
+        sums.append(F.sum(F.when(cond, 1).otherwise(0))
+                    .cast("long").alias(f"_g{len(sums)}"))
+    one = df.agg(*sums)
+    stack = ", ".join(f"{_sq(key)}, _g{i}" for i, (key, _, _)
+                      in enumerate(rings))
+    return one.select(F.expr(f"stack({len(rings)}, {stack})")
+                      .alias("ring_key", "n_docs"))
+
+
+def geo_distance_oracle_sql(query_text: str, lat: float, lon: float,
+                            edges: list[float], *, lat_sql: str,
+                            lon_sql: str) -> str:
+    """`lat_sql`/`lon_sql` replay the synthetic attr formulas on the
+    raw table; distance math renders via haversine_sql (same operation
+    order as the engine)."""
+    from search_ingest_spark.query.geo import haversine_sql
+
+    dist = haversine_sql(f"({lat_sql})", f"({lon_sql})", lat, lon)
+    bounds = [None, *[float(e) for e in edges], None]
+    arms = []
+    for i in range(len(bounds) - 1):
+        frm, to = bounds[i], bounds[i + 1]
+        key = (f"{'*' if frm is None else int(frm)}"
+               f"-{'*' if to is None else int(to)}")
+        conds = []
+        if frm is not None:
+            conds.append(f"{dist} >= {frm!r}")
+        if to is not None:
+            conds.append(f"{dist} < {to!r}")
+        cond = " AND ".join(conds) or "TRUE"
+        arms.append(
+            f"SELECT {_sq(key)} AS ring_key,\n"
+            f"       coalesce(sum(CASE WHEN {cond} THEN 1 ELSE 0 END), 0)"
+            f"::BIGINT AS n_docs\n"
+            f"FROM documents d JOIN hits USING (doc_id)")
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {hits_cte(query_text)}\n{body}".strip()
+
+
 # -- field collapsing --------------------------------------------------------
 
 def collapse_topk(searcher, query_text: str, field: str, k: int = 10, *,

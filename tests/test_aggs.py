@@ -26,9 +26,21 @@ Q = "spark query data"
 @pytest.fixture(scope="module")
 def built(spark, documents_smoke, tmp_path_factory):
     cat = Catalog(spark, str(tmp_path_factory.mktemp("aggs")))
-    ib.build_index(spark, documents_smoke, cat, mode="simple",
+    # tag/lat/lon: the driver's synthetic nullable + geo attrs (pure
+    # doc_id formulas the DuckDB oracles replay on the raw table)
+    docs = (
+        documents_smoke
+        .withColumn("tag", F.when(F.col("doc_id") % 3 == 0,
+                                  F.col("source")))
+        .withColumn("lat", ((F.col("doc_id") * 7919) % 18000)
+                    / F.lit(100.0) - F.lit(90.0))
+        .withColumn("lon", ((F.col("doc_id") * 104729) % 36000)
+                    / F.lit(100.0) - F.lit(180.0))
+    )
+    ib.build_index(spark, docs, cat, mode="simple",
                    docs_per_shard=50,
-                   attr_cols=["lang", "source", "n_chars"],
+                   attr_cols=["lang", "source", "n_chars", "tag",
+                              "lat", "lon"],
                    store_fields=["text"], with_bigrams=True)
     return cat
 
@@ -487,3 +499,128 @@ class TestSuggestTerms:
 
     def test_empty_text(self, searcher):
         assert searcher.suggest_terms("!!!", size=3).count() == 0
+
+
+_TAG_SQL = "CASE WHEN doc_id % 3 = 0 THEN source END"
+_LAT_SQL = "((doc_id * 7919) % 18000) / 100.0 - 90.0"
+_LON_SQL = "((doc_id * 104729) % 36000) / 100.0 - 180.0"
+
+
+class TestTopMetrics:
+    def test_matches_oracle(self, searcher):
+        got = _rows(aggs.top_metrics(searcher, Q, "n_chars",
+                                     ["lang", "source"], 3),
+                    "doc_id", "n_chars", "lang", "source")
+        want = sorted(_oracle(aggs.top_metrics_oracle_sql(
+            Q, "n_chars", ["lang", "source"], size=3)))
+        assert got == want and len(got) == 3
+
+    def test_ascending_returns_smallest(self, searcher):
+        hi = aggs.top_metrics(searcher, Q, "n_chars", ["lang"], 1)
+        lo = aggs.top_metrics(searcher, Q, "n_chars", ["lang"], 1,
+                              ascending=True)
+        assert hi.collect()[0]["n_chars"] > lo.collect()[0]["n_chars"]
+
+    def test_sort_field_in_metrics_not_duplicated(self, searcher):
+        df = aggs.top_metrics(searcher, Q, "n_chars",
+                              ["n_chars", "lang"], 2)
+        assert df.columns == ["doc_id", "n_chars", "lang"]
+
+
+class TestExtendedStats:
+    def test_matches_oracle(self, searcher):
+        cols = ["n_docs", "min_v", "max_v", "sum_v", "sum_sq",
+                "avg_v", "variance", "std_dev"]
+        got = _rows(aggs.extended_stats(searcher, Q, "n_chars"), *cols)
+        want = sorted(_oracle(
+            aggs.extended_stats_oracle_sql(Q, "n_chars")))
+        assert got == want
+
+    def test_internal_consistency(self, searcher):
+        r = aggs.extended_stats(searcher, Q, "n_chars").collect()[0]
+        assert r["n_docs"] == searcher.matching_doc_ids(Q).count()
+        assert r["min_v"] <= r["avg_v"] <= r["max_v"]
+        assert r["variance"] >= 0
+        assert abs(r["std_dev"] ** 2 - r["variance"]) < 1e-2
+
+
+class TestStringStats:
+    def test_matches_oracle(self, searcher):
+        cols = ["n_values", "min_len", "max_len", "avg_len", "entropy"]
+        got = _rows(aggs.string_stats(searcher, Q, "source"), *cols)
+        want = sorted(_oracle(aggs.string_stats_oracle_sql(Q, "source")))
+        assert got == want
+
+    def test_entropy_bounds(self, searcher):
+        import math
+
+        r = aggs.string_stats(searcher, Q, "source").collect()[0]
+        # alphabet of srcN strings is at most 13 chars (s r c 0-9)
+        assert 0.0 < r["entropy"] <= math.log2(13) + 1e-9
+        assert r["min_len"] <= r["avg_len"] <= r["max_len"]
+
+
+class TestMissingAgg:
+    def test_matches_oracle(self, searcher):
+        got = _rows(aggs.missing_agg(searcher, Q, "tag"),
+                    "n_missing", "n_docs")
+        want = sorted(_oracle(aggs.missing_oracle_sql(Q, _TAG_SQL)))
+        assert got == want
+
+    def test_missing_plus_present_is_total(self, searcher):
+        r = aggs.missing_agg(searcher, Q, "tag").collect()[0]
+        present = sum(
+            n for _, n in _rows(aggs.rare_terms(searcher, Q, "tag", 10**9),
+                                "value", "n_docs"))
+        assert 0 < r["n_missing"] < r["n_docs"]
+        assert r["n_missing"] + present == r["n_docs"]
+
+
+class TestRareTerms:
+    def test_matches_oracle(self, searcher):
+        # per-tag hit counts at sf0.001 sit at 8-9 (doc_id%3 gate over
+        # 25-doc sources) — cutoff 8 keeps a strict subset
+        got = _rows(aggs.rare_terms(searcher, Q, "tag", 8),
+                    "value", "n_docs")
+        want = sorted(_oracle(aggs.rare_terms_oracle_sql(Q, _TAG_SQL, 8)))
+        assert got == want and len(got) > 0
+
+    def test_cutoff_respected_and_monotone(self, searcher):
+        small = _rows(aggs.rare_terms(searcher, Q, "tag", 8),
+                      "value", "n_docs")
+        big = _rows(aggs.rare_terms(searcher, Q, "tag", 9),
+                    "value", "n_docs")
+        assert all(n <= 8 for _, n in small)
+        assert set(small) <= set(big) and len(small) < len(big)
+
+    def test_bad_cutoff(self, searcher):
+        with pytest.raises(ValueError):
+            aggs.rare_terms(searcher, Q, "tag", 0)
+
+
+class TestGeoDistanceRings:
+    EDGES = [3000.0, 8000.0, 15000.0]
+
+    def test_matches_oracle(self, searcher):
+        got = _rows(aggs.geo_distance_agg(searcher, Q, 48.85, 2.35,
+                                          self.EDGES),
+                    "ring_key", "n_docs")
+        want = sorted(_oracle(aggs.geo_distance_oracle_sql(
+            Q, 48.85, 2.35, self.EDGES, lat_sql=_LAT_SQL,
+            lon_sql=_LON_SQL)))
+        assert got == want
+
+    def test_rings_partition_hits(self, searcher):
+        rows = _rows(aggs.geo_distance_agg(searcher, Q, 48.85, 2.35,
+                                           self.EDGES),
+                     "ring_key", "n_docs")
+        # rings are disjoint and exhaustive: counts sum to the hit count
+        assert len(rows) == len(self.EDGES) + 1
+        assert (sum(n for _, n in rows)
+                == searcher.matching_doc_ids(Q).count())
+
+    def test_bad_edges(self, searcher):
+        with pytest.raises(ValueError):
+            aggs.geo_distance_agg(searcher, Q, 0.0, 0.0, [500.0, 100.0])
+        with pytest.raises(ValueError):
+            aggs.geo_distance_agg(searcher, Q, 0.0, 0.0, [])
