@@ -1676,6 +1676,27 @@ def _q_decontam(spark, sf_dir):
     return decontam.ngram_contamination(train, bench, n=4)
 
 
+# Per-source contamination-rate rollup: the drop-this-crawl report —
+# same broadcast shingle probe, plus a |sources|-sized aggregate.
+@register("decontam_rate_by_source",
+          decontam.contamination_by_source_oracle_sql(
+              n=4, bench_where="doc_id % 97 = 0"))
+def _q_decontam_by_source(spark, sf_dir):
+    d = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    train = d.where(F.col("doc_id") % 97 != 0)
+    return decontam.contamination_by_source(train, bench, n=4)
+
+
+# Cross-doc duplicated-span fraction (exact-substring dedup signal):
+# n=5 is the widest shingle with measurable cross-doc duplication in
+# the synthetic corpus (71 docs share ≥1 five-gram at sf0.01).
+@register("dedup_span_fraction", dedup.duplicate_span_stats_sql(n=5))
+def _q_dup_spans(spark, sf_dir):
+    return dedup.duplicate_span_stats(
+        _docs(spark, sf_dir).select("doc_id", "text"), n=5)
+
+
 # ---------------------------------------------------------------------------
 # Deduplication — the documents table has no true dups, so the exact-dup
 # entries run on documents ∪ (documents ⊕ id+100000): a deterministic

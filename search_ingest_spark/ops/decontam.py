@@ -98,3 +98,80 @@ SELECT h.doc_id, count(*)::BIGINT AS n_hits
 FROM hits h JOIN b USING (gram)
 GROUP BY 1
 """.strip()
+
+
+def contamination_by_source(
+    docs: DataFrame,
+    bench: DataFrame,
+    *,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-source contamination-rate rollup — the report a pipeline
+    reads before deciding which SOURCES (crawls, dumps, feeds) to drop
+    or re-filter, rather than per-document: (source, n_docs,
+    n_contaminated, contamination_rate).
+
+    Rides ngram_contamination unchanged (broadcast benchmark shingles,
+    corpus never shuffles for the probe); the rollup adds one left
+    semi-style join of the per-doc hit list back to (doc_id, source) —
+    hit-list-sized, decontamination assumes it is small — and a
+    |sources|-cardinality aggregate.  Every doc counts in n_docs, so
+    sub-n-token docs are (correctly) uncontaminated."""
+    hits = ngram_contamination(docs, bench, n=n, id_col=id_col,
+                               text_col=text_col)
+    per = docs.select(F.col(id_col).alias("doc_id"),
+                      F.col(source_col).alias("source")).join(
+        hits, "doc_id", "left")
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("n_hits").isNotNull(), 1).otherwise(0))
+            .cast("long").alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_rate",
+            F.round(F.col("n_contaminated").cast("double")
+                    / F.col("n_docs").cast("double"), int(round_to)),
+        )
+    )
+
+
+def contamination_by_source_oracle_sql(
+    *, n: int, bench_where: str, source_col: str = "source",
+    round_to: int = 4,
+) -> str:
+    """DuckDB replay: per-doc contaminated flag from the same shingle
+    overlap, rolled up per source over ALL training docs (including
+    sub-n-token ones, which can't be contaminated)."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, {source_col} AS source,
+         regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS a
+  FROM documents
+),
+g AS (
+  SELECT doc_id, array_to_string(a[i:i + {int(n) - 1}], ' ') AS gram
+  FROM (SELECT doc_id, a, unnest(range(1, len(a) - {int(n)} + 2)) AS i
+        FROM d)
+),
+b AS (SELECT DISTINCT gram FROM g WHERE {bench_where}),
+flagged AS (
+  SELECT DISTINCT g.doc_id FROM g JOIN b USING (gram)
+  WHERE NOT ({bench_where})
+)
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_contaminated,
+       round(sum(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*)::DOUBLE, {int(round_to)})::DOUBLE
+         AS contamination_rate
+FROM d LEFT JOIN flagged f USING (doc_id)
+WHERE NOT ({bench_where})
+GROUP BY 1
+""".strip()

@@ -758,3 +758,94 @@ def embedding_near_dups(
         .where(F.col("cosine") >= threshold)
         .select("a", "b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicated-span statistics (exact-substring dedup signal)
+# ---------------------------------------------------------------------------
+
+def duplicate_span_stats(
+    df: DataFrame, *, n: int = 5, id_col: str = "doc_id",
+    text_col: str = "text", round_to: int = 4,
+) -> DataFrame:
+    """Per-document duplicated-span fraction: of a doc's n-token
+    shingle POSITIONS, how many are covered by a shingle that also
+    appears in at least one OTHER document — the inter-document
+    repetition signal exact-substring dedup pipelines threshold on
+    (a doc that is mostly spans seen elsewhere is boilerplate or a
+    near-copy even when no single whole-doc hash matches).
+
+    Scale shape: shingles are hashed JVM-side to 60-bit md5-prefix
+    longs BEFORE any exchange (hash_shingle_col — the oracle hashes
+    identically, so the comparison is exact even under collision), the
+    per-(doc, shingle) multiplicity groupBy is map-side combinable,
+    and cross-doc document frequency is a second vocabulary-sized
+    aggregate — two shuffles of (doc_id, hash) pairs total, never raw
+    text.  Unlike the MinHash/SimHash families there is no candidate
+    generation: the output is a per-doc score, not pairs.
+
+    Docs with fewer than n tokens have no spans and are omitted (ES
+    of the reference has no analog; this is a training-pipeline op).
+    Returns (doc_id, n_grams, n_dup_grams, dup_fraction)."""
+    if n < 1:
+        raise ValueError(f"n must be positive, got {n}")
+    toks = f"regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}', 0)"
+    grams = F.expr(
+        f"CASE WHEN size({toks}) >= {int(n)} THEN "
+        f"transform(sequence(1, size({toks}) - {int(n)} + 1), "
+        f"i -> concat_ws(' ', slice({toks}, i, {int(n)}))) "
+        f"ELSE array() END"
+    )
+    dg = (
+        df.select(F.col(id_col).alias("doc_id"),
+                  F.explode(grams).alias("_g"))
+        .select("doc_id", hash_shingle_col(F.col("_g")).alias("h"))
+        .groupBy("doc_id", "h")
+        .agg(F.count("*").alias("m"))
+    )
+    gram_df = dg.groupBy("h").agg(F.count("*").alias("df"))
+    return (
+        dg.join(gram_df, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("m").cast("long").alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, F.col("m")).otherwise(0))
+            .cast("long").alias("n_dup_grams"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(F.col("n_dup_grams").cast("double")
+                    / F.col("n_grams").cast("double"), int(round_to)),
+        )
+    )
+
+
+def duplicate_span_stats_sql(
+    *, n: int = 5, table: str = "documents", id_col: str = "doc_id",
+    text_col: str = "text", round_to: int = 4,
+) -> str:
+    """DuckDB oracle: same shingling, same md5-prefix hash, same
+    two-stage aggregation — brute force from the raw table."""
+    return f"""
+WITH d AS (
+  SELECT {id_col} AS doc_id,
+         regexp_extract_all(lower({text_col}), '{TOKEN_PATTERN}') AS a
+  FROM {table}
+),
+g AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(array_to_string(a[i:i + {int(n) - 1}], ' ')),
+                         1, 15))::BIGINT AS h
+  FROM (SELECT doc_id, a, unnest(range(1, len(a) - {int(n)} + 2)) AS i
+        FROM d)
+),
+dg AS (SELECT doc_id, h, count(*)::BIGINT AS m FROM g GROUP BY 1, 2),
+gdf AS (SELECT h, count(*)::BIGINT AS df FROM dg GROUP BY 1)
+SELECT doc_id,
+       sum(m)::BIGINT AS n_grams,
+       sum(CASE WHEN df >= 2 THEN m ELSE 0 END)::BIGINT AS n_dup_grams,
+       round(sum(CASE WHEN df >= 2 THEN m ELSE 0 END)::DOUBLE
+             / sum(m)::DOUBLE, {int(round_to)})::DOUBLE AS dup_fraction
+FROM dg JOIN gdf USING (h)
+GROUP BY 1
+""".strip()

@@ -460,3 +460,126 @@ class TestUrlCanonical:
         assert len(out) == 1
         assert out[0]["keep_doc_id"] == 1 and out[0]["group_size"] == 3
         assert out[0]["canonical_url"] == "https://a.com/x"
+
+
+class TestContaminationBySource:
+    def _oracle(self, sql):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+    def test_matches_oracle(self, spark, documents_smoke):
+        from search_ingest_spark.ops import decontam
+
+        d = documents_smoke.select("doc_id", "text", "source")
+        bench = d.where(F.col("doc_id") % 97 == 0)
+        train = d.where(F.col("doc_id") % 97 != 0)
+        got = sorted(
+            tuple(r) for r in decontam.contamination_by_source(
+                train, bench, n=4)
+            .select("source", "n_docs", "n_contaminated",
+                    "contamination_rate").collect())
+        want = self._oracle(decontam.contamination_by_source_oracle_sql(
+            n=4, bench_where="doc_id % 97 = 0"))
+        assert got == want and len(got) > 1
+
+    def test_every_source_reported_and_rate_consistent(
+            self, spark, documents_smoke):
+        from search_ingest_spark.ops import decontam
+
+        d = documents_smoke.select("doc_id", "text", "source")
+        bench = d.where(F.col("doc_id") % 97 == 0)
+        train = d.where(F.col("doc_id") % 97 != 0)
+        rows = decontam.contamination_by_source(train, bench, n=4).collect()
+        n_sources = train.select("source").distinct().count()
+        assert len(rows) == n_sources
+        assert sum(r["n_docs"] for r in rows) == train.count()
+        for r in rows:
+            assert 0 <= r["n_contaminated"] <= r["n_docs"]
+            assert abs(r["contamination_rate"]
+                       - round(r["n_contaminated"] / r["n_docs"], 4)) < 1e-9
+
+    def test_clean_benchmark_gives_zero_rates(self, spark, documents_smoke):
+        from search_ingest_spark.ops import decontam
+
+        d = documents_smoke.select("doc_id", "text", "source")
+        bench = spark.createDataFrame(
+            [("zz yy xx ww vv uu tt ss",)], "text string")
+        rows = decontam.contamination_by_source(d, bench, n=4).collect()
+        assert rows and all(r["n_contaminated"] == 0
+                            and r["contamination_rate"] == 0.0
+                            for r in rows)
+
+
+class TestDuplicateSpanStats:
+    def _oracle(self, sql):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+    def test_matches_oracle(self, spark, documents_smoke):
+        from search_ingest_spark.ops import dedup
+
+        got = sorted(
+            tuple(r) for r in dedup.duplicate_span_stats(
+                documents_smoke.select("doc_id", "text"), n=5)
+            .select("doc_id", "n_grams", "n_dup_grams", "dup_fraction")
+            .collect())
+        want = self._oracle(dedup.duplicate_span_stats_sql(n=5))
+        assert got == want and len(got) > 0
+        # the synthetic corpus HAS cross-doc 5-gram duplication — the
+        # signal must be non-trivial, not vacuously zero
+        assert any(r[2] > 0 for r in got)
+
+    def test_identical_docs_fully_duplicated(self, spark):
+        from search_ingest_spark.ops import dedup
+
+        d = spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta"),
+             (2, "alpha beta gamma delta epsilon zeta"),
+             (3, "totally different words here now friend")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in
+                dedup.duplicate_span_stats(d, n=3).collect()}
+        assert rows[1]["dup_fraction"] == 1.0
+        assert rows[2]["dup_fraction"] == 1.0
+        assert rows[3]["dup_fraction"] == 0.0
+        assert rows[1]["n_grams"] == 4  # 6 tokens, n=3
+
+    def test_within_doc_repeat_not_counted(self, spark):
+        from search_ingest_spark.ops import dedup
+
+        # 'x y z' appears twice in ONE doc — multiplicity 2 at the same
+        # doc means df=1, so it is NOT a cross-doc duplicate
+        d = spark.createDataFrame(
+            [(1, "x y z q x y z"), (2, "unrelated tokens only here")],
+            "doc_id long, text string")
+        rows = {r["doc_id"]: r for r in
+                dedup.duplicate_span_stats(d, n=3).collect()}
+        assert rows[1]["n_dup_grams"] == 0
+        assert rows[1]["n_grams"] == 5
+
+    def test_short_docs_omitted(self, spark):
+        from search_ingest_spark.ops import dedup
+
+        d = spark.createDataFrame(
+            [(1, "one two"), (2, "a b c d e"), (3, "a b c d e")],
+            "doc_id long, text string")
+        rows = dedup.duplicate_span_stats(d, n=3).collect()
+        assert sorted(r["doc_id"] for r in rows) == [2, 3]
+
+    def test_bad_n(self, spark, documents_smoke):
+        from search_ingest_spark.ops import dedup
+
+        with pytest.raises(ValueError):
+            dedup.duplicate_span_stats(documents_smoke, n=0)
