@@ -1258,6 +1258,29 @@ def _q_suggest_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sparc datq", max_edits=1, per_token=3, size=3)
 
 
+# serving-path twins: Spark-free pyarrow dictionary/bigram reads,
+# identical rows (term: integer/string fields; phrase: shared scoring
+# kernel — parity asserted in tests/test_reader.py).
+@register("suggest_term_typos_local",
+          bm25.term_suggest_oracle_sql("sparc datq", max_edits=1, size=3))
+def _q_suggest_term_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _local_searcher(spark, sf_dir).suggest_terms(
+        "sparc datq", max_edits=1, size=3)
+    return spark.createDataFrame(
+        rows, "token string, suggestion string, df long, distance int, "
+              "rank int")
+
+
+@register("suggest_phrase_typos_local",
+          bm25.phrase_suggest_oracle_sql("sparc datq", max_edits=1,
+                                         per_token=3, size=3))
+def _q_suggest_phrase_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _local_searcher(spark, sf_dir).suggest_phrases(
+        "sparc datq", max_edits=1, per_token=3, size=3)
+    return spark.createDataFrame(
+        rows, "suggestion string, score double, rank int")
+
+
 # ES adjacency_matrix: singles + pairwise filter intersections in one
 # conditional-sum pass; empty cells omitted (ES prunes the matrix).
 _ADJ = {

@@ -83,6 +83,25 @@ _SERVE_POOL_SIZE = 0
 _SERVE_POOL_BROKEN = False
 
 
+def lev_capped(a: str, b: str, cap: int) -> int:
+    """Plain Levenshtein (insert/delete/substitute, no transposition)
+    with an early-exit cap — matches Spark's F.levenshtein, so the
+    serving-path fuzzy/suggest expansions equal the Catalyst ones.
+    Returns cap+1 as soon as the distance provably exceeds `cap`."""
+    if abs(len(a) - len(b)) > cap:
+        return cap + 1
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        if min(cur) > cap:
+            return cap + 1
+        prev = cur
+    return prev[-1]
+
+
 def _serve_procs() -> int:
     import os as _os
     return int(_os.environ.get(
@@ -513,25 +532,8 @@ class LocalSearcher:
         ).to_pandas()
         if len(tbl) == 0:
             return {}
-
-        def _lev(a: str, b: str, cap: int) -> int:
-            # plain Levenshtein (insert/delete/substitute, no
-            # transposition) — matches Spark's F.levenshtein
-            if abs(len(a) - len(b)) > cap:
-                return cap + 1
-            prev = list(range(len(b) + 1))
-            for i, ca in enumerate(a, 1):
-                cur = [i]
-                for j, cb in enumerate(b, 1):
-                    cur.append(min(prev[j] + 1, cur[j - 1] + 1,
-                                   prev[j - 1] + (ca != cb)))
-                if min(cur) > cap:
-                    return cap + 1
-                prev = cur
-            return prev[-1]
-
         mask = tbl["term"].map(
-            lambda t: any(_lev(t, q, f) <= f for q in terms)
+            lambda t: any(lev_capped(t, q, f) <= f for q in terms)
         )
         tbl = tbl[mask]
         n = self.n_docs
@@ -881,6 +883,113 @@ class LocalSearcher:
         order = np.lexsort((tbl["term"].to_numpy(), -tbl["df"].to_numpy()))[:k]
         return [(str(tbl["term"].iloc[i]), int(tbl["df"].iloc[i]))
                 for i in order]
+
+    def suggest_terms(
+        self, text: str, *, max_edits: int = 1, size: int = 3,
+    ) -> list[tuple[str, str, int, int, int]]:
+        """Spark-free ES `term` suggester — [(token, suggestion, df,
+        distance, rank)] rows identical to Searcher.suggest_terms
+        (same candidate rule, same (distance asc, df desc, term asc)
+        ranking; determinism is exact because every field is integer
+        or string).  The utf8_length band is pushed into the
+        dictionary scan exactly like plan_fuzzy, so the Python
+        edit-distance pass touches only plausible rows."""
+        tokens = sorted(set(analyze_query(text, mode=self.mode)))
+        if not tokens:
+            return []
+        e = int(max_edits)
+        lens = [len(t) for t in tokens]
+        band = (pc.utf8_length(pc.field("term")) >= min(lens) - e) & (
+            pc.utf8_length(pc.field("term")) <= max(lens) + e
+        )
+        tbl = self._dict.to_table(
+            columns=["term", "df"], filter=band).to_pylist()
+        out: list[tuple[str, str, int, int, int]] = []
+        for tok in tokens:
+            cands = []
+            for r in tbl:
+                term = r["term"]
+                if term == tok:
+                    continue
+                d = lev_capped(term, tok, e)
+                if d <= e:
+                    cands.append((d, -int(r["df"]), term))
+            cands.sort()
+            out.extend(
+                (tok, term, -neg_df, d, i + 1)
+                for i, (d, neg_df, term) in enumerate(cands[:int(size)]))
+        return out
+
+    def suggest_phrases(
+        self, text: str, *, max_edits: int = 1, per_token: int = 3,
+        size: int = 3, edit_weight: float = 1.0, backoff: float = 0.4,
+        round_to: int = 4,
+    ) -> list[tuple[str, float, int]]:
+        """Spark-free ES `phrase` suggester — [(suggestion, score,
+        rank)] bitwise identical to Searcher.suggest_phrases: the SAME
+        vocabulary-sized candidate generation (length band + capped
+        Levenshtein, top per_token by (distance, df desc, term)), the
+        SAME pruned bigram probe (w1/w2 isin filters reach the
+        w1-partitioned parquet scan), and the SAME shared scoring
+        kernel (wand.score_phrase_combos), so the float chain is
+        replayed operation-for-operation."""
+        from search_ingest_spark.query.wand import score_phrase_combos
+
+        try:
+            big_path = self.cat.data_path(ib.BIGRAM_TABLE)
+        except FileNotFoundError:
+            raise ValueError(
+                "phrase suggester requires bigram stats — build the "
+                "index with with_bigrams=True") from None
+        tokens = analyze_query(text, mode=self.mode)
+        if not tokens:
+            return []
+        if len(tokens) > 8:
+            raise ValueError(
+                f"phrase suggester caps input at 8 tokens, got "
+                f"{len(tokens)}")
+        uniq = sorted(set(tokens))
+        e = int(max_edits)
+        lens = [len(t) for t in uniq]
+        band = (pc.utf8_length(pc.field("term")) >= min(lens) - e) & (
+            pc.utf8_length(pc.field("term")) <= max(lens) + e
+        )
+        tbl = self._dict.to_table(
+            columns=["term", "df", "cf"], filter=band).to_pylist()
+        by_tok: dict[str, list[tuple[str, int, int]]] = {}
+        for tok in uniq:
+            cands = []
+            for r in tbl:
+                d = lev_capped(r["term"], tok, e)
+                if d <= e:
+                    cands.append((d, -int(r["df"]), r["term"],
+                                  int(r["cf"])))
+            cands.sort()
+            by_tok[tok] = [(term, cf, d) for d, _, term, cf in
+                           cands[:int(per_token)]]
+            if not by_tok[tok]:  # nothing within max_edits: keep raw
+                by_tok[tok] = [(tok, 0, 0)]
+        lists = [by_tok[t] for t in tokens]
+        w1s = sorted({c[0] for li in lists[:-1] for c in li})
+        w2s = sorted({c[0] for li in lists[1:] for c in li})
+        cnt: dict[tuple[str, str], int] = {}
+        start: dict[str, int] = {}
+        if w1s and w2s:
+            big = ds.dataset(big_path)
+            rows = big.to_table(
+                columns=["w1", "w2", "cnt"],
+                filter=pc.field("w1").isin(w1s)).to_pylist()
+            for r in rows:
+                start[r["w1"]] = start.get(r["w1"], 0) + int(r["cnt"])
+                if r["w2"] in set(w2s):
+                    cnt[(r["w1"], r["w2"])] = int(r["cnt"])
+        total = int(ds.dataset(self.cat.data_path(ib.STATS_TABLE))
+                    .to_table(columns=["sum_dl"]).to_pylist()[0]["sum_dl"])
+        scored = score_phrase_combos(
+            tokens, by_tok, cnt, start, total, backoff=backoff,
+            edit_weight=edit_weight, round_to=round_to)
+        return [(sug, sc, i + 1) for i, (sug, sc) in
+                enumerate(scored[:int(size)])]
 
     def explain(self, query_text: str, doc_id: int, *,
                 round_to: int = 4,

@@ -66,6 +66,50 @@ def _round_half_up(x: float, nd: int) -> float:
                                            rounding=ROUND_HALF_UP))
 
 
+def score_phrase_combos(
+    tokens: list[str],
+    by_tok: dict[str, list[tuple[str, int, int]]],
+    cnt: dict[tuple[str, str], int],
+    start: dict[str, int],
+    total: int,
+    *, backoff: float = 0.4, edit_weight: float = 1.0, round_to: int = 4,
+) -> list[tuple[str, float]]:
+    """Pure phrase-suggester scoring kernel, shared by the Spark and
+    serving paths (both collect the SAME vocabulary-sized inputs, so
+    suggestions are bitwise identical): every combination of per-token
+    candidates (term, cf, distance) scored
+
+        log P(w₁) + Σᵢ log P(wᵢ | wᵢ₋₁) − edit_weight · Σ edits
+
+    with P(w) = (cf+1)/(total+1) and Stupid-Backoff bigram
+    conditionals (cnt/start when seen, else backoff·P(w₂)).  Returns
+    [(suggestion, rounded score)] sorted (score desc, suggestion asc)."""
+    import itertools
+    import math
+
+    lists = [by_tok[t] for t in tokens]
+    n_combos = math.prod(len(li) for li in lists)
+    if n_combos > 4096:
+        raise ValueError(
+            f"candidate explosion: {n_combos} combinations — lower "
+            f"per_token or shorten the query")
+    bo, ew = float(backoff), float(edit_weight)
+    scored: list[tuple[str, float]] = []
+    for combo in itertools.product(*lists):
+        words = [c[0] for c in combo]
+        s = math.log((combo[0][1] + 1.0) / (total + 1.0))
+        for (a, _, _), (b, cf_b, _) in zip(combo, combo[1:]):
+            c_ab = cnt.get((a, b), 0)
+            if c_ab > 0:
+                s = s + math.log(c_ab * 1.0 / start[a])
+            else:
+                s = s + math.log(bo * (cf_b + 1.0) / (total + 1.0))
+        s = s - ew * sum(c[2] for c in combo)
+        scored.append((" ".join(words), _round_half_up(s, round_to)))
+    scored.sort(key=lambda x: (-x[1], x[0]))
+    return scored
+
+
 def regexp_prune_prefix(p: str) -> str:
     """Literal prefix SAFE for range-pruning a term-sorted dictionary
     scan under an anchored regex `p` ('' = don't prune).  Two traps the
@@ -736,12 +780,10 @@ class Searcher:
         bigram table (`w1 IN (…) AND w2 IN (…)` reaches the parquet
         scan of a w1-partitioned, (w1,w2)-sorted table), and the
         ≤ per_token^T enumeration runs on the driver over those
-        collected counts — exactly ES's per-shard candidate scoring,
-        never a corpus scan.  (suggestion, score, rank), score rounded
-        so the DuckDB oracle replays the float chain."""
-        import itertools
-        import math
-
+        collected counts (score_phrase_combos, shared with the serving
+        path) — exactly ES's per-shard candidate scoring, never a
+        corpus scan.  (suggestion, score, rank), score rounded so the
+        DuckDB oracle replays the float chain."""
         if not self.cat.exists(ib.BIGRAM_TABLE):
             raise ValueError(
                 "phrase suggester requires bigram stats — build the "
@@ -781,11 +823,6 @@ class Searcher:
             if t not in by_tok:  # nothing within max_edits: keep raw
                 by_tok[t] = [(t, 0, 0)]
         lists = [by_tok[t] for t in tokens]
-        n_combos = math.prod(len(li) for li in lists)
-        if n_combos > 4096:
-            raise ValueError(
-                f"candidate explosion: {n_combos} combinations — lower "
-                f"per_token or shorten the query")
         w1s = sorted({c[0] for li in lists[:-1] for c in li})
         w2s = sorted({c[0] for li in lists[1:] for c in li})
         cnt: dict[tuple[str, str], int] = {}
@@ -801,20 +838,9 @@ class Searcher:
                       .collect()):
                 start[r["w1"]] = int(r["s"])
         total = int(self.cat.read(ib.STATS_TABLE).first()["sum_dl"])
-        bo, ew = float(backoff), float(edit_weight)
-        scored: list[tuple[str, float]] = []
-        for combo in itertools.product(*lists):
-            words = [c[0] for c in combo]
-            s = math.log((combo[0][1] + 1.0) / (total + 1.0))
-            for (a, _, _), (b, cf_b, _) in zip(combo, combo[1:]):
-                c_ab = cnt.get((a, b), 0)
-                if c_ab > 0:
-                    s = s + math.log(c_ab * 1.0 / start[a])
-                else:
-                    s = s + math.log(bo * (cf_b + 1.0) / (total + 1.0))
-            s = s - ew * sum(c[2] for c in combo)
-            scored.append((" ".join(words), _round_half_up(s, round_to)))
-        scored.sort(key=lambda x: (-x[1], x[0]))
+        scored = score_phrase_combos(
+            tokens, by_tok, cnt, start, total, backoff=backoff,
+            edit_weight=edit_weight, round_to=round_to)
         data = [(sug, sc, i + 1) for i, (sug, sc) in
                 enumerate(scored[:int(size)])]
         return self.spark.createDataFrame(data, out_schema)

@@ -57,7 +57,8 @@ def rich_index(spark, documents_correct, tmp_path_factory):
     cat = Catalog(spark, str(tmp_path_factory.mktemp("idx_rich")))
     ib.build_index(spark, documents_correct, cat, mode="simple",
                    docs_per_shard=50, with_positions=True,
-                   attr_cols=["lang", "source", "n_chars"])
+                   attr_cols=["lang", "source", "n_chars"],
+                   with_bigrams=True)
     return cat
 
 
@@ -228,3 +229,60 @@ class TestParallelServing:
         for q in ["data", "spark query data"]:
             spark_rows = [tuple(r) for r in s.topk(q, 10).collect()]
             assert ls.topk(q, 10) == spark_rows, q
+
+
+class TestSuggestParity:
+    """The term/phrase typo suggesters must be identical between the
+    Spark path and the Spark-free serving path — term rows are pure
+    integers/strings (exact), phrase scores ride the SAME shared
+    scoring kernel (wand.score_phrase_combos) over the SAME collected
+    counts, so equality is bitwise."""
+
+    CASES = ["sparc datq", "querry", "spark", "zzzzz", "dat tabel"]
+
+    def test_suggest_terms_matches_spark_path(self, spark, rich_index):
+        from search_ingest_spark.query.wand import Searcher
+
+        s = Searcher(spark, rich_index)
+        ls = LocalSearcher(rich_index)
+        for text in self.CASES:
+            spark_side = sorted(
+                tuple(r) for r in
+                s.suggest_terms(text, max_edits=1, size=3).collect())
+            local_side = sorted(
+                ls.suggest_terms(text, max_edits=1, size=3))
+            assert local_side == spark_side, text
+
+    def test_suggest_terms_wider_edits(self, spark, rich_index):
+        from search_ingest_spark.query.wand import Searcher
+
+        s = Searcher(spark, rich_index)
+        ls = LocalSearcher(rich_index)
+        spark_side = sorted(
+            tuple(r) for r in
+            s.suggest_terms("querry tabel", max_edits=2, size=5).collect())
+        assert sorted(ls.suggest_terms("querry tabel", max_edits=2,
+                                       size=5)) == spark_side
+
+    def test_suggest_phrases_matches_spark_path(self, spark, rich_index):
+        from search_ingest_spark.query.wand import Searcher
+
+        s = Searcher(spark, rich_index)
+        ls = LocalSearcher(rich_index)
+        for text in self.CASES:
+            spark_side = [tuple(r) for r in
+                          s.suggest_phrases(text, max_edits=1,
+                                            per_token=3, size=3).collect()]
+            local_side = ls.suggest_phrases(text, max_edits=1,
+                                            per_token=3, size=3)
+            assert local_side == spark_side, text
+
+    def test_phrase_requires_bigrams(self, spark, built):
+        ls = LocalSearcher(built)
+        with pytest.raises(ValueError, match="bigram"):
+            ls.suggest_phrases("sparc datq")
+
+    def test_too_many_tokens_rejected(self, rich_index):
+        ls = LocalSearcher(rich_index)
+        with pytest.raises(ValueError, match="caps input"):
+            ls.suggest_phrases("a b c d e f g h i")
