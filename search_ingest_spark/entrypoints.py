@@ -1297,6 +1297,18 @@ def _q_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       _AGG_QUERY, _ADJ)
 
 
+# ES terms_set: match ≥ M of the terms where M is PER-DOCUMENT
+# (minimum_should_match_field analog — here an expression over
+# n_chars, values 1..3), scored as a plain BM25 OR over matched terms.
+@register("search_terms_set_topk",
+          bm25.terms_set_oracle_sql(["spark", "query", "data", "table"],
+                                    "n_chars % 3 + 1", k=10))
+def _q_terms_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).terms_set_topk(
+        ["spark", "query", "data", "table"], "n_chars % 3 + 1",
+        ["n_chars"], 10, round_to=4)
+
+
 # ES top_metrics: fields of the 3 hits ranking highest on n_chars — a
 # doc-values TakeOrdered, ties broken on doc_id in both engines.
 @register("search_top_metrics",

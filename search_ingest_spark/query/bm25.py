@@ -1290,3 +1290,32 @@ ranked AS (
 SELECT token, suggestion, df, distance, rank
 FROM ranked WHERE rank <= {int(size)}
 """.strip()
+
+
+def terms_set_oracle_sql(terms: list[str], msm_expr: str, k: int = 10, *,
+                         round_to: int = 4) -> str:
+    """DuckDB replay of Searcher.terms_set_topk: brute-force rounded
+    BM25 over the term set, per-doc matched-term count from the tf
+    table (one row per distinct (doc, term)), per-doc threshold from
+    `msm_expr` over the raw documents row."""
+    return f"""
+WITH {bm25_scores_cte(" ".join(terms), round_to=round_to)},
+nm AS (
+  SELECT tf.doc_id, count(*)::INT AS n_matched
+  FROM tf WHERE tf.term IN (SELECT term FROM q)
+  GROUP BY 1
+),
+sel AS (
+  SELECT s.doc_id, s.score, nm.n_matched
+  FROM scores_r s
+  JOIN nm USING (doc_id)
+  JOIN documents d USING (doc_id)
+  WHERE nm.n_matched >= ({msm_expr})
+),
+topk AS (
+  SELECT * FROM sel ORDER BY score DESC, doc_id ASC LIMIT {int(k)}
+)
+SELECT doc_id, score, n_matched,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM topk
+""".strip()

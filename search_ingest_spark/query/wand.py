@@ -488,6 +488,7 @@ class Searcher:
     def all_matching_scores(
         self, query_text: str, *, match_all: bool = False,
         min_match: int | None = None, round_to: int | None = None,
+        with_nmatch: bool = False,
     ) -> DataFrame:
         """(doc_id, score) for EVERY doc matching `query_text` — no
         top-k truncation.  The index-backed building block every
@@ -505,6 +506,8 @@ class Searcher:
         Searcher.topk's kernel (same decode + ascending-term fold)."""
         idf = self.plan(query_text)
         out_schema = "doc_id long, score double"
+        if with_nmatch:
+            out_schema += ", n_matched int"
         n_terms = len(set(analyze_query(query_text, mode=self.mode)))
         if (not idf or (match_all and len(idf) < n_terms)
                 or (min_match is not None and len(idf) < min_match)):
@@ -512,15 +515,56 @@ class Searcher:
         pruned = self.postings.where(
             F.col("term_id").isin([int(t) for t in idf]))
         avgdl, _idf, _ma, _mm = self.avgdl, idf, match_all, min_match
+        _wn = with_nmatch
 
         def scorer(pdf: pd.DataFrame) -> pd.DataFrame:
             return shard_all_scores(pdf, idf=_idf, avgdl=avgdl,
-                                    match_all=_ma, min_match=_mm)
+                                    match_all=_ma, min_match=_mm,
+                                    with_nmatch=_wn)
 
         out = pruned.groupBy("shard").applyInPandas(scorer, schema=out_schema)
         if round_to is not None:
             out = out.withColumn("score", F.round("score", round_to))
         return out
+
+    def terms_set_topk(
+        self, terms: list[str], msm_expr: str, msm_cols: list[str],
+        k: int = 10, *, round_to: int = 4,
+    ) -> DataFrame:
+        """ES `terms_set` query: docs matching at least M of `terms`
+        where M comes from a PER-DOCUMENT field
+        (minimum_should_match_field — `msm_expr`, a SQL expression over
+        the doc-values columns `msm_cols`; ES reads a plain field, an
+        expression generalizes it exactly like ES's
+        minimum_should_match_script).  Matching docs score as a plain
+        BM25 OR over the matched terms.
+
+        Plan: ONE pruned postings pass (all_matching_scores
+        with_nmatch=True — the kernel already tracks the per-doc
+        matched-term count for match_all/min_match, so the count is
+        free), a doc-values join for the per-doc threshold, and a
+        TakeOrdered — the same shape as every filtered top-k, with the
+        threshold evaluated doc-side instead of a global constant.
+        (doc_id, score, n_matched, rank)."""
+        for t in terms:
+            if len(analyze_query(t, mode=self.mode)) != 1:
+                raise ValueError(
+                    f"terms_set terms must be single tokens, got {t!r}")
+        scored = self.all_matching_scores(
+            " ".join(terms), round_to=round_to, with_nmatch=True)
+        attrs = self.cat.read(ib.DOC_ATTRS_TABLE).select(
+            "doc_id", *dict.fromkeys(msm_cols))
+        sel = (
+            scored.join(attrs, "doc_id")
+            .where(F.col("n_matched") >= F.expr(msm_expr))
+            .select("doc_id", "score", "n_matched")
+        )
+        topk = sel.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+        from search_ingest_spark.ranking import ranked_desc
+
+        return ranked_desc(topk, "score", "doc_id",
+                           extra_cols=["n_matched"]).select(
+            "doc_id", "score", "n_matched", "rank")
 
     def function_score_topk(
         self, query_text: str, field: str, k: int = 10, *,
@@ -1494,6 +1538,7 @@ def shard_all_scores(
     pdf: pd.DataFrame, *, idf: dict[int, float], avgdl: float = 1.0,
     k1: float = K1, b: float = B, model=None,
     match_all: bool = False, min_match: int | None = None,
+    with_nmatch: bool = False,
 ) -> pd.DataFrame:
     """Per-doc score for EVERY matching doc of ONE shard — (doc_id,
     score), no top-k truncation.  The aggregation twin of shard_topk
@@ -1505,9 +1550,15 @@ def shard_all_scores(
     contributions fold per doc in ascending-term order, bitwise
     identical to shard_topk's accumulation and to the brute-force
     oracle's sorted F.aggregate fold.  Pure function over one shard's
-    pruned postings rows — unit-testable without Spark."""
+    pruned postings rows — unit-testable without Spark.
+
+    `with_nmatch=True` adds the per-doc count of matched query terms
+    (already tracked for match_all/min_match) as an `n_matched` int32
+    column — the terms_set query reads it."""
     empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
                           "score": pd.array([], dtype="float64")})
+    if with_nmatch:
+        empty["n_matched"] = pd.array([], dtype="int32")
     if len(pdf) == 0:
         return empty
     _, decode_term = model if model is not None else _bm25_model(
@@ -1542,11 +1593,14 @@ def shard_all_scores(
     need = len(term_ids) if match_all else (min_match or 0)
     if need > 1:
         qual = nmatch >= need
-        docs_u, scores_u = docs_u[qual], scores_u[qual]
+        docs_u, scores_u, nmatch = docs_u[qual], scores_u[qual], nmatch[qual]
         if len(docs_u) == 0:
             return empty
-    return pd.DataFrame({"doc_id": docs_u.astype(np.int64),
-                         "score": scores_u.astype(np.float64)})
+    out = pd.DataFrame({"doc_id": docs_u.astype(np.int64),
+                        "score": scores_u.astype(np.float64)})
+    if with_nmatch:
+        out["n_matched"] = nmatch.astype(np.int32)
+    return out
 
 
 def iter_empty(_: Iterator) -> Iterator[pd.DataFrame]:  # pragma: no cover

@@ -25,7 +25,7 @@ from search_ingest_spark.query.wand import Searcher, shard_all_scores
 def built(spark, documents_smoke, tmp_path_factory):
     cat = Catalog(spark, str(tmp_path_factory.mktemp("allsc")))
     ib.build_index(spark, documents_smoke, cat, mode="simple",
-                   docs_per_shard=50)
+                   docs_per_shard=50, attr_cols=["n_chars"])
     return cat
 
 
@@ -156,3 +156,61 @@ class TestSparseIdGuard:
         cat = Catalog(spark, str(tmp_path / "onebased"))
         with pytest.raises(ValueError, match="dense doc ids"):
             ib.build_index(spark, docs, cat, mode="simple")
+
+
+class TestTermsSet:
+    TERMS = ["spark", "query", "data", "table"]
+    MSM = "n_chars % 3 + 1"
+
+    def _oracle(self, sql):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+    def test_matches_oracle(self, spark, built):
+        got = sorted(
+            tuple(r) for r in Searcher(spark, built).terms_set_topk(
+                self.TERMS, self.MSM, ["n_chars"], 10, round_to=4)
+            .select("doc_id", "score", "n_matched", "rank").collect())
+        want = self._oracle(bm25.terms_set_oracle_sql(
+            self.TERMS, self.MSM, k=10))
+        assert got == want and len(got) == 10
+
+    def test_threshold_one_is_plain_or(self, spark, built):
+        s = Searcher(spark, built)
+        ts = s.terms_set_topk(self.TERMS, "1", ["n_chars"], 10**6,
+                              round_to=4)
+        plain = s.all_matching_scores(" ".join(self.TERMS), round_to=4)
+        assert ts.count() == plain.count() > 0
+
+    def test_per_doc_threshold_excludes(self, spark, built):
+        # with threshold = number of terms, only docs matching ALL
+        # terms survive — equals match_all
+        s = Searcher(spark, built)
+        ts = {r["doc_id"] for r in s.terms_set_topk(
+            self.TERMS, str(len(self.TERMS)), ["n_chars"], 10**6)
+            .collect()}
+        ma = {r["doc_id"] for r in s.all_matching_scores(
+            " ".join(self.TERMS), match_all=True).collect()}
+        assert ts == ma
+        # and the per-doc expression actually filters somebody out
+        loose = s.terms_set_topk(self.TERMS, "1", ["n_chars"], 10**6)
+        strict = s.terms_set_topk(self.TERMS, self.MSM, ["n_chars"], 10**6)
+        assert strict.count() < loose.count()
+
+    def test_nmatch_bounds(self, spark, built):
+        rows = Searcher(spark, built).terms_set_topk(
+            self.TERMS, self.MSM, ["n_chars"], 50).collect()
+        assert rows
+        for r in rows:
+            assert 1 <= r["n_matched"] <= len(self.TERMS)
+
+    def test_multi_token_term_rejected(self, spark, built):
+        with pytest.raises(ValueError, match="single tokens"):
+            Searcher(spark, built).terms_set_topk(
+                ["spark", "two words"], "1", ["n_chars"], 5)
