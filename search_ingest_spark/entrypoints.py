@@ -130,7 +130,7 @@ def _index_cat(spark: SparkSession, sf_dir: str):
                     attr_cols=["lang", "source", "lat", "lon", "tag",
                                "n_chars", "props"],
                     quantize=True, store_fields=["lang", "source", "text"],
-                    with_bigrams=True)
+                    with_bigrams=True, sort_field="n_chars")
         got = _INDEX_CACHE[key] = cat
     return got
 
@@ -1366,6 +1366,45 @@ def _q_rare_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_geo_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _aggs.geo_distance_agg(_searcher(spark, sf_dir), _AGG_QUERY,
                                   48.85, 2.35, [3000.0, 8000.0, 15000.0])
+
+
+# ES sort-by-field top-k: Spark path = TakeOrdered over the doc-values
+# scan; the serving twin below early-terminates on the INDEX-SORTED
+# table (build sort_field="n_chars" — ES/Lucene index sorting).
+@register(
+    "search_sort_by_field",
+    """
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)::INT AS rank
+FROM documents
+ORDER BY n_chars DESC, doc_id ASC
+LIMIT 10
+""".strip(),
+)
+def _q_sort_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).sorted_topk("n_chars", 10)
+
+
+# filtered + sorted on the serving path: the filter is pushed into each
+# fragment read and the scan stops on the first fragment whose max
+# n_chars stat falls below the kth key.
+@register(
+    "search_sort_by_field_local",
+    """
+WITH sel AS (
+  SELECT doc_id, n_chars FROM documents WHERE lang IN ('es', 'fr')
+  ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+)
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)::INT AS rank
+FROM sel
+""".strip(),
+)
+def _q_sort_field_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _local_searcher(spark, sf_dir).sorted_topk(
+        "n_chars", 10, attr_filter={"lang": ["es", "fr"]})
+    return spark.createDataFrame(
+        rows, "doc_id long, n_chars long, rank int")
 
 
 # ES _explain: per-term BM25 breakdown of one doc's score — block-level

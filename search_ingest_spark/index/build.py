@@ -78,6 +78,8 @@ POSTINGS_Q_TABLE = "postings_q"
 DOC_STORE_TABLE = "doc_store"
 POSITIONS_TABLE = "positions"
 DOC_ATTRS_TABLE = "doc_attrs"
+SORTED_ATTRS_TABLE = "attrs_sorted"
+SORTED_ATTRS_META = "attrs_sorted_meta"
 BIGRAM_TABLE = "bigram_stats"
 MANIFEST_TABLE = "build_manifest"
 
@@ -456,6 +458,7 @@ def build_index(
     quantize: bool = False,
     store_fields: list[str] | None = None,
     with_bigrams: bool = False,
+    sort_field: str | None = None,
 ) -> BuildInfo:
     """Build the full index table set into `cat`.
 
@@ -463,7 +466,17 @@ def build_index(
     incremental.prepare_pages / dense_ids for url-keyed corpora).
     `shard_batches` > 1 splits the postings stage into independently
     checkpointed shard batches (per-partition resume, north rule).
+
+    `sort_field` (requires attr_cols containing it) additionally
+    writes an INDEX-SORTED doc-values table — the ES/Lucene index
+    sorting analog (index.sort.field, descending): attrs globally
+    range-partitioned + sorted by (sort_field desc, doc_id asc), so a
+    field-sorted top-k early-terminates after k qualifying rows
+    instead of scanning the corpus (LocalSearcher.sorted_topk).
     """
+    if sort_field and sort_field not in (attr_cols or []):
+        raise ValueError(
+            f"sort_field {sort_field!r} must be one of attr_cols")
     run: list[str] = []
     skipped: list[str] = []
     fp, n_total, max_id, min_id = _input_fingerprint(docs, id_col, text_col)
@@ -488,7 +501,9 @@ def build_index(
                             (bool(attr_cols), DOC_ATTRS_TABLE),
                             (quantize, POSTINGS_Q_TABLE),
                             (bool(store_fields), DOC_STORE_TABLE),
-                            (with_bigrams, BIGRAM_TABLE)):
+                            (with_bigrams, BIGRAM_TABLE),
+                            (bool(sort_field), SORTED_ATTRS_TABLE),
+                            (bool(sort_field), SORTED_ATTRS_META)):
             if not flag and cat.exists(table):
                 cat.drop(table)
 
@@ -677,6 +692,29 @@ def build_index(
             partition_by=["shard"], sort_within_partitions=["doc_id"],
         )
 
+    def _attrs_sorted_fn():
+        # ES/Lucene index sorting (index.sort.field): the doc-values
+        # rows laid out in GLOBAL (sort_field desc, doc_id asc) order —
+        # repartitionByRange makes partition i strictly dominate
+        # partition i+1 and the within-partition sort finishes the
+        # total order, so file order IS sort order and a field-sorted
+        # top-k reader stops after k qualifying rows (plus any
+        # boundary ties), reading O(k) not O(corpus).  Parquet
+        # row-group min/max stats on sort_field double as the
+        # early-termination bound.  A SECOND copy of the attrs by
+        # design, exactly like Lucene: sorted segments cost write-side
+        # space to buy query-side early termination.
+        a = docs.select(
+            F.col(id_col).alias("doc_id"), *[F.col(c) for c in attr_cols])
+        s_sorted = (
+            a.repartitionByRange(n_part, F.desc_nulls_last(sort_field),
+                                 F.asc("doc_id"))
+            .sortWithinPartitions(F.desc_nulls_last(sort_field),
+                                  F.asc("doc_id")))
+        cat.write(SORTED_ATTRS_TABLE, s_sorted)
+        cat.write_small(SORTED_ATTRS_META, [(sort_field, 1)],
+                        "sort_field string, descending int")
+
     def _doc_store_fn():
         # stored-fields column family (the ES _source analog,
         # elastic.cr:224-233): doc_id + the configured fields, shard-
@@ -727,6 +765,10 @@ def build_index(
         jobs.append(_stage_job("doc_attrs", [DOC_ATTRS_TABLE], None, _doc_attrs_fn))
     if store_fields:
         jobs.append(_stage_job("doc_store", [DOC_STORE_TABLE], None, _doc_store_fn))
+    if sort_field:
+        jobs.append(_stage_job(
+            "attrs_sorted", [SORTED_ATTRS_TABLE, SORTED_ATTRS_META],
+            None, _attrs_sorted_fn))
     for bid, lo, hi in bounds:
         jobs.append(_stage_job(
             f"blocks_batch_{bid}", [_blocks_table(bid)],

@@ -83,6 +83,35 @@ _SERVE_POOL_SIZE = 0
 _SERVE_POOL_BROKEN = False
 
 
+def _sort_desc_id_asc(rows: list) -> None:
+    """In-place (key desc, doc_id asc) for [(key, doc_id)] — two stable
+    passes so any comparable key type works (no negation trick)."""
+    rows.sort(key=lambda t: t[1])
+    rows.sort(key=lambda t: t[0], reverse=True)
+
+
+def _fragment_max(frag, column: str):
+    """Max parquet row-group statistic of `column` across a fragment,
+    or None when stats are absent — the sorted-scan stop bound."""
+    md = frag.metadata
+    idx = None
+    best = None
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        if idx is None:
+            for j in range(row_group.num_columns):
+                if row_group.column(j).path_in_schema == column:
+                    idx = j
+                    break
+            if idx is None:
+                return None
+        st = row_group.column(idx).statistics
+        if st is None or not st.has_min_max:
+            return None
+        best = st.max if best is None else max(best, st.max)
+    return best
+
+
 def lev_capped(a: str, b: str, cap: int) -> int:
     """Plain Levenshtein (insert/delete/substitute, no transposition)
     with an early-exit cap — matches Spark's F.levenshtein, so the
@@ -883,6 +912,76 @@ class LocalSearcher:
         order = np.lexsort((tbl["term"].to_numpy(), -tbl["df"].to_numpy()))[:k]
         return [(str(tbl["term"].iloc[i]), int(tbl["df"].iloc[i]))
                 for i in order]
+
+    def sorted_topk(
+        self, sort_field: str, k: int = 10, *,
+        attr_filter: dict | None = None, stats: dict | None = None,
+    ) -> list[tuple[int, object, int]]:
+        """Early-terminating field-sorted top-k over the index-sorted
+        doc-values table (ES/Lucene index sorting: index.sort.field) —
+        [(doc_id, sort_value, rank)], descending, ties on doc_id asc.
+
+        The build laid the table out in GLOBAL (sort_field desc,
+        doc_id asc) order, so fragments are read in file order and the
+        scan STOPS as soon as k qualifying rows are in hand AND the
+        next fragment's parquet max-stat for sort_field is strictly
+        below the current kth key (ties can still displace on doc_id,
+        so equality keeps reading — a constant column degrades to a
+        full scan, correctly).  With an `attr_filter` (the shared flat
+        term/terms/range/exists spec) the filter is pushed into each
+        fragment read, and the kth key is tracked over FILTERED rows —
+        the stat bound stays sound because an unfiltered max is an
+        upper bound for the filtered one.  This is the O(k + skipped)
+        read Lucene buys with sorted segments; pass `stats={}` to get
+        {"fragments_read": n, "fragments_total": m} back for tests.
+        NULL sort keys sort last at build time and are never
+        returned."""
+        try:
+            meta_path = self.cat.data_path(ib.SORTED_ATTRS_META)
+            data_path = self.cat.data_path(ib.SORTED_ATTRS_TABLE)
+        except FileNotFoundError:
+            raise ValueError(
+                "sorted_topk requires an index-sorted attrs table — "
+                "build the index with sort_field=...") from None
+        meta = ds.dataset(meta_path).to_table().to_pylist()[0]
+        if meta["sort_field"] != sort_field:
+            raise ValueError(
+                f"index is sorted by {meta['sort_field']!r}, "
+                f"not {sort_field!r}")
+        if attr_filter and "nested" in attr_filter:
+            raise ValueError("sorted_topk supports flat filters only")
+        tfilter = filters.arrow_cond(attr_filter) if attr_filter else None
+        cols = [sort_field] + [c for c in (attr_filter or []) if c != sort_field]
+        dataset = ds.dataset(data_path)
+        frags = sorted(dataset.get_fragments(), key=lambda f: f.path)
+        k = int(k)
+        rows: list[tuple[object, int]] = []  # (key, doc_id), kept sorted
+        kth_key = None
+        n_read = 0
+        for frag in frags:
+            if kth_key is not None:
+                fmax = _fragment_max(frag, sort_field)
+                # strictly below the kth key: no row in this (or any
+                # later) fragment can enter the top k, even via ties
+                if fmax is not None and fmax < kth_key:
+                    break
+            tbl = frag.to_table(columns=["doc_id", *dict.fromkeys(cols)],
+                                filter=tfilter)
+            n_read += 1
+            keys = tbl[sort_field].to_pylist()
+            ids = tbl["doc_id"].to_pylist()
+            rows.extend((ky, d) for ky, d in zip(keys, ids)
+                        if ky is not None)
+            if len(rows) >= k:
+                _sort_desc_id_asc(rows)
+                rows = rows[:k]
+                kth_key = rows[-1][0]
+        if stats is not None:
+            stats["fragments_read"] = n_read
+            stats["fragments_total"] = len(frags)
+        _sort_desc_id_asc(rows)
+        rows = rows[:k]
+        return [(int(d), ky, i + 1) for i, (ky, d) in enumerate(rows)]
 
     def suggest_terms(
         self, text: str, *, max_edits: int = 1, size: int = 3,

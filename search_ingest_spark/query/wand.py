@@ -527,6 +527,34 @@ class Searcher:
             out = out.withColumn("score", F.round("score", round_to))
         return out
 
+    def sorted_topk(
+        self, sort_field: str, k: int = 10, *,
+        attr_filter: dict | None = None,
+    ) -> DataFrame:
+        """Field-sorted top-k (ES `sort` by a doc-values field,
+        descending, doc_id tie-break) on the Spark path: a
+        column-pruned doc_attrs scan + orderBy/limit, which Catalyst
+        executes as TakeOrdered — a per-partition k-heap, no full sort
+        ever materializes, so the plan is one scan at any corpus size.
+        The serving twin (LocalSearcher.sorted_topk) goes further and
+        early-terminates on the index-sorted table built with
+        sort_field=... — same rows, bitwise (integer/string fields).
+        NULL sort keys are never returned (ES: missing sorts last; a
+        top-k never reaches them).  (doc_id, sort_field, rank)."""
+        attrs = self.cat.read(ib.DOC_ATTRS_TABLE)
+        if attr_filter:
+            attrs = attrs.where(filters.spark_cond(attr_filter))
+        top = (
+            attrs.where(F.col(sort_field).isNotNull())
+            .select("doc_id", sort_field)
+            .orderBy(F.desc(sort_field), F.asc("doc_id"))
+            .limit(int(k))
+        )
+        from search_ingest_spark.ranking import ranked_desc
+
+        return ranked_desc(top, sort_field, "doc_id").select(
+            "doc_id", sort_field, "rank")
+
     def terms_set_topk(
         self, terms: list[str], msm_expr: str, msm_cols: list[str],
         k: int = 10, *, round_to: int = 4,

@@ -781,9 +781,12 @@ class PageIndexer:
             dict_frame.unpersist()
         # the url-keyed incremental pipeline carries no filterable attr
         # columns; a stale filter table is worse than none — drop it
-        # (a batch rebuild with attr_cols recreates it)
-        if cat.exists(ib.DOC_ATTRS_TABLE):
-            cat.drop(ib.DOC_ATTRS_TABLE)
+        # (a batch rebuild with attr_cols recreates it).  Same for the
+        # index-sorted copy: its global order is frozen at build time.
+        for t in (ib.DOC_ATTRS_TABLE, ib.SORTED_ATTRS_TABLE,
+                  ib.SORTED_ATTRS_META):
+            if cat.exists(t):
+                cat.drop(t)
         tokens_new.unpersist()
         return n_new_terms
 
