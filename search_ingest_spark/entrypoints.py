@@ -1297,6 +1297,46 @@ def _q_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       _AGG_QUERY, _ADJ)
 
 
+# ES rank_feature (saturation on n_chars) + distance_feature (on the
+# synthetic lat attr, origin 0°): additive bounded boosts over BM25;
+# the oracle replays lat's doc_id formula via field_sql.
+_FEATURES = [
+    {"function": "saturation", "field": "n_chars", "pivot": 250.0,
+     "boost": 2.0},
+    {"function": "distance", "field": "lat", "origin": 0.0, "pivot": 30.0,
+     # qualified: the oracle joins raw scores to documents d, so the
+     # bare doc_id of _LAT_SQL would be ambiguous there
+     "boost": 1.5, "field_sql": _LAT_SQL.replace("doc_id", "d.doc_id")},
+]
+
+
+@register("search_rank_feature_topk",
+          bm25.rank_feature_oracle_sql("spark query data", _FEATURES,
+                                       k=10))
+def _q_rank_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).rank_feature_topk(
+        "spark query data", _FEATURES, 10, round_to=4)
+
+
+# ES match_bool_prefix (search-as-you-type): all tokens as SHOULD
+# terms except the last, which matches as a capped prefix expansion.
+@register("bm25_match_bool_prefix",
+          bm25.match_bool_prefix_oracle_sql("spark qu", k=10,
+                                            max_expansions=8))
+def _q_match_bool_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).match_bool_prefix_topk(
+        "spark qu", 10, max_expansions=8, round_to=4)
+
+
+@register("bm25_match_bool_prefix_local",
+          bm25.match_bool_prefix_oracle_sql("spark qu", k=10,
+                                            max_expansions=8))
+def _q_match_bool_prefix_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    got = _local_searcher(spark, sf_dir).match_bool_prefix_topk(
+        "spark qu", 10, max_expansions=8, round_to=4)
+    return spark.createDataFrame(got, "doc_id long, score double, rank int")
+
+
 # ES terms_set: match ≥ M of the terms where M is PER-DOCUMENT
 # (minimum_should_match_field analog — here an expression over
 # n_chars, values 1..3), scored as a plain BM25 OR over matched terms.

@@ -1319,3 +1319,200 @@ SELECT doc_id, score, n_matched,
        row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
 FROM topk
 """.strip()
+
+
+def match_bool_prefix_oracle_sql(
+    text: str,
+    k: int = 10,
+    *,
+    max_expansions: int = 50,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 4,
+) -> str:
+    """DuckDB replay of Searcher.match_bool_prefix_topk: q-set = the
+    exact tokens (all but the last) UNION the last token's capped
+    prefix expansion (df desc, term asc — plan_prefix's deterministic
+    rewrite), deduped, scored as a plain OR with per-term idf."""
+    tokens = analyze_query(text, mode="simple")
+    if not tokens:
+        raise ValueError("empty query after analysis")
+    last = tokens[-1].replace("'", "''")
+    hi = (tokens[-1][:-1] + chr(ord(tokens[-1][-1]) + 1)).replace("'", "''")
+    exact = sorted(set(tokens[:-1]))
+    exact_cte = (
+        "exact(term) AS (VALUES "
+        + ", ".join("('" + t.replace("'", "''") + "')" for t in exact)
+        + "),"
+        if exact else "exact(term) AS (SELECT NULL WHERE FALSE),"
+    )
+    return f"""
+WITH toks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS term
+  FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*)::INT AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*)::BIGINT AS n_docs, avg(dl)::DOUBLE AS avgdl FROM dl),
+vocab AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+{exact_cte}
+expd AS (
+  SELECT term FROM vocab
+  WHERE term >= '{last}' AND term < '{hi}'
+  ORDER BY df DESC, term ASC
+  LIMIT {int(max_expansions)}
+),
+qterms AS (SELECT term FROM exact UNION SELECT term FROM expd),
+dfreq AS (SELECT v.term, v.df FROM vocab v JOIN qterms USING (term)),
+scores AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score_raw
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT doc_id, round(score_raw, {round_to})::DOUBLE AS score
+  FROM scores
+  ORDER BY score DESC, doc_id ASC
+  LIMIT {int(k)}
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM topk
+""".strip()
+
+
+# -- rank_feature / distance_feature --------------------------------------------
+# ES's feature-boost family: additive SHOULD-clause contributions from
+# numeric doc-values, each a bounded monotone transform.  One spec,
+# two compilers (the filters.py pattern): feature_contrib_col renders a
+# pyspark Column over the doc_attrs row, feature_contrib_sql the
+# identical DuckDB expression over the raw-table row — same literals,
+# same operation order, so the float chains agree.
+#
+#   {"function": "saturation", "field": c, "pivot": p, "boost": b}
+#       b * x / (x + p)                 (rank_feature default)
+#   {"function": "log", "field": c, "scaling_factor": s, "boost": b}
+#       b * ln(1 + s·x)
+#   {"function": "sigmoid", "field": c, "pivot": p, "exponent": e,
+#    "boost": b}
+#       b * x^e / (x^e + p^e)           (p^e folded in Python once,
+#                                        the same literal both sides)
+#   {"function": "distance", "field": c, "origin": o, "pivot": p,
+#    "boost": b}
+#       b * p / (p + |x − o|)           (distance_feature)
+#
+# A NULL feature value contributes 0 — ES: the clause simply doesn't
+# match, and a should clause that doesn't match adds nothing.
+
+_FEATURE_KINDS = ("saturation", "log", "sigmoid", "distance")
+
+
+def _check_feature(spec: dict) -> None:
+    kind = spec.get("function")
+    if kind not in _FEATURE_KINDS:
+        raise ValueError(
+            f"feature function must be one of {_FEATURE_KINDS}, "
+            f"got {kind!r}")
+    if "field" not in spec:
+        raise ValueError(f"feature spec needs a field: {spec!r}")
+    need = {"saturation": ["pivot"], "log": ["scaling_factor"],
+            "sigmoid": ["pivot", "exponent"],
+            "distance": ["origin", "pivot"]}[kind]
+    for key in need:
+        if key not in spec:
+            raise ValueError(f"{kind} feature needs {key!r}: {spec!r}")
+
+
+def feature_contrib_col(spec: dict):
+    """pyspark Column: this feature's additive score contribution."""
+    from pyspark.sql import functions as F
+
+    _check_feature(spec)
+    x = F.col(spec["field"]).cast("double")
+    b = float(spec.get("boost", 1.0))
+    kind = spec["function"]
+    if kind == "saturation":
+        c = x / (x + F.lit(float(spec["pivot"])))
+    elif kind == "log":
+        c = F.log1p(F.lit(float(spec["scaling_factor"])) * x)
+    elif kind == "sigmoid":
+        e = float(spec["exponent"])
+        pe = float(spec["pivot"]) ** e
+        c = F.pow(x, F.lit(e)) / (F.pow(x, F.lit(e)) + F.lit(pe))
+    else:  # distance
+        o, p = float(spec["origin"]), float(spec["pivot"])
+        c = F.lit(p) / (F.lit(p) + F.abs(x - F.lit(o)))
+    return F.coalesce(F.lit(b) * c, F.lit(0.0))
+
+
+def feature_contrib_sql(spec: dict, *, ref: str = "d.") -> str:
+    """DuckDB rendering of feature_contrib_col, same operation order.
+    `field_sql` in the spec overrides the column reference (synthetic
+    attrs replayed as doc_id formulas on the raw table)."""
+    _check_feature(spec)
+    x = f"({spec.get('field_sql', ref + spec['field'])})::DOUBLE"
+    b = float(spec.get("boost", 1.0))
+    kind = spec["function"]
+    if kind == "saturation":
+        c = f"{x} / ({x} + {float(spec['pivot'])!r})"
+    elif kind == "log":
+        c = f"ln(1.0 + {float(spec['scaling_factor'])!r} * {x})"
+    elif kind == "sigmoid":
+        e = float(spec["exponent"])
+        pe = float(spec["pivot"]) ** e
+        c = f"pow({x}, {e!r}) / (pow({x}, {e!r}) + {pe!r})"
+    else:  # distance
+        o, p = float(spec["origin"]), float(spec["pivot"])
+        c = f"{p!r} / ({p!r} + abs({x} - {o!r}))"
+    return f"coalesce({b!r} * ({c}), 0.0)"
+
+
+def rank_feature_oracle_sql(
+    query_text: str,
+    features: list[dict],
+    k: int = 10,
+    *,
+    round_to: int = 4,
+) -> str:
+    """DuckDB replay of Searcher.rank_feature_topk: full-corpus BM25
+    per matching doc plus the sum of feature contributions, rounded at
+    the very end like the engine."""
+    contribs = " + ".join(feature_contrib_sql(f) for f in features)
+    return f"""
+WITH {bm25_scores_cte(query_text, round_to=round_to)},
+raw AS (
+  SELECT tf.doc_id,
+         sum(
+           ln(1.0 + (stats.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * ({K1} + 1.0)
+           / (tf.tf + {K1} * (1.0 - {B} + {B} * dl.dl / stats.avgdl))
+         ) AS score_raw
+  FROM tf
+  JOIN dfreq USING (term)
+  JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  WHERE tf.term IN (SELECT term FROM q)
+  GROUP BY tf.doc_id
+),
+topk AS (
+  SELECT raw.doc_id,
+         round(raw.score_raw + ({contribs}), {int(round_to)})::DOUBLE
+           AS score
+  FROM raw JOIN documents d ON d.doc_id = raw.doc_id
+  ORDER BY score DESC, raw.doc_id ASC
+  LIMIT {int(k)}
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM topk
+""".strip()

@@ -419,6 +419,24 @@ class LocalSearcher:
             return []
         return self._topk_from_idf(idf, k, round_to=round_to)
 
+    def match_bool_prefix_topk(
+        self, text: str, k: int = 10, *, max_expansions: int = 50,
+        round_to: int | None = None,
+    ) -> list[tuple[int, float, int]]:
+        """ES `match_bool_prefix` on the serving path — bitwise
+        identical to Searcher.match_bool_prefix_topk (same exact∪prefix
+        idf union, same kernel)."""
+        tokens = analyze_query(text, mode=self.mode)
+        if not tokens:
+            return []
+        idf: dict[int, float] = {}
+        if len(tokens) > 1:
+            idf.update(self.plan(" ".join(tokens[:-1])))
+        idf.update(self.plan_prefix(tokens[-1], max_expansions))
+        if not idf:
+            return []
+        return self._topk_from_idf(idf, int(k), round_to=round_to)
+
     def plan_wildcard(self, pattern: str,
                       max_expansions: int = 50) -> dict[int, float]:
         """ES `wildcard` expansion over the pyarrow dictionary —

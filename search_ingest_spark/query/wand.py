@@ -354,6 +354,29 @@ class Searcher:
 
         return ranked_desc(topk, "score", "doc_id")
 
+    def match_bool_prefix_topk(
+        self, text: str, k: int = 10, *, max_expansions: int = 50,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES `match_bool_prefix` (the search-as-you-type query): every
+        analyzed token is a SHOULD term except the LAST, which matches
+        as a prefix — "spark qu" finds docs with 'spark' or any
+        'qu…' term while the user is still typing.  The plan is the
+        UNION of the exact-term idf map and the capped prefix
+        expansion (dedup by term — a term can be both exact and
+        expanded), fed to the unchanged OR kernel; like every
+        dictionary-expansion query each expanded term scores with its
+        own idf.  (doc_id, score, rank)."""
+        tokens = analyze_query(text, mode=self.mode)
+        if not tokens:
+            return self.spark.createDataFrame(
+                [], "doc_id long, score double, rank int")
+        idf: dict[int, float] = {}
+        if len(tokens) > 1:
+            idf.update(self.plan(" ".join(tokens[:-1])))
+        idf.update(self.plan_prefix(tokens[-1], max_expansions))
+        return self._topk_expanded(idf, int(k), round_to)
+
     # -- fuzzy execution ------------------------------------------------------
     def plan_fuzzy(self, query_text: str, fuzziness: int = 1) -> dict[int, float]:
         """term_id → idf over every dictionary term within `fuzziness`
@@ -635,6 +658,42 @@ class Searcher:
         if round_to is not None:
             out = out.withColumn("score", F.round("score", round_to))
         topk = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        from search_ingest_spark.ranking import ranked_desc
+
+        return ranked_desc(topk, "score", "doc_id")
+
+    def rank_feature_topk(
+        self, query_text: str, features: list[dict], k: int = 10, *,
+        round_to: int | None = None,
+    ) -> DataFrame:
+        """ES `rank_feature` / `distance_feature` SHOULD clauses: the
+        BM25 score plus additive, bounded, monotone feature boosts from
+        numeric doc-values (saturation / log / sigmoid / distance —
+        bm25.feature_contrib_col, the dual-compiled spec shared with
+        the oracle).  NULL feature values contribute 0 (the clause
+        "doesn't match").
+
+        Boosts can reorder arbitrarily, so this rides
+        all_matching_scores (full matching set, pruned postings scan)
+        + ONE doc_attrs join carrying only the feature columns, then
+        TakeOrdered — the function_score plan shape.
+        (doc_id, score, rank)."""
+        if not features:
+            raise ValueError("rank_feature_topk needs ≥1 feature spec")
+        from search_ingest_spark.query.bm25 import feature_contrib_col
+
+        contrib = None
+        for spec in features:
+            c = feature_contrib_col(spec)
+            contrib = c if contrib is None else contrib + c
+        cols = list(dict.fromkeys(f["field"] for f in features))
+        scored = self.all_matching_scores(query_text)
+        attrs = self.cat.read(ib.DOC_ATTRS_TABLE).select("doc_id", *cols)
+        out = scored.join(attrs, "doc_id").select(
+            "doc_id", (F.col("score") + contrib).alias("score"))
+        if round_to is not None:
+            out = out.withColumn("score", F.round("score", round_to))
+        topk = out.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
         from search_ingest_spark.ranking import ranked_desc
 
         return ranked_desc(topk, "score", "doc_id")

@@ -826,3 +826,113 @@ class TestRescore:
             rescore_topk(Searcher(spark, built_pos),
                          PhraseSearcher(spark, built_pos),
                          "x", "y", 10, window_size=5)
+
+
+class TestMatchBoolPrefix:
+    def test_matches_oracle(self, spark, built):
+        from search_ingest_spark.query.wand import Searcher
+
+        got = [tuple(r) for r in Searcher(spark, built)
+               .match_bool_prefix_topk("spark qu", 10, max_expansions=8,
+                                       round_to=4).collect()]
+        want = _oracle(bm25.match_bool_prefix_oracle_sql(
+            "spark qu", k=10, max_expansions=8))
+        assert got == want and len(got) == 10
+
+    def test_local_matches_spark_path_bitwise(self, spark, built):
+        from search_ingest_spark.query.reader import LocalSearcher
+        from search_ingest_spark.query.wand import Searcher
+
+        s = Searcher(spark, built)
+        ls = LocalSearcher(built)
+        for text in ("spark qu", "da", "customer ord", "zz qq"):
+            spark_side = [tuple(r) for r in s.match_bool_prefix_topk(
+                text, 10, max_expansions=8, round_to=4).collect()]
+            local_side = ls.match_bool_prefix_topk(
+                text, 10, max_expansions=8, round_to=4)
+            assert local_side == spark_side, text
+
+    def test_single_token_equals_prefix_query(self, spark, built):
+        # with one token there are no exact terms: pure prefix query
+        from search_ingest_spark.query.wand import Searcher
+
+        s = Searcher(spark, built)
+        a = [tuple(r) for r in s.match_bool_prefix_topk(
+            "qu", 10, max_expansions=8, round_to=4).collect()]
+        b = [tuple(r) for r in s.topk_prefix(
+            "qu", 10, max_expansions=8, round_to=4).collect()]
+        assert a == b and len(a) > 0
+
+    def test_exact_term_in_expansion_not_double_counted(self, spark, built):
+        # 'data' is both an exact term AND its own prefix expansion:
+        # "data data" (exact 'data' + prefix 'data') must score like
+        # the plain query 'data' — the idf union dedupes by term
+        from search_ingest_spark.query.wand import Searcher
+
+        s = Searcher(spark, built)
+        a = [tuple(r) for r in s.match_bool_prefix_topk(
+            "data datazz", 10, round_to=4).collect()]
+        b = [tuple(r) for r in s.topk("data", 10, round_to=4).collect()]
+        assert a == b  # 'datazz' expands to nothing at sf0.001
+
+
+class TestRankFeature:
+    FEATURES = [
+        {"function": "saturation", "field": "n_chars", "pivot": 250.0,
+         "boost": 2.0},
+        {"function": "log", "field": "n_chars", "scaling_factor": 0.01,
+         "boost": 0.5},
+    ]
+
+    def test_matches_oracle(self, spark, built_attrs):
+        from search_ingest_spark.query.wand import Searcher
+
+        got = [tuple(r) for r in Searcher(spark, built_attrs)
+               .rank_feature_topk("spark query data", self.FEATURES, 10,
+                                  round_to=4).collect()]
+        want = _oracle(bm25.rank_feature_oracle_sql(
+            "spark query data", self.FEATURES, k=10))
+        assert got == want and len(got) == 10
+
+    def test_contributions_are_bounded(self, spark, built_attrs):
+        # saturation and sigmoid are ≤ boost; distance ≤ boost — the
+        # boosted score can exceed plain BM25 by at most Σ boosts
+        from search_ingest_spark.query.wand import Searcher
+
+        s = Searcher(spark, built_attrs)
+        plain = {r["doc_id"]: r["score"] for r in
+                 s.all_matching_scores("spark query data",
+                                       round_to=4).collect()}
+        feats = [{"function": "saturation", "field": "n_chars",
+                  "pivot": 100.0, "boost": 3.0},
+                 {"function": "distance", "field": "n_chars",
+                  "origin": 200.0, "pivot": 50.0, "boost": 2.0}]
+        boosted = s.rank_feature_topk("spark query data", feats, 10**6)
+        for r in boosted.collect():
+            assert plain[r["doc_id"]] - 1e-6 <= r["score"] \
+                <= plain[r["doc_id"]] + 5.0 + 1e-6
+
+    def test_sigmoid_and_distance_match_oracle(self, spark, built_attrs):
+        from search_ingest_spark.query.wand import Searcher
+
+        feats = [{"function": "sigmoid", "field": "n_chars",
+                  "pivot": 200.0, "exponent": 2.0, "boost": 1.0},
+                 {"function": "distance", "field": "n_chars",
+                  "origin": 300.0, "pivot": 100.0, "boost": 2.0}]
+        got = [tuple(r) for r in Searcher(spark, built_attrs)
+               .rank_feature_topk("data", feats, 10, round_to=4).collect()]
+        want = _oracle(bm25.rank_feature_oracle_sql("data", feats, k=10))
+        assert got == want
+
+    def test_bad_specs_rejected(self, spark, built_attrs):
+        from search_ingest_spark.query.wand import Searcher
+
+        s = Searcher(spark, built_attrs)
+        with pytest.raises(ValueError, match="feature function"):
+            s.rank_feature_topk("data", [{"function": "huh",
+                                          "field": "n_chars"}], 5)
+        with pytest.raises(ValueError, match="needs 'pivot'"):
+            s.rank_feature_topk("data", [{"function": "saturation",
+                                          "field": "n_chars"}], 5)
+        with pytest.raises(ValueError, match="≥1 feature"):
+            s.rank_feature_topk("data", [], 5)
