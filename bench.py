@@ -203,7 +203,10 @@ def scaling_phase(tmp: str) -> dict:
         out[f"local{cores}_sec"] = round(best, 2)
         out[f"local{cores}_walls"] = [round(w, 2) for w in walls[cores]]
         out[f"local{cores}_docs_per_sec"] = round(n_docs / best, 1)
-    out["_index_dir"] = os.path.join(tmp, f"idx_{hi}_1")
+    # the hi-level index of the LAST rep actually run (rep count is
+    # configurable; a hardcoded rep 1 broke single-rep smoke runs)
+    out["_index_dir"] = os.path.join(tmp, f"idx_{hi}_{SCALING_REPS - 1}")
+    out["_corpus_dir"] = corpus_path
     ratio = out[f"local{hi}_docs_per_sec"] / out[f"local{lo}_docs_per_sec"]
     out["cores_low"], out["cores_high"] = lo, hi
     out["speedup"] = round(ratio, 3)
@@ -438,6 +441,50 @@ def query_phase(tmp: str, scaling: dict | None) -> dict:
                 lat3.append(time.time() - t0)
         lat3.sort()
         queries["wand_local_bigcorpus_p95"] = round(lat3[int(len(lat3) * 0.95) - 1], 4)
+
+    # index-sorted doc-values at 1.2M docs: write the sorted copy into
+    # the big index, then field-sorted top-10 via the early-terminating
+    # reader vs the full-scan TakeOrdered a reader without index
+    # sorting would pay on the SAME table
+    if scaling and scaling.get("_index_dir") and scaling.get("_corpus_dir"):
+        import numpy as _np
+        import pyarrow.dataset as _ds
+        from pyspark.sql import functions as F
+
+        from search_ingest_spark.index import build as _ib
+
+        cat_big = Catalog(spark, scaling["_index_dir"])
+        docs_big = spark.read.parquet(scaling["_corpus_dir"])
+        a = docs_big.select(
+            "doc_id", F.length("text").alias("n_chars"))
+        t0 = time.time()
+        cat_big.write(
+            _ib.SORTED_ATTRS_TABLE,
+            a.repartitionByRange(64, F.desc_nulls_last("n_chars"),
+                                 F.asc("doc_id"))
+            .sortWithinPartitions(F.desc_nulls_last("n_chars"),
+                                  F.asc("doc_id")))
+        cat_big.write_small(_ib.SORTED_ATTRS_META, [("n_chars", 1)],
+                            "sort_field string, descending int")
+        queries["index_sort_attrs_sec"] = round(time.time() - t0, 3)
+        ls2 = LocalSearcher(cat_big)
+        st: dict = {}
+        ls2.sorted_topk("n_chars", 10, stats=st)  # warm
+        lat4 = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            ls2.sorted_topk("n_chars", 10)
+            lat4.append(time.time() - t0)
+        queries["sorted_topk_local_p50"] = round(statistics.median(lat4), 4)
+        queries["sorted_topk_frags_read"] = st["fragments_read"]
+        queries["sorted_topk_frags_total"] = st["fragments_total"]
+        t0 = time.time()
+        tbl = _ds.dataset(cat_big.data_path(_ib.SORTED_ATTRS_TABLE)) \
+            .to_table(columns=["doc_id", "n_chars"])
+        nc = tbl["n_chars"].to_numpy()
+        di = tbl["doc_id"].to_numpy()
+        _np.lexsort((di, -nc))[:10]
+        queries["sorted_topk_fullscan_sec"] = round(time.time() - t0, 4)
     _stop(spark)
     return queries
 

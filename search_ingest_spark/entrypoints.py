@@ -1297,6 +1297,49 @@ def _q_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       _AGG_QUERY, _ADJ)
 
 
+# ES percentile_ranks: % of hit values ≤ each threshold — the inverse
+# of the percentiles agg, exact conditional sums.
+@register("search_percentile_ranks",
+          _aggs.percentile_ranks_oracle_sql(_AGG_QUERY, "n_chars",
+                                            [150.0, 300.0, 450.0]))
+def _q_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggs.percentile_ranks(_searcher(spark, sf_dir), _AGG_QUERY,
+                                  "n_chars", [150.0, 300.0, 450.0])
+
+
+# ES _count API: the hit set reduced to one number, no scoring.
+@register("search_count", _aggs.match_count_oracle_sql(_AGG_QUERY))
+def _q_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggs.match_count(_searcher(spark, sf_dir), _AGG_QUERY)
+
+
+# ES _termvectors: one doc's (term, tf, df) — _source re-analyzed on
+# the fly exactly like ES when term vectors aren't stored.
+_TV_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks
+          GROUP BY 1)
+SELECT tf.term, tf.tf, vocab.df
+FROM tf JOIN vocab USING (term)
+WHERE tf.doc_id = 42
+""".strip()
+
+
+@register("search_termvectors", _TV_ORACLE)
+def _q_termvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).termvectors(42)
+
+
+@register("search_termvectors_local", _TV_ORACLE)
+def _q_termvectors_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _local_searcher(spark, sf_dir).termvectors(42)
+    return spark.createDataFrame(rows, "term string, tf int, df long")
+
+
 # ES rank_feature (saturation on n_chars) + distance_feature (on the
 # synthetic lat attr, origin 0°): additive bounded boosts over BM25;
 # the oracle replays lat's doc_id formula via field_sql.

@@ -839,3 +839,63 @@ SELECT {field}, doc_id, score,
        row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
 FROM topk
 """.strip()
+
+
+# -- percentile_ranks -----------------------------------------------------------
+
+def percentile_ranks(searcher, query_text: str, field: str,
+                     thresholds: list[float], *,
+                     round_to: int = 4) -> DataFrame:
+    """ES `percentile_ranks`: for each threshold, the percentage of
+    hit values ≤ it — the inverse of the percentiles agg.  Exact form
+    (ES's TDigest answers the same question approximately; at 100 TB
+    each rank is one conditional sum, map-side combinable — there is
+    no reason to sketch a COUNT).  One pass, one stack.
+    (threshold, pct_rank)."""
+    if not thresholds:
+        raise ValueError("percentile_ranks needs ≥1 threshold")
+    df = _hit_attrs(searcher, query_text, [field])
+    sums = [
+        (F.lit(100.0)
+         * F.sum(F.when(F.col(field) <= F.lit(float(t)), 1).otherwise(0))
+         .cast("double") / F.count("*").cast("double")).alias(f"_p{i}")
+        for i, t in enumerate(thresholds)
+    ]
+    one = df.agg(*sums)
+    stack = ", ".join(
+        f"CAST({float(t)!r} AS DOUBLE), round(_p{i}, {int(round_to)})"
+        for i, t in enumerate(thresholds))
+    return one.select(
+        F.expr(f"stack({len(thresholds)}, {stack})")
+        .alias("threshold", "pct_rank"))
+
+
+def percentile_ranks_oracle_sql(query_text: str, field: str,
+                                thresholds: list[float], *,
+                                round_to: int = 4) -> str:
+    arms = [
+        f"SELECT {float(t)!r}::DOUBLE AS threshold,\n"
+        f"       round(100.0 * sum(CASE WHEN d.{field} <= {float(t)!r} "
+        f"THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE, "
+        f"{int(round_to)})::DOUBLE AS pct_rank\n"
+        f"FROM documents d JOIN hits USING (doc_id)"
+        for t in thresholds
+    ]
+    body = "\nUNION ALL\n".join(arms)
+    return f"WITH {hits_cte(query_text)}\n{body}".strip()
+
+
+# -- _count ---------------------------------------------------------------------
+
+def match_count(searcher, query_text: str) -> DataFrame:
+    """ES `_count` API: how many docs match — the hit set reduced to
+    one number, no scoring, no fetch.  (n_hits)."""
+    return searcher.matching_doc_ids(query_text).agg(
+        F.count("*").alias("n_hits"))
+
+
+def match_count_oracle_sql(query_text: str) -> str:
+    return f"""
+WITH {hits_cte(query_text)}
+SELECT count(*)::BIGINT AS n_hits FROM hits
+""".strip()

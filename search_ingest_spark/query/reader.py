@@ -909,6 +909,33 @@ class LocalSearcher:
                         "snippet": text[start - 1 : start - 1 + 80]})
         return out
 
+    def termvectors(self, doc_id: int) -> list[tuple[str, int, int]]:
+        """Spark-free ES `_termvectors` — [(term, tf, df)] identical to
+        Searcher.termvectors (same re-analyze of the stored _source,
+        same pruned dictionary probe; all fields integer/string so
+        equality is exact)."""
+        from collections import Counter
+
+        try:
+            got = self.fetch([int(doc_id)], fields=["text"])
+        except FileNotFoundError:
+            raise ValueError(
+                "termvectors requires a doc store — build the index "
+                "with store_fields including the text column") from None
+        if int(doc_id) not in got:
+            raise ValueError(f"doc {doc_id} not found in doc_store")
+        tf = Counter(analyze_query(got[int(doc_id)]["text"],
+                                   mode=self.mode))
+        if not tf:
+            return []
+        tbl = self._dict.to_table(
+            columns=["term", "df"],
+            filter=pc.field("term").isin(sorted(tf)))
+        dfm = {t: int(d) for t, d in zip(tbl["term"].to_pylist(),
+                                         tbl["df"].to_pylist())}
+        return [(t, int(c), dfm[t]) for t, c in sorted(tf.items())
+                if t in dfm]
+
     # -- completion suggester -------------------------------------------------
     def suggest(self, prefix: str, k: int = 10) -> list[tuple[str, int]]:
         """[(term, df)] — prefix completion over the term-sorted

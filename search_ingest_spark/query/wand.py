@@ -662,6 +662,36 @@ class Searcher:
 
         return ranked_desc(topk, "score", "doc_id")
 
+    def termvectors(self, doc_id: int) -> DataFrame:
+        """ES `_termvectors` for one doc: (term, tf, df) of every term
+        the doc contains.  Like ES when term vectors aren't stored,
+        the doc's _source is re-analyzed on the fly — ONE doc_store
+        point-read (doc_id predicate reaches the shard-partitioned,
+        doc-sorted parquet scan), a driver-side analyze of that single
+        text (bounded, the more_like_this pattern), and a pruned
+        In(term) dictionary probe for the dfs."""
+        if not self.cat.exists(ib.DOC_STORE_TABLE):
+            raise ValueError(
+                "termvectors requires a doc store — build the index "
+                "with store_fields including the text column")
+        from collections import Counter
+
+        row = (self.cat.read(ib.DOC_STORE_TABLE)
+               .where(F.col("doc_id") == int(doc_id))
+               .select("text").collect())
+        if not row:
+            raise ValueError(f"doc {doc_id} not found in doc_store")
+        tf = Counter(analyze_query(row[0]["text"], mode=self.mode))
+        out_schema = "term string, tf int"
+        if not tf:
+            return self.spark.createDataFrame([], out_schema + ", df long")
+        tf_df = self.spark.createDataFrame(
+            sorted(tf.items()), out_schema)
+        dict_df = self.term_dict.where(
+            F.col("term").isin(list(tf))).select("term", "df")
+        return tf_df.join(F.broadcast(dict_df), "term").select(
+            "term", "tf", F.col("df").cast("long").alias("df"))
+
     def rank_feature_topk(
         self, query_text: str, features: list[dict], k: int = 10, *,
         round_to: int | None = None,

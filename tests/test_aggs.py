@@ -624,3 +624,75 @@ class TestGeoDistanceRings:
             aggs.geo_distance_agg(searcher, Q, 0.0, 0.0, [500.0, 100.0])
         with pytest.raises(ValueError):
             aggs.geo_distance_agg(searcher, Q, 0.0, 0.0, [])
+
+
+class TestPercentileRanks:
+    def test_matches_oracle(self, searcher):
+        got = _rows(aggs.percentile_ranks(searcher, Q, "n_chars",
+                                          [150.0, 300.0, 450.0]),
+                    "threshold", "pct_rank")
+        want = sorted(_oracle(aggs.percentile_ranks_oracle_sql(
+            Q, "n_chars", [150.0, 300.0, 450.0])))
+        assert got == want and len(got) == 3
+
+    def test_monotone_and_bounded(self, searcher):
+        rows = _rows(aggs.percentile_ranks(searcher, Q, "n_chars",
+                                           [100.0, 200.0, 400.0, 1e9]),
+                     "threshold", "pct_rank")
+        ranks = [r for _, r in rows]
+        assert ranks == sorted(ranks)
+        assert all(0.0 <= r <= 100.0 for r in ranks)
+        assert ranks[-1] == 100.0  # everything is ≤ 1e9
+
+    def test_empty_thresholds_rejected(self, searcher):
+        with pytest.raises(ValueError):
+            aggs.percentile_ranks(searcher, Q, "n_chars", [])
+
+
+class TestMatchCount:
+    def test_matches_oracle(self, searcher):
+        got = _rows(aggs.match_count(searcher, Q), "n_hits")
+        want = sorted(_oracle(aggs.match_count_oracle_sql(Q)))
+        assert got == want
+
+    def test_equals_hit_set_count(self, searcher):
+        n = aggs.match_count(searcher, Q).collect()[0]["n_hits"]
+        assert n == searcher.matching_doc_ids(Q).count() > 0
+
+
+class TestTermvectors:
+    def test_matches_oracle(self, searcher):
+        got = _rows(searcher.termvectors(7), "term", "tf", "df")
+        want = sorted(_oracle("""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks GROUP BY 1, 2),
+vocab AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks
+          GROUP BY 1)
+SELECT tf.term, tf.tf, vocab.df FROM tf JOIN vocab USING (term)
+WHERE tf.doc_id = 7"""))
+        assert got == want and len(got) > 3
+
+    def test_local_matches_spark_path(self, spark, searcher, built):
+        from search_ingest_spark.query.reader import LocalSearcher
+
+        ls = LocalSearcher(built)
+        for d in (0, 7, 42):
+            spark_side = sorted(tuple(r) for r in
+                                searcher.termvectors(d).collect())
+            assert sorted(ls.termvectors(d)) == spark_side, d
+
+    def test_tf_sums_to_dl(self, searcher, built):
+        # Σ tf over the doc's termvector = the doc's length in doc_lens
+        from search_ingest_spark.index import build as ib2
+
+        tv = searcher.termvectors(11).collect()
+        dl = (searcher.cat.read(ib2.DOC_LENS_TABLE)
+              .where(F.col("doc_id") == 11).collect()[0]["dl"])
+        assert sum(r["tf"] for r in tv) == dl
+
+    def test_missing_doc_rejected(self, searcher):
+        with pytest.raises(ValueError, match="not found"):
+            searcher.termvectors(10**9)
