@@ -2847,6 +2847,49 @@ def _q_events_rate(spark, sf_dir):
     )
 
 
+# At-least-once replay dedup (streaming/stats.dedup_replays) in its
+# batch reconciliation form: the events table unioned with a
+# deterministic replayed subset (every 10th id re-delivered an hour
+# late) collapses back to one EARLIEST row per event id — the struct
+# minimum replays exactly in DuckDB.  Epoch-second ts keeps the
+# comparison tz-proof; the streaming twin
+# (dropDuplicatesWithinWatermark) is covered in test_streaming_stats.
+_REPLAY_INNER = """
+SELECT event_id, ts, event_type, value FROM events
+UNION ALL
+SELECT event_id, ts + INTERVAL 1 HOUR, event_type, value
+FROM events WHERE event_id % 10 = 3
+""".strip()
+
+
+@register(
+    "events_dedup_replays",
+    f"""
+WITH ev AS ({_REPLAY_INNER}),
+won AS (
+  SELECT event_id,
+         min(struct_pack(ts := ts, event_type := event_type,
+                         value := value)) AS _w
+  FROM ev GROUP BY 1
+)
+SELECT event_id, floor(epoch(_w.ts))::BIGINT AS ts_epoch,
+       _w.event_type AS event_type, _w.value AS value
+FROM won
+""".strip(),
+)
+def _q_dedup_replays(spark, sf_dir):
+    from search_ingest_spark.streaming.stats import dedup_replays
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "event_type", "value")
+    replay = (ev.where(F.col("event_id") % 10 == 3)
+              .withColumn("ts", F.col("ts") + F.expr("INTERVAL 1 HOUR")))
+    return dedup_replays(ev.unionAll(replay)).select(
+        "event_id",
+        F.unix_timestamp("ts").cast("long").alias("ts_epoch"),
+        "event_type", "value")
+
+
 # Gap-based sessionization over the events stream (session_window, the
 # merge-while-overlapping dynamic window).  Batch form for oracle duty;
 # the same function takes a streaming frame + watermark.  Epoch-second

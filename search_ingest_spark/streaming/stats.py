@@ -155,3 +155,54 @@ def sessionize(
             F.col(key_col), "n_events",
         )
     )
+
+
+def dedup_replays(
+    events: DataFrame, *, id_col: str = "event_id", ts_col: str = "ts",
+    watermark: str | None = None,
+) -> DataFrame:
+    """At-least-once delivery dedup: ONE row per event id.
+
+    Batch form (watermark=None, driver-oracle duty): the EARLIEST
+    occurrence wins, deterministically — min over the full row struct
+    ordered (ts, remaining columns), so even exact-ts replays with
+    differing payloads resolve identically in both engines.  One
+    map-side-combinable aggregate; the shuffle carries one row per id.
+
+    Streaming form (pass `watermark`): Spark's
+    dropDuplicatesWithinWatermark(id_col) — keeps the FIRST-ARRIVING
+    row and expires per-id state past the watermark, which is what
+    bounds state at 10^12 events (documented divergence from the batch
+    form: arrival order wins, not event time — the standard streaming
+    trade; the batch twin is the reconciliation pass).
+    """
+    if watermark is not None:
+        return (events.withWatermark(ts_col, watermark)
+                .dropDuplicatesWithinWatermark([id_col]))
+    others = [c for c in events.columns if c not in (id_col, ts_col)]
+    win = F.min(F.struct(F.col(ts_col), *[F.col(c) for c in others]))
+    return (
+        events.groupBy(id_col)
+        .agg(win.alias("_w"))
+        .select(id_col, F.col(f"_w.{ts_col}").alias(ts_col),
+                *[F.col(f"_w.{c}").alias(c) for c in others])
+    )
+
+
+def dedup_replays_oracle_sql(
+    inner_sql: str, *, id_col: str = "event_id", ts_col: str = "ts",
+    other_cols: list[str] | None = None,
+) -> str:
+    """DuckDB replay of the batch form over any event-producing SELECT:
+    the same lexicographic (ts, other columns) struct minimum."""
+    others = other_cols or []
+    struct = ", ".join(f"{c} := {c}" for c in [ts_col, *others])
+    sel = ", ".join(f"_w.{c} AS {c}" for c in [ts_col, *others])
+    return f"""
+WITH ev AS ({inner_sql}),
+won AS (
+  SELECT {id_col}, min(struct_pack({struct})) AS _w
+  FROM ev GROUP BY 1
+)
+SELECT {id_col}, {sel} FROM won
+""".strip()

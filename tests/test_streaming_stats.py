@@ -247,3 +247,66 @@ class TestSessionize:
                       sessionize(self._events(spark),
                                  gap="30 minutes").collect())
         assert got == want
+
+
+class TestDedupReplays:
+    EV_DDL = "event_id long, ts timestamp, event_type string, value double"
+
+    def _events(self, spark):
+        return spark.createDataFrame([
+            (1, TS0 + dt.timedelta(seconds=10), "click", 1.0),
+            (1, TS0 + dt.timedelta(seconds=90), "click", 1.0),   # replay
+            (2, TS0 + dt.timedelta(seconds=20), "view", 2.0),
+            (2, TS0 + dt.timedelta(seconds=20), "aaaa", 9.0),    # same-ts
+            (3, TS0 + dt.timedelta(seconds=30), "buy", 3.0),
+        ], self.EV_DDL)
+
+    def test_batch_earliest_wins(self, spark):
+        from search_ingest_spark.streaming.stats import dedup_replays
+
+        rows = {r["event_id"]: r for r in
+                dedup_replays(self._events(spark)).collect()}
+        assert len(rows) == 3
+        assert rows[1]["ts"] == TS0 + dt.timedelta(seconds=10)
+        # exact-ts tie resolves on the remaining columns ('aaaa' < 'view')
+        assert rows[2]["event_type"] == "aaaa"
+        assert rows[3]["value"] == 3.0
+
+    def test_batch_matches_oracle_sql(self, spark, tmp_path):
+        import duckdb
+
+        from search_ingest_spark.streaming.stats import (
+            dedup_replays, dedup_replays_oracle_sql)
+
+        p = str(tmp_path / "ev.parquet")
+        self._events(spark).coalesce(1).write.parquet(p)
+        got = sorted(
+            (r["event_id"], r["event_type"], r["value"]) for r in
+            dedup_replays(self._events(spark)).collect())
+        con = duckdb.connect()
+        sql = dedup_replays_oracle_sql(
+            f"SELECT * FROM read_parquet('{p}/*.parquet')",
+            other_cols=["event_type", "value"])
+        want = sorted((r[0], r[2], r[3])
+                      for r in con.execute(sql).fetchall())
+        assert got == want
+
+    def test_streaming_drops_cross_batch_replays(self, spark, tmp_path):
+        from search_ingest_spark.streaming.stats import dedup_replays
+
+        src = str(tmp_path / "ev_src")
+        spark.createDataFrame([
+            (1, TS0 + dt.timedelta(seconds=10), "click", 1.0),
+            (2, TS0 + dt.timedelta(seconds=20), "view", 2.0),
+        ], self.EV_DDL).coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame([
+            (1, TS0 + dt.timedelta(seconds=15), "click", 1.0),  # replay
+            (3, TS0 + dt.timedelta(seconds=30), "buy", 3.0),
+        ], self.EV_DDL).coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema(self.EV_DDL)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        out = _run_stream(
+            spark, dedup_replays(stream, watermark="10 minutes"),
+            tmp_path, "dedup_replays")
+        ids = sorted(r["event_id"] for r in out.collect())
+        assert ids == [1, 2, 3]
