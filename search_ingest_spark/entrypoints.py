@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from search_ingest_spark.ops import (decontam, dedup, similarity, textstats,
                                      urls)
 from search_ingest_spark.query import bm25, significant
+from search_ingest_spark.query import msearch as msearch_mod
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -1295,6 +1296,46 @@ _ADJ = {
 def _q_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _aggs.adjacency_matrix_agg(_searcher(spark, sf_dir),
                                       _AGG_QUERY, _ADJ)
+
+
+# ES multi_terms: top-N buckets keyed by a field TUPLE, count desc
+# (the top-N twin of composite's full-keyspace pagination).
+@register("search_multi_terms",
+          _aggs.multi_terms_oracle_sql(_AGG_QUERY, ["lang", "source"], 12))
+def _q_multi_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggs.multi_terms_agg(_searcher(spark, sf_dir), _AGG_QUERY,
+                                 ["lang", "source"], 12)
+
+
+def _msearch_indexes(spark: SparkSession, sf_dir: str):
+    """Two subset indexes over the documents table (even/odd doc ids)
+    — each with its OWN corpus statistics, the ES cross-index scoring
+    semantics msearch certifies.  Built once per process per sf_dir."""
+    key = "msearch:" + os.path.abspath(sf_dir)
+    got = _INDEX_CACHE.get(key)
+    if got is None:
+        d = _docs(spark, sf_dir).select(
+            F.col("doc_id").alias("orig_id"), "text")
+        se, remap_e = _dense_subset_searcher(
+            spark, d.where(F.col("orig_id") % 2 == 0), "sis_ms_even_")
+        so, remap_o = _dense_subset_searcher(
+            spark, d.where(F.col("orig_id") % 2 == 1), "sis_ms_odd_")
+        got = _INDEX_CACHE[key] = [("even", se, remap_e, 2.0),
+                                   ("odd", so, remap_o, 1.0)]
+    return got
+
+
+# ES _msearch across two indexes with indices_boost: per-index BM25
+# (each subset's own df/n_docs/avgdl — ES does NOT normalize across
+# indexes), boost multiply, global merge.
+@register("search_msearch_boosted",
+          msearch_mod.msearch_oracle_sql(
+              "spark query data",
+              [("even", "doc_id % 2 = 0", 2.0),
+               ("odd", "doc_id % 2 = 1", 1.0)], k=12))
+def _q_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return msearch_mod.msearch_topk(
+        _msearch_indexes(spark, sf_dir), "spark query data", 12)
 
 
 # ES percentile_ranks: % of hit values ≤ each threshold — the inverse

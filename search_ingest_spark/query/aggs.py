@@ -899,3 +899,39 @@ def match_count_oracle_sql(query_text: str) -> str:
 WITH {hits_cte(query_text)}
 SELECT count(*)::BIGINT AS n_hits FROM hits
 """.strip()
+
+
+# -- multi_terms ----------------------------------------------------------------
+
+def multi_terms_agg(searcher, query_text: str, fields: list[str],
+                    size: int = 10) -> DataFrame:
+    """ES `multi_terms`: top-`size` buckets keyed by a TUPLE of fields,
+    ranked by doc count (desc, then the key fields asc — deterministic
+    where ES leaves shard-order ties).  Unlike `composite` (which
+    pages the whole key space in key order) this is the top-N shape;
+    NULL in any key drops the doc (ES's missing rule).  One groupBy +
+    TakeOrdered.  (fields…, n_docs)."""
+    if not fields:
+        raise ValueError("multi_terms_agg needs ≥1 field")
+    df = _hit_attrs(searcher, query_text, list(fields))
+    for f in fields:
+        df = df.where(F.col(f).isNotNull())
+    return (df.groupBy(*fields).agg(F.count("*").alias("n_docs"))
+            .orderBy(F.desc("n_docs"), *[F.asc(f) for f in fields])
+            .limit(int(size)))
+
+
+def multi_terms_oracle_sql(query_text: str, fields: list[str],
+                           size: int = 10) -> str:
+    cols = ", ".join(f"d.{f}" for f in fields)
+    not_null = " AND ".join(f"d.{f} IS NOT NULL" for f in fields)
+    order = ", ".join(f"d.{f} ASC" for f in fields)
+    return f"""
+WITH {hits_cte(query_text)}
+SELECT {cols}, count(*)::BIGINT AS n_docs
+FROM documents d JOIN hits USING (doc_id)
+WHERE {not_null}
+GROUP BY {cols}
+ORDER BY n_docs DESC, {order}
+LIMIT {int(size)}
+""".strip()

@@ -936,3 +936,118 @@ class TestRankFeature:
                                           "field": "n_chars"}], 5)
         with pytest.raises(ValueError, match="≥1 feature"):
             s.rank_feature_topk("data", [], 5)
+
+
+@pytest.fixture(scope="module")
+def msearch_indexes(spark, documents_smoke, tmp_path_factory):
+    """Two subset indexes (doc_id < 250 / ≥ 250), each with its own
+    corpus statistics; the high half is densified by shifting ids and
+    remapped back on the way out."""
+    from search_ingest_spark.query.wand import Searcher
+
+    def _build(docs, name):
+        cat = Catalog(spark, str(tmp_path_factory.mktemp(name)))
+        ib.build_index(spark, docs, cat, mode="simple", docs_per_shard=50)
+        return Searcher(spark, cat)
+
+    lo = documents_smoke.select("doc_id", "text").where(
+        F.col("doc_id") < 250)
+    hi = (documents_smoke.select("doc_id", "text")
+          .where(F.col("doc_id") >= 250)
+          .withColumn("doc_id", F.col("doc_id") - 250))
+
+    def remap_hi(scored):
+        return scored.withColumn("doc_id", F.col("doc_id") + 250)
+
+    return [("lo", _build(lo, "ms_lo"), None, 2.0),
+            ("hi", _build(hi, "ms_hi"), remap_hi, 1.0)]
+
+
+class TestMsearch:
+    PARTS = [("lo", "doc_id < 250", 2.0), ("hi", "doc_id >= 250", 1.0)]
+
+    def test_matches_oracle(self, spark, msearch_indexes):
+        from search_ingest_spark.query import msearch as ms
+
+        got = [tuple(r) for r in ms.msearch_topk(
+            msearch_indexes, "spark query data", 12).collect()]
+        want = _oracle(ms.msearch_oracle_sql(
+            "spark query data", self.PARTS, k=12))
+        assert got == want and len(got) == 12
+
+    def test_both_indexes_contribute(self, msearch_indexes):
+        from search_ingest_spark.query import msearch as ms
+
+        # equal boosts so neither index crowds the other out of the top
+        even = [(n, s, r, 1.0) for n, s, r, _ in msearch_indexes]
+        rows = ms.msearch_topk(even, "data", 50).collect()
+        names = {r["index_name"] for r in rows}
+        assert names == {"lo", "hi"}
+        # remap carried hi-half ids back to natural keys
+        assert any(r["doc_id"] >= 250 for r in rows
+                   if r["index_name"] == "hi")
+        assert all(r["doc_id"] < 250 for r in rows
+                   if r["index_name"] == "lo")
+
+    def test_boost_dominates(self, spark, msearch_indexes):
+        from search_ingest_spark.query import msearch as ms
+
+        boosted = [(n, s, r, 10**6 if n == "hi" else 1.0)
+                   for n, s, r, _ in msearch_indexes]
+        rows = ms.msearch_topk(boosted, "data", 5).collect()
+        assert all(r["index_name"] == "hi" for r in rows)
+
+    def test_per_index_statistics(self, spark, msearch_indexes):
+        # the SAME doc text scores differently in the two indexes when
+        # their corpus stats differ — certify scores come from each
+        # index's own all_matching_scores × boost
+        from search_ingest_spark.query import msearch as ms
+
+        name, searcher, remap, boost = msearch_indexes[0]
+        own = {r["doc_id"]: r["score"] for r in
+               searcher.all_matching_scores("data").collect()}
+        rows = ms.msearch_topk(msearch_indexes, "data", 10**6,
+                               round_to=4).collect()
+        for r in rows:
+            if r["index_name"] == name:
+                assert r["score"] == round(own[r["doc_id"]] * boost, 4)
+
+    def test_empty_index_list_rejected(self):
+        from search_ingest_spark.query import msearch as ms
+
+        with pytest.raises(ValueError):
+            ms.msearch_topk([], "data", 5)
+
+
+class TestMultiTermsAgg:
+    def test_matches_oracle(self, spark, built_attrs):
+        from search_ingest_spark.query import aggs
+        from search_ingest_spark.query.wand import Searcher
+
+        s = Searcher(spark, built_attrs)
+        got = sorted(tuple(r) for r in aggs.multi_terms_agg(
+            s, "spark query data", ["lang", "source"], 12).collect())
+        want = sorted(_oracle(aggs.multi_terms_oracle_sql(
+            "spark query data", ["lang", "source"], 12)))
+        assert got == want and len(got) == 12
+
+    def test_counts_bounded_by_single_field(self, spark, built_attrs):
+        from search_ingest_spark.query import aggs
+        from search_ingest_spark.query.wand import Searcher
+
+        s = Searcher(spark, built_attrs)
+        pair = aggs.multi_terms_agg(s, "data", ["lang", "source"],
+                                    10**6).collect()
+        single = dict(
+            (r["value"], r["n_docs"]) for r in
+            aggs.rare_terms(s, "data", "lang", 10**9).collect())
+        for r in pair:
+            assert r["n_docs"] <= single[r["lang"]]
+
+    def test_empty_fields_rejected(self, spark, built_attrs):
+        from search_ingest_spark.query import aggs
+        from search_ingest_spark.query.wand import Searcher
+
+        with pytest.raises(ValueError):
+            aggs.multi_terms_agg(Searcher(spark, built_attrs), "data",
+                                 [], 5)
