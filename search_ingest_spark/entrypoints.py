@@ -1218,6 +1218,21 @@ def _q_bucket_selector(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       "n_events", min_value=60.0, size=5)
 
 
+# ES auto_date_histogram: target-bucket-count interval auto-choice
+# over the fixed-seconds ladder (coordinating-node decision = one
+# driver-side min/max agg), then a plain date bucketing.  Target 40
+# over the ~30-day events span picks the 1-day rung.
+_ADH_INNER = "SELECT ts FROM events WHERE event_type = 'click'"
+
+
+@register("events_auto_date_histogram",
+          _aggs.auto_date_histogram_oracle_sql(_ADH_INNER, 40))
+def _q_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return _aggs.auto_date_histogram(
+        ev.where(F.col("event_type") == "click").select("ts"), 40)
+
+
 # ES weighted_avg: Σ(value·weight)/Σ(weight) over the hit set —
 # deterministic integer weight expression, exact integer sums.
 @register("search_weighted_avg",

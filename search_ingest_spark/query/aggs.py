@@ -935,3 +935,70 @@ GROUP BY {cols}
 ORDER BY n_docs DESC, {order}
 LIMIT {int(size)}
 """.strip()
+
+
+# -- auto_date_histogram ----------------------------------------------------------
+
+# ES's fixed-interval rounding ladder below the calendar rungs (1s..7d);
+# the month/year calendar rungs are omitted (documented: this engine's
+# ladder is the fixed-seconds prefix of ES's)
+AUTO_INTERVALS = [1, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800, 43200,
+                  86400, 604800]
+
+
+def auto_date_histogram(events: DataFrame, target_buckets: int, *,
+                        ts_col: str = "ts") -> DataFrame:
+    """ES `auto_date_histogram`: pick the smallest ladder interval
+    whose ALIGNED bucket count (floor(hi/i) − floor(lo/i) + 1) fits
+    the target, then bucket — the interval choice is ES's
+    coordinating-node step, here ONE driver-side min/max aggregate
+    (two numbers cross the driver, never data); the bucketing is a
+    plain map-side-combinable groupBy.  Overflowing even the largest
+    rung keeps the largest (ES degrades the same way).
+    (bucket_start_epoch, n_events, interval_sec)."""
+    if target_buckets < 1:
+        raise ValueError(
+            f"target_buckets must be positive, got {target_buckets}")
+    row = events.agg(
+        F.min(F.unix_timestamp(ts_col)).alias("lo"),
+        F.max(F.unix_timestamp(ts_col)).alias("hi")).collect()[0]
+    lo, hi = int(row["lo"]), int(row["hi"])
+    interval = AUTO_INTERVALS[-1]
+    for i in AUTO_INTERVALS:
+        if hi // i - lo // i + 1 <= int(target_buckets):
+            interval = i
+            break
+    key = (F.floor(F.unix_timestamp(ts_col) / F.lit(interval))
+           * F.lit(interval)).cast("long")
+    return (events.groupBy(key.alias("bucket_start_epoch"))
+            .agg(F.count("*").alias("n_events"))
+            .withColumn("interval_sec", F.lit(interval).cast("long")))
+
+
+def auto_date_histogram_oracle_sql(inner_sql: str, target_buckets: int, *,
+                                   ts_col: str = "ts") -> str:
+    """DuckDB replay over any event-producing SELECT: the same ladder,
+    the same aligned-count rule, the same floor bucketing."""
+    vals = ", ".join(f"({i})" for i in AUTO_INTERVALS)
+    return f"""
+WITH ev AS ({inner_sql}),
+p AS (
+  SELECT floor(epoch(min({ts_col})))::BIGINT AS lo,
+         floor(epoch(max({ts_col})))::BIGINT AS hi
+  FROM ev
+),
+ladder(i) AS (VALUES {vals}),
+fit AS (
+  SELECT i FROM ladder, p
+  WHERE (hi // i) - (lo // i) + 1 <= {int(target_buckets)}
+  ORDER BY i LIMIT 1
+),
+iv AS (SELECT coalesce((SELECT i FROM fit), {AUTO_INTERVALS[-1]})::BIGINT
+         AS i)
+SELECT (floor(epoch(ev.{ts_col}) / iv.i) * iv.i)::BIGINT
+         AS bucket_start_epoch,
+       count(*)::BIGINT AS n_events,
+       iv.i AS interval_sec
+FROM ev, iv
+GROUP BY 1, 3
+""".strip()

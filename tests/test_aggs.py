@@ -696,3 +696,48 @@ WHERE tf.doc_id = 7"""))
     def test_missing_doc_rejected(self, searcher):
         with pytest.raises(ValueError, match="not found"):
             searcher.termvectors(10**9)
+
+
+class TestAutoDateHistogram:
+    def _events(self, spark):
+        return spark.read.parquet(f"{SF}/events.parquet").select("ts")
+
+    def _oracle_ev(self, sql):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{SF}/events.parquet')"
+        )
+        return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+    def test_matches_oracle(self, spark):
+        got = _rows(aggs.auto_date_histogram(self._events(spark), 40),
+                    "bucket_start_epoch", "n_events", "interval_sec")
+        want = self._oracle_ev(aggs.auto_date_histogram_oracle_sql(
+            "SELECT ts FROM events", 40))
+        assert got == want and len(got) > 1
+
+    def test_interval_shrinks_with_bigger_target(self, spark):
+        ev = self._events(spark)
+        coarse = aggs.auto_date_histogram(ev, 10).collect()
+        fine = aggs.auto_date_histogram(ev, 500).collect()
+        assert fine[0]["interval_sec"] < coarse[0]["interval_sec"]
+        assert len(fine) > len(coarse)
+
+    def test_bucket_count_fits_target(self, spark):
+        for target in (5, 40, 200):
+            rows = aggs.auto_date_histogram(self._events(spark),
+                                            target).collect()
+            assert 1 <= len(rows) <= target
+            # keys are aligned multiples of the chosen interval
+            iv = rows[0]["interval_sec"]
+            assert all(r["bucket_start_epoch"] % iv == 0 for r in rows)
+
+    def test_counts_sum_to_total(self, spark):
+        ev = self._events(spark)
+        rows = aggs.auto_date_histogram(ev, 40).collect()
+        assert sum(r["n_events"] for r in rows) == ev.count()
+
+    def test_bad_target(self, spark):
+        with pytest.raises(ValueError):
+            aggs.auto_date_histogram(self._events(spark), 0)
