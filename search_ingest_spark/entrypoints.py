@@ -569,6 +569,22 @@ def _q_multi_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ES multi_match type=cross_fields: TERM-centric — a term may match in
+# ANY field, statistics blended (df = max over fields), per-(doc, term)
+# best field norm; distinguishes docs spreading the query ACROSS fields
+# from best_fields' whole-field winner-takes-all.
+@register(
+    "bm25_multi_match_cross_fields",
+    bm25.multi_match_cross_fields_oracle_sql("spark query data",
+                                             _MM_FIELDS, k=10),
+)
+def _q_multi_match_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25.multi_match_cross_fields(
+        _docs(spark, sf_dir), "spark query data", _MM_FIELDS, 10,
+        mode="simple", round_to=4,
+    )
+
+
 # ES multi_match type=most_fields (VERDICT r04 item 5): per-field BM25
 # summed across field clauses (bool-should semantics), same per-field
 # statistics as best_fields.

@@ -1516,3 +1516,141 @@ SELECT doc_id, score,
        row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
 FROM topk
 """.strip()
+
+
+def multi_match_cross_fields(
+    docs: DataFrame,
+    query_text: str,
+    fields: list[tuple[str, float]],
+    k: int = 10,
+    *,
+    id_col: str = "doc_id",
+    mode: str = "simple",
+    round_to: int = 4,
+) -> DataFrame:
+    """ES multi_match type=cross_fields — TERM-centric: each query term
+    may match in ANY field, and the fields are treated as one big field
+    by BLENDING term statistics (ES wraps the per-field terms in a
+    BlendedTermQuery).  Deterministic model, documented where Lucene's
+    blending is heuristic:
+
+        df_blend(t)  = max over fields of df_field(t)
+        idf_blend(t) = bm25-idf(df_blend(t), N)      N = table rows
+        contrib(d,t) = idf_blend(t) ·
+                       max over fields of boost_f · tfnorm_f(t, d)
+        score(d)     = Σ_t contrib(d, t)
+
+    (field-centric best_fields takes a max over whole FIELD scores —
+    a doc with 'spark' in the title and 'query' in the body wins under
+    cross_fields but not best_fields; that distinction is the test.)
+    Same shuffle-light shape as multi_match: per-field doc-local
+    tf/dl, vocabulary-sized df aggregates, one (doc, term) max + one
+    per-doc sum.  Returns (doc_id, score, rank)."""
+    terms = analyze_query(query_text, mode=mode)
+    uniq = sorted(set(terms))
+    if not uniq:
+        raise ValueError("empty query after analysis")
+    n_total = docs.count()
+    per_field = []
+    for fi, (expr, boost) in enumerate(fields):
+        sub = docs.select(F.col(id_col), F.expr(expr).alias("__field"))
+        toks = doc_terms(sub, id_col=id_col, text_col="__field", mode=mode)
+        dl = toks.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+        avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+        qterms = toks.where(F.col("term").isin(uniq))
+        dfreq = qterms.groupBy("term").agg(F.count("*").alias("df"))
+        normed = (
+            qterms.crossJoin(F.broadcast(avgdl))
+            .select(
+                "doc_id", "term",
+                (F.lit(float(boost))
+                 * tf_norm_expr(F.col("tf"), F.col("dl"), F.col("avgdl")))
+                .alias("bnorm"))
+        )
+        per_field.append((normed, dfreq.select(
+            "term", F.col("df").alias("df"))))
+    all_norm = per_field[0][0]
+    all_df = per_field[0][1]
+    for normed, dfreq in per_field[1:]:
+        all_norm = all_norm.unionByName(normed)
+        all_df = all_df.unionByName(dfreq)
+    df_blend = all_df.groupBy("term").agg(F.max("df").alias("df"))
+    contrib = (
+        all_norm.groupBy("doc_id", "term").agg(F.max("bnorm").alias("mx"))
+        .join(F.broadcast(df_blend), "term")
+        .select("doc_id",
+                (idf_expr(F.col("df"), n_total) * F.col("mx"))
+                .alias("partial"))
+    )
+    best = contrib.groupBy("doc_id").agg(
+        F.round(F.sum("partial"), round_to).alias("score"))
+    topk = best.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+    from search_ingest_spark.ranking import ranked_desc
+
+    return ranked_desc(topk, "score", "doc_id")
+
+
+def multi_match_cross_fields_oracle_sql(
+    query_text: str,
+    fields: list[tuple[str, float]],
+    k: int = 10,
+    *,
+    table: str = "documents",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> str:
+    """DuckDB replay of multi_match_cross_fields: per-field tf-norms
+    and dfs, blended df = max over fields, one (doc, term) max, one
+    per-doc sum — the same arithmetic."""
+    uniq = sorted(set(analyze_query(query_text, mode="simple")))
+    term_list = ", ".join("('" + t.replace("'", "''") + "')" for t in uniq)
+    chains = [f"q(term) AS (VALUES {term_list})",
+              f"n_total AS (SELECT count(*)::BIGINT AS n FROM {table})"]
+    norm_arms, df_arms = [], []
+    for i, (expr, boost) in enumerate(fields):
+        s = f"_{i}"
+        chains.append(f"""
+toks{s} AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower({expr}), '[a-z0-9]+')) AS term
+  FROM {table}
+),
+tf{s} AS (SELECT doc_id, term, count(*)::INT AS tf FROM toks{s}
+          GROUP BY 1, 2),
+dl{s} AS (SELECT doc_id, count(*)::INT AS dl FROM toks{s} GROUP BY 1),
+ad{s} AS (SELECT avg(dl)::DOUBLE AS avgdl FROM dl{s}),
+qt{s} AS (
+  SELECT tf{s}.doc_id, tf{s}.term,
+         {float(boost)!r} * tf{s}.tf * ({K1} + 1.0)
+           / (tf{s}.tf + {K1} * (1.0 - {B} + {B} * dl{s}.dl / ad{s}.avgdl))
+           AS bnorm
+  FROM tf{s} JOIN dl{s} USING (doc_id) CROSS JOIN ad{s}
+  WHERE tf{s}.term IN (SELECT term FROM q)
+),
+dfq{s} AS (SELECT term, count(*)::BIGINT AS df FROM tf{s}
+           WHERE term IN (SELECT term FROM q) GROUP BY 1)""".strip())
+        norm_arms.append(f"SELECT * FROM qt{s}")
+        df_arms.append(f"SELECT * FROM dfq{s}")
+    return f"""
+WITH {", ".join(chains)},
+all_norm AS ({" UNION ALL ".join(norm_arms)}),
+all_df AS ({" UNION ALL ".join(df_arms)}),
+df_blend AS (SELECT term, max(df)::BIGINT AS df FROM all_df GROUP BY 1),
+contrib AS (
+  SELECT n.doc_id,
+         ln(1.0 + (t.n - b.df + 0.5) / (b.df + 0.5)) * max(n.bnorm)
+           AS partial
+  FROM all_norm n JOIN df_blend b USING (term) CROSS JOIN n_total t
+  GROUP BY n.doc_id, n.term, b.df, t.n
+),
+best AS (
+  SELECT doc_id, round(sum(partial), {int(round_to)})::DOUBLE AS score
+  FROM contrib GROUP BY 1
+),
+topk AS (
+  SELECT * FROM best ORDER BY score DESC, doc_id ASC LIMIT {int(k)}
+)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM topk
+""".strip()

@@ -1051,3 +1051,49 @@ class TestMultiTermsAgg:
         with pytest.raises(ValueError):
             aggs.multi_terms_agg(Searcher(spark, built_attrs), "data",
                                  [], 5)
+
+
+class TestMultiMatchCrossFields:
+    FIELDS = [("substring(text, 1, 60)", 2.0), ("text", 1.0)]
+
+    def test_matches_oracle(self, spark, documents_smoke):
+        got = [tuple(r) for r in bm25.multi_match_cross_fields(
+            documents_smoke, "spark query data", self.FIELDS, 10,
+            mode="simple", round_to=4).collect()]
+        want = _oracle(bm25.multi_match_cross_fields_oracle_sql(
+            "spark query data", self.FIELDS, k=10))
+        assert got == want and len(got) == 10
+
+    def test_term_centric_beats_field_centric(self, spark):
+        # the defining case: the query spreads ACROSS fields — 'alpha'
+        # only in f1, 'beta' only in f2.  cross_fields credits doc 1
+        # with BOTH terms; best_fields (tie_breaker=0) only ever takes
+        # one field's whole score.
+        d = spark.createDataFrame(
+            [(1, "alpha", "beta"), (2, "alpha", "alpha"),
+             (3, "gamma", "delta"), (4, "beta", "gamma")],
+            "doc_id long, f1 string, f2 string")
+        fields = [("f1", 1.0), ("f2", 1.0)]
+        cross = {r["doc_id"]: r["score"] for r in
+                 bm25.multi_match_cross_fields(
+                     d, "alpha beta", fields, 10).collect()}
+        best = {r["doc_id"]: r["score"] for r in bm25.multi_match(
+            d, "alpha beta", fields, 10, mm_type="best_fields").collect()}
+        # doc 1 matches both terms under cross_fields
+        assert cross[1] > best[1]
+
+    def test_single_field_equals_plain_bm25(self, spark, documents_smoke):
+        # one field, boost 1: blending is a no-op — must equal the
+        # plain brute-force ranking exactly
+        got = [tuple(r) for r in bm25.multi_match_cross_fields(
+            documents_smoke, "spark query data", [("text", 1.0)], 10,
+            mode="simple", round_to=4).collect()]
+        want = [tuple(r) for r in bm25.bm25_brute_force(
+            documents_smoke, "spark query data", k=10, mode="simple",
+            round_to=4).collect()]
+        assert [g[0] for g in got] == [w[0] for w in want]
+
+    def test_empty_query_rejected(self, spark, documents_smoke):
+        with pytest.raises(ValueError, match="empty query"):
+            bm25.multi_match_cross_fields(documents_smoke, "!!!",
+                                          self.FIELDS, 5)
