@@ -20,8 +20,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from search_ingest_spark.ops import (decontam, dedup, similarity, textstats,
-                                     urls)
+from search_ingest_spark.ops import (decontam, dedup, rollup as rollup_mod,
+                                     similarity, textstats, urls)
 from search_ingest_spark.query import bm25, significant
 from search_ingest_spark.query import msearch as msearch_mod
 
@@ -2917,6 +2917,45 @@ def _q_events_rate(spark, sf_dir):
         "event_type",
         F.col("n_docs").cast("long").alias("n_events"),
     )
+
+
+def _rollup_cat(spark: SparkSession, sf_dir: str):
+    """Hourly rollup of the events table, materialized once per
+    process per sf_dir (ops/rollup.py — the hypertable continuous
+    aggregate)."""
+    from search_ingest_spark.catalog import Catalog
+    from search_ingest_spark.ops import rollup
+
+    key = "rollup:" + os.path.abspath(sf_dir)
+    got = _INDEX_CACHE.get(key)
+    if got is None:
+        cat = Catalog(spark, tempfile.mkdtemp(prefix="sis_rollup_"))
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        rollup.build_rollup(ev, cat, interval_sec=3600)
+        got = _INDEX_CACHE[key] = cat
+    return got
+
+
+# Hypertable rollup: the hourly continuous aggregate re-aggregated to
+# DAILY buckets over a two-week window — answered entirely from the
+# rollup table (count/sum fold, min/max fold, integer-exact value sum);
+# the oracle recomputes the same window from RAW events, certifying the
+# whole rollup+requery path.  Window bounds are base-aligned epochs
+# (2024-01-08 .. 2024-01-22 UTC).
+_ROLLUP_SINCE = 1704672000
+_ROLLUP_UNTIL = 1704672000 + 14 * 86400
+
+
+@register("events_rollup_daily",
+          rollup_mod.rollup_query_oracle_sql(
+              interval_sec=86400, since_epoch=_ROLLUP_SINCE,
+              until_epoch=_ROLLUP_UNTIL))
+def _q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_ingest_spark.ops import rollup
+
+    return rollup.rollup_query(
+        spark, _rollup_cat(spark, sf_dir), interval_sec=86400,
+        since_epoch=_ROLLUP_SINCE, until_epoch=_ROLLUP_UNTIL)
 
 
 # At-least-once replay dedup (streaming/stats.dedup_replays) in its

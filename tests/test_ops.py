@@ -583,3 +583,89 @@ class TestDuplicateSpanStats:
 
         with pytest.raises(ValueError):
             dedup.duplicate_span_stats(documents_smoke, n=0)
+
+
+class TestRollup:
+    SINCE = 1704672000            # 2024-01-08 UTC, hour-aligned
+    UNTIL = 1704672000 + 14 * 86400
+
+    @pytest.fixture(scope="class")
+    def rollup_cat(self, spark, tmp_path_factory):
+        from search_ingest_spark.catalog import Catalog
+        from search_ingest_spark.ops import rollup
+
+        cat = Catalog(spark, str(tmp_path_factory.mktemp("rollup")))
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        rollup.build_rollup(ev, cat, interval_sec=3600)
+        return cat
+
+    def _oracle(self, sql):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/events.parquet')"
+        )
+        return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+    def test_daily_requery_matches_raw_oracle(self, spark, rollup_cat):
+        from search_ingest_spark.ops import rollup
+
+        import duckdb
+
+        df = rollup.rollup_query(
+            spark, rollup_cat, interval_sec=86400,
+            since_epoch=self.SINCE, until_epoch=self.UNTIL)
+        cols = sorted(df.columns)
+        got = sorted(tuple(r[c] for c in cols) for r in df.collect())
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/events.parquet')")
+        wt = con.execute(rollup.rollup_query_oracle_sql(
+            interval_sec=86400, since_epoch=self.SINCE,
+            until_epoch=self.UNTIL)).fetch_arrow_table()
+        wcols = sorted(wt.column_names)
+        want = sorted(tuple(r[c] for c in wcols) for r in wt.to_pylist())
+        assert cols == wcols and got == want and len(got) > 10
+
+    def test_base_interval_query_equals_raw(self, spark, rollup_cat):
+        from search_ingest_spark.ops import rollup
+
+        hourly = rollup.rollup_query(spark, rollup_cat, interval_sec=3600)
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        assert (sum(r["n_events"] for r in hourly.collect())
+                == ev.count())
+
+    def test_window_prunes_buckets(self, spark, rollup_cat):
+        from search_ingest_spark.ops import rollup
+
+        rows = rollup.rollup_query(
+            spark, rollup_cat, interval_sec=86400,
+            since_epoch=self.SINCE, until_epoch=self.UNTIL).collect()
+        assert rows
+        for r in rows:
+            assert self.SINCE <= r["bucket_start_epoch"] < self.UNTIL
+
+    def test_non_multiple_interval_rejected(self, spark, rollup_cat):
+        from search_ingest_spark.ops import rollup
+
+        with pytest.raises(ValueError, match="multiple"):
+            rollup.rollup_query(spark, rollup_cat, interval_sec=5400)
+
+    def test_unaligned_bound_rejected(self, spark, rollup_cat):
+        from search_ingest_spark.ops import rollup
+
+        with pytest.raises(ValueError, match="aligned"):
+            rollup.rollup_query(spark, rollup_cat, interval_sec=86400,
+                                since_epoch=self.SINCE + 7)
+
+    def test_bad_base_interval(self, spark, tmp_path_factory):
+        from search_ingest_spark.catalog import Catalog
+        from search_ingest_spark.ops import rollup
+
+        cat = Catalog(spark, str(tmp_path_factory.mktemp("rollup_bad")))
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        with pytest.raises(ValueError, match="positive"):
+            rollup.build_rollup(ev, cat, interval_sec=0)
