@@ -1379,6 +1379,28 @@ def _q_percentile_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   "n_chars", [150.0, 300.0, 450.0])
 
 
+# ES function_score random_score (seed + doc id): a reproducible
+# random sample of the hit set — md5-prefix hash both engines.
+@register(
+    "search_random_score_topk",
+    f"""
+WITH {{hits}}
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM (
+  SELECT doc_id,
+         round(('0x' || substr(md5('r5seed:' || doc_id::VARCHAR), 1, 15))
+               ::BIGINT::DOUBLE / {float(1 << 60)!r}, 6)::DOUBLE AS score
+  FROM hits
+  ORDER BY score DESC, doc_id ASC LIMIT 10
+)
+""".replace("{hits}", _aggs.hits_cte(_AGG_QUERY)).strip(),
+)
+def _q_random_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _searcher(spark, sf_dir).random_score_topk(
+        _AGG_QUERY, "r5seed", 10)
+
+
 # ES _count API: the hit set reduced to one number, no scoring.
 @register("search_count", _aggs.match_count_oracle_sql(_AGG_QUERY))
 def _q_count(spark: SparkSession, sf_dir: str) -> DataFrame:

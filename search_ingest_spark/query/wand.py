@@ -662,6 +662,33 @@ class Searcher:
 
         return ranked_desc(topk, "score", "doc_id")
 
+    def random_score_topk(
+        self, query_text: str, seed: str, k: int = 10, *,
+        round_to: int = 6,
+    ) -> DataFrame:
+        """ES function_score `random_score` with a seed + field: a
+        CONSISTENTLY-random ranking of the hit set — the standard way
+        to pull a reproducible random sample of matching docs (QA
+        sampling, A/B slice assignment).  ES hashes (seed, field
+        value); here score = md5-prefix-60bit(seed ':' doc_id) / 2⁶⁰ ∈
+        [0, 1) — the module's standard engine-portable hash, so the
+        oracle replays it bit-for-bit and the sample is stable across
+        engines AND runs.  One pruned hit-set scan + TakeOrdered;
+        nothing random at execution time.  (doc_id, score, rank)."""
+        from search_ingest_spark.ops.dedup import hash_shingle_col
+
+        hits = self.matching_doc_ids(query_text)
+        key = F.concat(F.lit(str(seed)), F.lit(":"),
+                       F.col("doc_id").cast("string"))
+        score = F.round(
+            hash_shingle_col(key).cast("double") / F.lit(float(1 << 60)),
+            int(round_to))
+        topk = (hits.select("doc_id", score.alias("score"))
+                .orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k)))
+        from search_ingest_spark.ranking import ranked_desc
+
+        return ranked_desc(topk, "score", "doc_id")
+
     def termvectors(self, doc_id: int) -> DataFrame:
         """ES `_termvectors` for one doc: (term, tf, df) of every term
         the doc contains.  Like ES when term vectors aren't stored,

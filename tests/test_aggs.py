@@ -741,3 +741,46 @@ class TestAutoDateHistogram:
     def test_bad_target(self, spark):
         with pytest.raises(ValueError):
             aggs.auto_date_histogram(self._events(spark), 0)
+
+
+class TestRandomScore:
+    def test_matches_oracle(self, searcher):
+        got = _rows(searcher.random_score_topk(Q, "r5seed", 10),
+                    "doc_id", "score", "rank")
+        want = sorted(_oracle(f"""
+WITH {aggs.hits_cte(Q)}
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM (
+  SELECT doc_id,
+         round(('0x' || substr(md5('r5seed:' || doc_id::VARCHAR), 1, 15))
+               ::BIGINT::DOUBLE / {float(1 << 60)!r}, 6)::DOUBLE AS score
+  FROM hits ORDER BY score DESC, doc_id ASC LIMIT 10
+)"""))
+        assert got == want and len(got) == 10
+
+    def test_same_seed_reproduces(self, searcher):
+        a = _rows(searcher.random_score_topk(Q, "s1", 10),
+                  "doc_id", "rank")
+        b = _rows(searcher.random_score_topk(Q, "s1", 10),
+                  "doc_id", "rank")
+        assert a == b
+
+    def test_different_seed_reorders(self, searcher):
+        # two 20-doc samples of a ~480-doc hit set: identical sets
+        # would mean the seed is ignored
+        a = set(_rows(searcher.random_score_topk(Q, "s1", 20), "doc_id"))
+        b = set(_rows(searcher.random_score_topk(Q, "s2", 20), "doc_id"))
+        assert a != b
+
+    def test_scores_in_unit_interval(self, searcher):
+        for r in searcher.random_score_topk(Q, "s1", 50).collect():
+            assert 0.0 <= r["score"] < 1.0
+
+    def test_only_matching_docs_sampled(self, searcher):
+        hits = {r["doc_id"] for r in
+                searcher.matching_doc_ids("customer window batch")
+                .collect()}
+        got = {r["doc_id"] for r in searcher.random_score_topk(
+            "customer window batch", "s1", 10**6).collect()}
+        assert got == hits
