@@ -2165,6 +2165,36 @@ FROM topk
 """.strip()
 
 
+# PQ-compressed ANN (ops/pq.py): 8×16 pinned codebooks (pq_pinned.py,
+# trained deterministically on this table), codes scanned with a
+# literal ADC table — the memory-scale path beyond IVF's candidate
+# pruning.  Oracle replays encode + ADC bit-for-bit; recall vs brute
+# force is measured in tests and bench.
+from search_ingest_spark.ops import pq as _pq  # noqa: E402
+from search_ingest_spark.ops.pq_pinned import PQ_CODEBOOKS  # noqa: E402
+
+
+@register("ann_pq_topk",
+          _pq.pq_topk_oracle_sql(_QVEC, PQ_CODEBOOKS, k=10))
+def _q_ann_pq(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    coded = _pq.encode_pq(emb, PQ_CODEBOOKS)
+    return _pq.pq_topk(coded, _QVEC, PQ_CODEBOOKS, 10)
+
+
+# the production two-stage: ADC shortlist over codes, exact L2 rerank
+# of ONLY the candidates (recall measured: ~0 raw, 0.8 at shortlist=50
+# on these near-random unit vectors — the textbook PQ trade).
+@register("ann_pq_reranked",
+          _pq.pq_reranked_oracle_sql(_QVEC, PQ_CODEBOOKS, k=10,
+                                     shortlist=50))
+def _q_ann_pq_reranked(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    coded = _pq.encode_pq(emb, PQ_CODEBOOKS)
+    return _pq.pq_topk_reranked(coded, _QVEC, PQ_CODEBOOKS, 10,
+                                shortlist=50)
+
+
 @register("ann_ivf_topk", _ANN_IVF_SQL)
 def _q_ann_ivf(spark, sf_dir):
     import numpy as np
