@@ -2182,6 +2182,18 @@ def _q_ann_pq(spark, sf_dir):
     return _pq.pq_topk(coded, _QVEC, PQ_CODEBOOKS, 10)
 
 
+# IVF-PQ: the full billion-vector composition — nprobe bucket pruning
+# (pinned IVF centroids) + ADC code scan + exact rerank, every stage
+# replayed bit-for-bit in the oracle.
+@register("ann_ivfpq_topk",
+          _pq.ivfpq_oracle_sql(_QVEC, IVF_CENTROIDS, PQ_CODEBOOKS, k=10,
+                               nprobe=3, shortlist=50))
+def _q_ann_ivfpq(spark, sf_dir):
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return _pq.ivfpq_topk(emb, IVF_CENTROIDS, PQ_CODEBOOKS, _QVEC, 10,
+                          nprobe=3, shortlist=50)
+
+
 # the production two-stage: ADC shortlist over codes, exact L2 rerank
 # of ONLY the candidates (recall measured: ~0 raw, 0.8 at shortlist=50
 # on these near-random unit vectors — the textbook PQ trade).

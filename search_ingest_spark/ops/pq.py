@@ -306,3 +306,58 @@ SELECT vec_id, dist,
        row_number() OVER (ORDER BY dist ASC, vec_id ASC)::INT AS rank
 FROM topk
 """.strip()
+
+
+def ivfpq_topk(
+    emb: DataFrame, ivf_centroids, pq_codebooks: np.ndarray,
+    qvec: list[float], k: int = 10, *, nprobe: int = 3,
+    shortlist: int = 50, id_col: str = "vec_id",
+    vec_col: str = "embedding", round_to: int = 6,
+) -> DataFrame:
+    """IVF-PQ — the composition billion-vector systems actually run:
+    IVF prunes WHICH buckets a query reads (nprobe nearest centroids,
+    a partition-prunable predicate at scale), PQ compresses WHAT the
+    scan reads inside them (8-byte codes + literal ADC table), and the
+    exact rerank touches only the shortlist's float vectors.  Pure
+    composition of assign_buckets + encode_pq + pq_topk_reranked — no
+    new kernel, which is the point: the building blocks were designed
+    to stack."""
+    from search_ingest_spark.ops.similarity import assign_buckets
+
+    C = np.asarray(ivf_centroids, dtype=np.float64)
+    q = np.asarray(qvec, dtype=np.float64)
+    order = np.argsort(((C - q) ** 2).sum(axis=1), kind="stable")
+    probes = [int(j) for j in order[:int(nprobe)]]
+    b = assign_buckets(emb, C, vec_col=vec_col)
+    pruned = b.where(F.col("ivf_bucket").isin(probes))
+    coded = encode_pq(pruned, pq_codebooks, vec_col=vec_col)
+    return pq_topk_reranked(coded, qvec, pq_codebooks, int(k),
+                            shortlist=int(shortlist), id_col=id_col,
+                            vec_col=vec_col, round_to=round_to)
+
+
+def ivfpq_oracle_sql(
+    qvec: list[float], ivf_centroids, pq_codebooks: np.ndarray,
+    k: int = 10, *, nprobe: int = 3, shortlist: int = 50,
+    table: str = "embeddings", id_col: str = "vec_id",
+    vec_col: str = "embedding", round_to: int = 6,
+) -> str:
+    """DuckDB replay of the full IVF-PQ chain: the IVF bucketing CTE
+    (same left-fold assignment), the probe list computed with the same
+    stable argsort, then the PQ encode/ADC/rerank chain over ONLY the
+    probed buckets."""
+    from search_ingest_spark.ops.similarity import ivf_bucket_sql_with
+
+    C = np.asarray(ivf_centroids, dtype=np.float64)
+    q = np.asarray(qvec, dtype=np.float64)
+    order = np.argsort(((C - q) ** 2).sum(axis=1), kind="stable")
+    probes = ", ".join(str(int(j)) for j in order[:int(nprobe)])
+    ivf_cte = ivf_bucket_sql_with(C, table=table, id_col=id_col,
+                                  vec_col=vec_col)
+    sub = (f"(SELECT vec_id, v AS embedding FROM bucketed "
+           f"WHERE bk IN ({probes}))")
+    body = pq_reranked_oracle_sql(
+        qvec, pq_codebooks, int(k), shortlist=int(shortlist), table=sub,
+        id_col="vec_id", vec_col="embedding", round_to=round_to)
+    assert body.startswith("WITH ")
+    return f"WITH {ivf_cte},\n{body[5:]}"

@@ -781,3 +781,62 @@ class TestPQ:
 
         with pytest.raises(ValueError, match="divisible"):
             pq.train_pq_codebooks(emb, m=7)
+
+
+class TestIVFPQ:
+    QVEC = [1.0] + [0.0] * 63
+
+    def test_matches_oracle(self, spark, emb):
+        from search_ingest_spark.ops import pq
+        from search_ingest_spark.ops.ivf_pinned import IVF_CENTROIDS
+        from search_ingest_spark.ops.pq_pinned import PQ_CODEBOOKS
+        import duckdb
+
+        got = sorted(tuple(r) for r in pq.ivfpq_topk(
+            emb, IVF_CENTROIDS, PQ_CODEBOOKS, self.QVEC, 10,
+            nprobe=3, shortlist=50)
+            .select("vec_id", "dist", "rank").collect())
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW embeddings AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/embeddings.parquet')")
+        want = sorted(tuple(r) for r in con.execute(pq.ivfpq_oracle_sql(
+            self.QVEC, IVF_CENTROIDS, PQ_CODEBOOKS, k=10, nprobe=3,
+            shortlist=50)).fetchall())
+        assert got == want and len(got) == 10
+
+    def test_results_come_from_probed_buckets_only(self, spark, emb):
+        import numpy as np
+
+        from search_ingest_spark.ops import pq
+        from search_ingest_spark.ops.ivf_pinned import IVF_CENTROIDS
+        from search_ingest_spark.ops.pq_pinned import PQ_CODEBOOKS
+        from search_ingest_spark.ops.similarity import assign_buckets
+
+        C = np.array(IVF_CENTROIDS, dtype=np.float64)
+        q = np.array(self.QVEC)
+        probes = set(np.argsort(((C - q) ** 2).sum(axis=1),
+                                kind="stable")[:3].tolist())
+        bk = {r["vec_id"]: r["ivf_bucket"] for r in
+              assign_buckets(emb, C).select("vec_id",
+                                            "ivf_bucket").collect()}
+        rows = pq.ivfpq_topk(emb, IVF_CENTROIDS, PQ_CODEBOOKS,
+                             self.QVEC, 10**6, nprobe=3,
+                             shortlist=10**6).collect()
+        assert rows and all(bk[r["vec_id"]] in probes for r in rows)
+
+    def test_full_probe_equals_plain_pq_rerank(self, spark, emb):
+        from search_ingest_spark.ops import pq
+        from search_ingest_spark.ops.ivf_pinned import IVF_CENTROIDS, IVF_NLIST
+        from search_ingest_spark.ops.pq_pinned import PQ_CODEBOOKS
+
+        # probing ALL buckets removes the IVF stage entirely
+        a = [tuple(r) for r in pq.ivfpq_topk(
+            emb, IVF_CENTROIDS, PQ_CODEBOOKS, self.QVEC, 10,
+            nprobe=IVF_NLIST, shortlist=50)
+            .select("vec_id", "dist", "rank").collect()]
+        b = [tuple(r) for r in pq.pq_topk_reranked(
+            pq.encode_pq(emb, PQ_CODEBOOKS), self.QVEC, PQ_CODEBOOKS,
+            10, shortlist=50)
+            .select("vec_id", "dist", "rank").collect()]
+        assert sorted(a) == sorted(b)
