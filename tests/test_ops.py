@@ -840,3 +840,41 @@ class TestIVFPQ:
             10, shortlist=50)
             .select("vec_id", "dist", "rank").collect()]
         assert sorted(a) == sorted(b)
+
+
+class TestRollupRefresh:
+    def test_incremental_equals_full_build(self, spark, tmp_path_factory):
+        from search_ingest_spark.catalog import Catalog
+        from search_ingest_spark.ops import rollup
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        first = ev.where(F.col("event_id") % 2 == 0)
+        second = ev.where(F.col("event_id") % 2 == 1)
+
+        cat_inc = Catalog(spark, str(tmp_path_factory.mktemp("ri")))
+        rollup.build_rollup(first, cat_inc, interval_sec=3600)
+        rollup.refresh_rollup(second, cat_inc)
+
+        cat_full = Catalog(spark, str(tmp_path_factory.mktemp("rf")))
+        rollup.build_rollup(ev, cat_full, interval_sec=3600)
+
+        def rows(cat):
+            df = rollup.rollup_query(spark, cat, interval_sec=3600)
+            cols = sorted(df.columns)
+            return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+        assert rows(cat_inc) == rows(cat_full)
+
+    def test_refresh_new_buckets_only_appear(self, spark,
+                                             tmp_path_factory):
+        from search_ingest_spark.catalog import Catalog
+        from search_ingest_spark.ops import rollup
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        cat = Catalog(spark, str(tmp_path_factory.mktemp("ri2")))
+        rollup.build_rollup(ev.limit(0), cat, interval_sec=3600)
+        assert rollup.rollup_query(spark, cat,
+                                   interval_sec=3600).count() == 0
+        rollup.refresh_rollup(ev, cat)
+        got = rollup.rollup_query(spark, cat, interval_sec=3600)
+        assert (sum(r["n_events"] for r in got.collect()) == ev.count())
