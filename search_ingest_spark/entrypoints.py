@@ -1545,6 +1545,15 @@ def _q_geo_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   48.85, 2.35, [3000.0, 8000.0, 15000.0])
 
 
+# ES geotile_grid at zoom 3: Web-Mercator tile buckets over the
+# synthetic lat/lon attrs, clamped at the poles like ES.
+@register("search_geotile_grid",
+          _aggs.geotile_grid_oracle_sql(_AGG_QUERY, 3, lat_sql=_LAT_SQL,
+                                        lon_sql=_LON_SQL))
+def _q_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _aggs.geotile_grid_agg(_searcher(spark, sf_dir), _AGG_QUERY, 3)
+
+
 # ES sort-by-field top-k: Spark path = TakeOrdered over the doc-values
 # scan; the serving twin below early-terminates on the INDEX-SORTED
 # table (build sort_field="n_chars" — ES/Lucene index sorting).

@@ -1002,3 +1002,64 @@ SELECT (floor(epoch(ev.{ts_col}) / iv.i) * iv.i)::BIGINT
 FROM ev, iv
 GROUP BY 1, 3
 """.strip()
+
+
+# -- geotile_grid ----------------------------------------------------------------
+
+def geotile_grid_agg(searcher, query_text: str, zoom: int, *,
+                     lat_col: str = "lat",
+                     lon_col: str = "lon") -> DataFrame:
+    """ES `geotile_grid`: hit counts per Web-Mercator map tile at
+    `zoom` — keys are ES's "z/x/y" strings, x = ⌊(lon+180)/360·2^z⌋,
+    y = ⌊(1 − ln(tan(φ)+1/cos(φ))/π)/2·2^z⌋, with latitude first
+    clamped to ±85.05112878° (the Web-Mercator domain — the projection
+    diverges at the poles) and tiles clamped to the valid range,
+    exactly the standard slippy-map rule ES follows.
+    One projection + one groupBy; empty tiles are naturally absent.
+    Transcendental caveat as for every geo predicate (query/geo.py):
+    a doc sitting exactly on a tile edge could land either side across
+    engines — the synthetic lat/lon grid doesn't.  (tile_key, n_docs)."""
+    import math
+
+    if not 0 <= int(zoom) <= 29:
+        raise ValueError(f"zoom must be in [0, 29], got {zoom}")
+    z = int(zoom)
+    n = F.lit(float(1 << z))
+    max_t = F.lit((1 << z) - 1)
+    x = F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(360.0) * n)
+    lat_c = F.greatest(F.lit(-85.05112878),
+                       F.least(F.lit(85.05112878), F.col(lat_col)))
+    lat_r = F.radians(lat_c)
+    merc = F.log(F.tan(lat_r) + F.lit(1.0) / F.cos(lat_r))
+    y = F.floor((F.lit(1.0) - merc / F.lit(math.pi)) / F.lit(2.0) * n)
+    xc = F.greatest(F.lit(0), F.least(max_t, x)).cast("long")
+    yc = F.greatest(F.lit(0), F.least(max_t, y)).cast("long")
+    key = F.concat_ws("/", F.lit(str(z)), xc.cast("string"),
+                      yc.cast("string"))
+    return (_hit_attrs(searcher, query_text, [lat_col, lon_col])
+            .groupBy(key.alias("tile_key"))
+            .agg(F.count("*").alias("n_docs")))
+
+
+def geotile_grid_oracle_sql(query_text: str, zoom: int, *,
+                            lat_sql: str, lon_sql: str) -> str:
+    """DuckDB replay with the same projection and clamping; lat/lon
+    replayed from the synthetic doc_id formulas."""
+    import math
+
+    z = int(zoom)
+    n = float(1 << z)
+    mx = (1 << z) - 1
+    x = f"floor((({lon_sql}) + 180.0) / 360.0 * {n!r})"
+    latc = f"greatest(-85.05112878, least(85.05112878, ({lat_sql})))"
+    merc = f"ln(tan(radians({latc})) + 1.0 / cos(radians({latc})))"
+    y = f"floor((1.0 - {merc} / {math.pi!r}) / 2.0 * {n!r})"
+    xc = f"greatest(0, least({mx}, {x}))::BIGINT"
+    yc = f"greatest(0, least({mx}, {y}))::BIGINT"
+    return f"""
+WITH {hits_cte(query_text)}
+SELECT '{z}' || '/' || {xc}::VARCHAR || '/' || {yc}::VARCHAR AS tile_key,
+       count(*)::BIGINT AS n_docs
+FROM documents d JOIN hits USING (doc_id)
+GROUP BY 1
+""".strip()

@@ -784,3 +784,37 @@ FROM (
         got = {r["doc_id"] for r in searcher.random_score_topk(
             "customer window batch", "s1", 10**6).collect()}
         assert got == hits
+
+
+class TestGeotileGrid:
+    def test_matches_oracle(self, searcher):
+        got = _rows(aggs.geotile_grid_agg(searcher, Q, 3),
+                    "tile_key", "n_docs")
+        want = sorted(_oracle(aggs.geotile_grid_oracle_sql(
+            Q, 3, lat_sql=_LAT_SQL, lon_sql=_LON_SQL)))
+        assert got == want and len(got) > 4
+
+    def test_counts_sum_to_hits_and_keys_valid(self, searcher):
+        rows = _rows(aggs.geotile_grid_agg(searcher, Q, 2),
+                     "tile_key", "n_docs")
+        assert (sum(n for _, n in rows)
+                == searcher.matching_doc_ids(Q).count())
+        for key, _ in rows:
+            z, x, y = key.split("/")
+            assert z == "2" and 0 <= int(x) < 4 and 0 <= int(y) < 4
+
+    def test_zoom_zero_is_one_tile(self, searcher):
+        rows = _rows(aggs.geotile_grid_agg(searcher, Q, 0),
+                     "tile_key", "n_docs")
+        assert [k for k, _ in rows] == ["0/0/0"]
+
+    def test_finer_zoom_refines(self, searcher):
+        coarse = _rows(aggs.geotile_grid_agg(searcher, Q, 2),
+                       "tile_key", "n_docs")
+        fine = _rows(aggs.geotile_grid_agg(searcher, Q, 4),
+                     "tile_key", "n_docs")
+        assert len(fine) > len(coarse)
+
+    def test_bad_zoom(self, searcher):
+        with pytest.raises(ValueError):
+            aggs.geotile_grid_agg(searcher, Q, 30)
