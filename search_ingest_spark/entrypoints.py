@@ -1,8 +1,9 @@
 """Driver-facing query registry: every implemented operator from
 SURVEY.md §2 exposed as (spark, sf_dir) → DataFrame, each with a DuckDB
-oracle SQL string (identical column names/types) where SQL-expressible;
-approximate operators (LSH/SimHash/IVF) are registered without oracle →
-the driver records a rows-only check.
+oracle SQL string (identical column names/types).  Every registered
+entry carries an oracle — approximate operators (LSH/SimHash/IVF/PQ)
+are made deterministic by pinning their centroids/codebooks/seeds, so
+the driver value-hashes all of them; rows-only checks are extinct.
 
 Conventions that keep the driver's value-hash comparison exact:
 - every computed column is aliased identically on both sides;

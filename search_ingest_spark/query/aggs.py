@@ -276,8 +276,8 @@ WITH buckets AS ({inner_sql})
 SELECT *,
        ({metric} - lag({metric}, 1) OVER (ORDER BY {key} ASC))
          AS deriv,
-       sum({metric}) OVER (ORDER BY {key} ASC
-                           ROWS UNBOUNDED PRECEDING) AS cumsum
+       (sum({metric}) OVER (ORDER BY {key} ASC
+                            ROWS UNBOUNDED PRECEDING))::BIGINT AS cumsum
 FROM buckets
 """.strip()
 
