@@ -1250,6 +1250,39 @@ def _q_auto_date_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.where(F.col("event_type") == "click").select("ts"), 40)
 
 
+# ES date_histogram with CALENDAR intervals (B84 extension): civil
+# week/month boundaries via date_trunc — variable-length buckets no
+# fixed-seconds interval expresses (Spark and DuckDB agree: ISO Monday
+# weeks, UTC).  The events span (Jan 2024) yields 5 ISO weeks / 1 month.
+@register("events_date_histogram_week",
+          _aggs.calendar_histogram_oracle_sql(_ADH_INNER, "week"))
+def _q_cal_histogram_week(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return _aggs.calendar_histogram(
+        ev.where(F.col("event_type") == "click").select("ts"), "week")
+
+
+@register("events_date_histogram_month",
+          _aggs.calendar_histogram_oracle_sql(_ADH_INNER, "month"))
+def _q_cal_histogram_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return _aggs.calendar_histogram(
+        ev.where(F.col("event_type") == "click").select("ts"), "month")
+
+
+# auto_date_histogram with the FULL ES ladder (fixed rungs + calendar
+# month/quarter/year): target 3 over the ~30-day span overflows every
+# fixed rung (7d ≈ 5 aligned buckets) and lands on the month rung —
+# exercising the calendar extension end to end, oracle replaying the
+# whole rung choice in SQL.
+@register("events_auto_date_histogram_calendar",
+          _aggs.auto_date_histogram_calendar_oracle_sql(_ADH_INNER, 3))
+def _q_auto_date_histogram_cal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return _aggs.auto_date_histogram_calendar(
+        ev.where(F.col("event_type") == "click").select("ts"), 3)
+
+
 # ES weighted_avg: Σ(value·weight)/Σ(weight) over the hit set —
 # deterministic integer weight expression, exact integer sums.
 @register("search_weighted_avg",

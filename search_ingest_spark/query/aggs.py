@@ -937,13 +937,59 @@ LIMIT {int(size)}
 """.strip()
 
 
+# -- date_histogram calendar intervals ---------------------------------------
+
+# ES `date_histogram` calendar_interval units this engine buckets with
+# date_trunc — Spark and DuckDB agree on all four (ISO Monday weeks,
+# month/quarter/year at civil boundaries, session timezone UTC).
+CALENDAR_UNITS = ("week", "month", "quarter", "year")
+
+
+def calendar_histogram(events: DataFrame, unit: str, *,
+                       ts_col: str = "ts") -> DataFrame:
+    """ES `date_histogram` with `calendar_interval` = week/month/
+    quarter/year: one date_trunc groupBy (map-side combinable; bucket
+    cardinality is weeks/months, so the final reduce is tiny at any
+    scale).  Buckets are civil-calendar boundaries — variable length,
+    which no fixed-seconds interval can express (a month is 28-31
+    days; ES distinguishes calendar_interval from fixed_interval for
+    exactly this).  (bucket_start date, n_events)."""
+    if unit not in CALENDAR_UNITS:
+        raise ValueError(
+            f"calendar unit must be one of {CALENDAR_UNITS}, got {unit!r}")
+    return (events
+            .groupBy(F.date_trunc(unit, F.col(ts_col)).cast("date")
+                     .alias("bucket_start"))
+            .agg(F.count("*").alias("n_events")))
+
+
+def calendar_histogram_oracle_sql(inner_sql: str, unit: str, *,
+                                  ts_col: str = "ts") -> str:
+    """DuckDB replay: date_trunc agrees with Spark on week (ISO
+    Monday), month, quarter and year boundaries under UTC."""
+    if unit not in CALENDAR_UNITS:
+        raise ValueError(
+            f"calendar unit must be one of {CALENDAR_UNITS}, got {unit!r}")
+    return f"""
+WITH ev AS ({inner_sql})
+SELECT date_trunc('{unit}', {ts_col})::DATE AS bucket_start,
+       count(*)::BIGINT AS n_events
+FROM ev
+GROUP BY 1
+""".strip()
+
+
 # -- auto_date_histogram ----------------------------------------------------------
 
 # ES's fixed-interval rounding ladder below the calendar rungs (1s..7d);
-# the month/year calendar rungs are omitted (documented: this engine's
-# ladder is the fixed-seconds prefix of ES's)
+# auto_date_histogram keeps this fixed-seconds form for compatibility
+# with its original driver oracle; auto_date_histogram_calendar extends
+# the ladder with ES's month/quarter/year calendar rungs.
 AUTO_INTERVALS = [1, 5, 10, 30, 60, 300, 600, 1800, 3600, 10800, 43200,
                   86400, 604800]
+
+# the calendar extension of the ladder, in ES order (coarser than 7d)
+AUTO_CALENDAR = ("month", "quarter", "year")
 
 
 def auto_date_histogram(events: DataFrame, target_buckets: int, *,
@@ -1000,6 +1046,121 @@ SELECT (floor(epoch(ev.{ts_col}) / iv.i) * iv.i)::BIGINT
        count(*)::BIGINT AS n_events,
        iv.i AS interval_sec
 FROM ev, iv
+GROUP BY 1, 3
+""".strip()
+
+
+def auto_date_histogram_calendar(
+    events: DataFrame, target_buckets: int, *, ts_col: str = "ts",
+) -> DataFrame:
+    """ES `auto_date_histogram` with the FULL ladder — the fixed-
+    seconds rungs (1s..7d) extended by ES's calendar rungs (month,
+    quarter, year).  The rung choice is the coordinating-node step:
+    one driver-side min/max aggregate (two timestamps cross the
+    driver, never data), fixed rungs counted by aligned epoch
+    division, calendar rungs by civil-calendar distance — then ONE
+    map-side-combinable groupBy buckets by epoch floor (fixed) or
+    date_trunc (calendar).  Overflowing even the year rung keeps year
+    (ES degrades the same way).  (bucket_start_epoch, n_events,
+    interval) where interval is '<n>s' for fixed rungs and
+    '1month'/'1quarter'/'1year' for calendar ones."""
+    if target_buckets < 1:
+        raise ValueError(
+            f"target_buckets must be positive, got {target_buckets}")
+    row = events.agg(
+        F.min(F.col(ts_col)).alias("lo_ts"),
+        F.max(F.col(ts_col)).alias("hi_ts"),
+        F.min(F.unix_timestamp(ts_col)).alias("lo"),
+        F.max(F.unix_timestamp(ts_col)).alias("hi")).collect()[0]
+    lo, hi = int(row["lo"]), int(row["hi"])
+    lo_ts, hi_ts = row["lo_ts"], row["hi_ts"]
+    t = int(target_buckets)
+
+    def _cal_count(unit: str) -> int:
+        if unit == "month":
+            return ((hi_ts.year * 12 + hi_ts.month)
+                    - (lo_ts.year * 12 + lo_ts.month) + 1)
+        if unit == "quarter":
+            return ((hi_ts.year * 4 + (hi_ts.month - 1) // 3)
+                    - (lo_ts.year * 4 + (lo_ts.month - 1) // 3) + 1)
+        return hi_ts.year - lo_ts.year + 1
+
+    chosen_fixed: int | None = None
+    chosen_cal: str = AUTO_CALENDAR[-1]
+    for i in AUTO_INTERVALS:
+        if hi // i - lo // i + 1 <= t:
+            chosen_fixed = i
+            break
+    if chosen_fixed is None:
+        for unit in AUTO_CALENDAR:
+            if _cal_count(unit) <= t:
+                chosen_cal = unit
+                break
+    if chosen_fixed is not None:
+        key = (F.floor(F.unix_timestamp(ts_col) / F.lit(chosen_fixed))
+               * F.lit(chosen_fixed)).cast("long")
+        label = f"{chosen_fixed}s"
+    else:
+        key = F.unix_timestamp(
+            F.date_trunc(chosen_cal, F.col(ts_col))).cast("long")
+        label = f"1{chosen_cal}"
+    return (events.groupBy(key.alias("bucket_start_epoch"))
+            .agg(F.count("*").alias("n_events"))
+            .withColumn("interval", F.lit(label)))
+
+
+def auto_date_histogram_calendar_oracle_sql(
+    inner_sql: str, target_buckets: int, *, ts_col: str = "ts",
+) -> str:
+    """DuckDB replay of the full ladder: the same aligned-count rule
+    for fixed rungs, date_diff-over-truncated-bounds for calendar
+    rungs, the same first-fit choice by ladder order, the same
+    bucketing.  date_trunc takes only constant units in both engines,
+    so the calendar bucketing is a CASE over the three rungs."""
+    fixed = ", ".join(
+        f"({idx}, {i})" for idx, i in enumerate(AUTO_INTERVALS))
+    cal = " UNION ALL ".join(
+        f"SELECT {len(AUTO_INTERVALS) + j} AS idx, NULL::BIGINT AS i, "
+        f"'{u}' AS unit, (date_diff('{u}', date_trunc('{u}', lo_ts), "
+        f"date_trunc('{u}', hi_ts)) + 1)::BIGINT AS cnt FROM p"
+        for j, u in enumerate(AUTO_CALENDAR))
+    cal_bucket = "CASE ch.unit " + " ".join(
+        f"WHEN '{u}' THEN floor(epoch(date_trunc('{u}', ev.{ts_col})))::BIGINT"
+        for u in AUTO_CALENDAR) + " END"
+    return f"""
+WITH ev AS ({inner_sql}),
+p AS (
+  SELECT min({ts_col}) AS lo_ts, max({ts_col}) AS hi_ts,
+         floor(epoch(min({ts_col})))::BIGINT AS lo,
+         floor(epoch(max({ts_col})))::BIGINT AS hi
+  FROM ev
+),
+ladder(idx, i) AS (VALUES {fixed}),
+rungs AS (
+  SELECT idx, i::BIGINT AS i, NULL AS unit,
+         ((hi // i) - (lo // i) + 1)::BIGINT AS cnt
+  FROM ladder, p
+  UNION ALL
+  {cal}
+),
+fit AS (
+  SELECT idx, i, unit FROM rungs
+  WHERE cnt <= {int(target_buckets)}
+  ORDER BY idx LIMIT 1
+),
+ch AS (
+  SELECT coalesce((SELECT i FROM fit), NULL) AS i,
+         coalesce((SELECT unit FROM fit),
+                  CASE WHEN (SELECT count(*) FROM fit) = 0
+                       THEN '{AUTO_CALENDAR[-1]}' END) AS unit
+)
+SELECT CASE WHEN ch.i IS NOT NULL
+            THEN (floor(epoch(ev.{ts_col}) / ch.i) * ch.i)::BIGINT
+            ELSE {cal_bucket} END AS bucket_start_epoch,
+       count(*)::BIGINT AS n_events,
+       CASE WHEN ch.i IS NOT NULL THEN ch.i::VARCHAR || 's'
+            ELSE '1' || ch.unit END AS interval
+FROM ev, ch
 GROUP BY 1, 3
 """.strip()
 

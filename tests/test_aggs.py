@@ -743,6 +743,76 @@ class TestAutoDateHistogram:
             aggs.auto_date_histogram(self._events(spark), 0)
 
 
+class TestCalendarHistogram:
+    """date_histogram calendar_interval (B88) + the calendar-extended
+    auto_date_histogram ladder (B84)."""
+
+    def _events(self, spark):
+        return spark.read.parquet(f"{SF}/events.parquet").select("ts")
+
+    def _oracle_ev(self, sql):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            f"read_parquet('{SF}/events.parquet')"
+        )
+        return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+    @pytest.mark.parametrize("unit", ["week", "month", "quarter", "year"])
+    def test_units_match_oracle(self, spark, unit):
+        got = _rows(aggs.calendar_histogram(self._events(spark), unit),
+                    "bucket_start", "n_events")
+        want = self._oracle_ev(aggs.calendar_histogram_oracle_sql(
+            "SELECT ts FROM events", unit))
+        assert got == want and len(got) >= 1
+
+    def test_week_is_iso_monday(self, spark):
+        rows = aggs.calendar_histogram(self._events(spark),
+                                       "week").collect()
+        assert all(r["bucket_start"].isoweekday() == 1 for r in rows)
+
+    def test_bad_unit(self, spark):
+        with pytest.raises(ValueError):
+            aggs.calendar_histogram(self._events(spark), "fortnight")
+
+    # -- the calendar rungs of the auto ladder -------------------------------
+
+    def _wide_events(self, spark, n_days: int, step_days: int = 1):
+        # deterministic synthetic span: one event per `step_days` from
+        # 2020-01-01 — wide enough to overflow every fixed rung
+        return spark.range(n_days // step_days).select(
+            (F.lit("2020-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(days=F.col("id") * step_days)).alias("ts"))
+
+    def _wide_oracle(self, spark, df, sql):
+        con = duckdb.connect()
+        pdf = df.toPandas()
+        con.register("events", pdf)
+        return sorted(tuple(r) for r in con.execute(sql).fetchall())
+
+    def test_auto_calendar_picks_fixed_when_it_fits(self, spark):
+        rows = aggs.auto_date_histogram_calendar(
+            self._events(spark), 40).collect()
+        assert rows[0]["interval"] == "86400s"
+
+    @pytest.mark.parametrize("n_days,target,unit", [
+        (90, 4, "month"),       # 3 months fit, 7d rung (13) doesn't
+        (360, 5, "quarter"),    # 12 months > 5, 4 quarters fit
+        (1100, 4, "year"),      # ~36 months, 13 quarters > 4, 4 years fit
+        (4000, 3, "year"),      # 11 years: nothing fits → degrades to year
+    ])
+    def test_auto_calendar_rungs(self, spark, n_days, target, unit):
+        ev = self._wide_events(spark, n_days, step_days=5)
+        got = _rows(aggs.auto_date_histogram_calendar(ev, target),
+                    "bucket_start_epoch", "n_events", "interval")
+        want = self._wide_oracle(spark, ev,
+                                 aggs.auto_date_histogram_calendar_oracle_sql(
+                                     "SELECT ts FROM events", target))
+        assert got == want
+        assert got[0][2] == f"1{unit}"
+        assert sum(r[1] for r in got) == ev.count()
+
+
 class TestRandomScore:
     def test_matches_oracle(self, searcher):
         got = _rows(searcher.random_score_topk(Q, "r5seed", 10),
