@@ -670,6 +670,50 @@ class TestRollup:
         with pytest.raises(ValueError, match="positive"):
             rollup.build_rollup(ev, cat, interval_sec=0)
 
+    def test_watch_stream_maintains_rollup(self, spark, tmp_path_factory):
+        # VERDICT r5 item 7: the changefeed loop itself maintains the
+        # continuous aggregate — stream event batches in via
+        # foreachBatch, then rollup_query answers EXACTLY (vs the raw
+        # oracle over everything streamed) without any rebuild.
+        import duckdb
+
+        from search_ingest_spark.catalog import Catalog
+        from search_ingest_spark.ops import rollup
+
+        tmp = tmp_path_factory.mktemp("rollup_watch")
+        cat = Catalog(spark, str(tmp / "cat"))
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        src = tmp / "stream_src"
+        src.mkdir()
+        # three deterministic disjoint batches covering the table; one
+        # file each + maxFilesPerTrigger=1 → THREE micro-batches, so
+        # the stream exercises build (batch 0) then refresh (1, 2)
+        for i in range(3):
+            (ev.where(F.pmod(F.xxhash64("user_id", "ts"), F.lit(3)) == i)
+             .coalesce(1)
+             .write.mode("overwrite").parquet(str(src / f"batch{i}")))
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("recursiveFileLookup", "true")
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        q = rollup.watch_rollup(stream, cat, str(tmp / "ckpt"),
+                                interval_sec=3600)
+        q.awaitTermination(180)
+        df = rollup.rollup_query(spark, cat, interval_sec=86400,
+                                 since_epoch=self.SINCE,
+                                 until_epoch=self.UNTIL)
+        cols = sorted(df.columns)
+        got = sorted(tuple(r[c] for c in cols) for r in df.collect())
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW events AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/events.parquet')")
+        wt = con.execute(rollup.rollup_query_oracle_sql(
+            interval_sec=86400, since_epoch=self.SINCE,
+            until_epoch=self.UNTIL)).fetch_arrow_table()
+        wcols = sorted(wt.column_names)
+        want = sorted(tuple(r[c] for c in wcols) for r in wt.to_pylist())
+        assert cols == wcols and got == want and len(got) > 10
+
 
 class TestPQ:
     QVEC = [1.0] + [0.0] * 63
