@@ -2519,7 +2519,13 @@ def _incremental_catalog(spark: SparkSession, sf_dir: str):
 
     pages = docs.select(*page_cols(url, ts0, F.col("text")))
     cat = Catalog(spark, tempfile.mkdtemp(prefix="sis_inc_"))
-    ix = PageIndexer(spark, cat, mode="simple", docs_per_shard=64)
+    # attr_exprs + sort_field: the changefeed batch below also
+    # delta-maintains doc_attrs and the index-sorted table (Lucene-style
+    # sorted delta segments — VERDICT r5 item 4), queried by the
+    # search_sort_by_field_after_changes entry
+    ix = PageIndexer(spark, cat, mode="simple", docs_per_shard=64,
+                     attr_exprs={"n_chars": "length(text)"},
+                     sort_field="n_chars")
     ix.backfill(pages)
     # pin the pre-batch index generation: the time-travel entry queries
     # the catalog AS OF this checkpoint after the batch lands
@@ -2590,6 +2596,38 @@ def _q_timetravel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(top).join(ids, "doc_id")
         .select("url", "score", "rank")
     )
+
+
+# Sorted-top-k served AFTER the changefeed batch (VERDICT r5 item 4):
+# the index-sorted table survived the incremental splice as base + one
+# sorted delta segment + owners, and the early-terminating reader
+# merges them — updated docs surface with their NEW lengths, deleted
+# docs never surface, appended docs are rankable.  The oracle sorts the
+# post-change corpus from scratch; dense ids are url-ordered, so
+# (n_chars desc, doc_id asc) == (n_chars desc, url asc) on both sides.
+@register(
+    "search_sort_by_field_after_changes",
+    f"""
+WITH corpus AS ({_INC_CORPUS_SQL}),
+sel AS (
+  SELECT url, length(text)::BIGINT AS n_chars FROM corpus
+  ORDER BY n_chars DESC, url ASC LIMIT 10
+)
+SELECT url, n_chars,
+       row_number() OVER (ORDER BY n_chars DESC, url ASC)::INT AS rank
+FROM sel
+""".strip(),
+)
+def _q_sorted_after_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_ingest_spark.query.reader import LocalSearcher
+    from search_ingest_spark.streaming.incremental import DOC_IDS_TABLE
+
+    cat, _ix = _incremental_catalog(spark, sf_dir)
+    rows = LocalSearcher(cat).sorted_topk("n_chars", 10)
+    top = spark.createDataFrame(rows, "doc_id long, n_chars long, rank int")
+    ids = cat.read(DOC_IDS_TABLE).select("doc_id", "url")
+    return F.broadcast(top).join(ids, "doc_id").select(
+        "url", "n_chars", "rank")
 
 
 # ---------------------------------------------------------------------------

@@ -80,6 +80,11 @@ POSITIONS_TABLE = "positions"
 DOC_ATTRS_TABLE = "doc_attrs"
 SORTED_ATTRS_TABLE = "attrs_sorted"
 SORTED_ATTRS_META = "attrs_sorted_meta"
+# incremental delta segments of the index-sorted table (Lucene-style:
+# each changefeed batch appends ONE sorted segment; the owners table
+# maps doc_id → owning segment seq, -1 = deleted; base segment = seq 0)
+SORTED_ATTRS_SEG_PREFIX = "attrs_sorted_seg_"
+SORTED_ATTRS_OWNERS = "attrs_sorted_owners"
 BIGRAM_TABLE = "bigram_stats"
 MANIFEST_TABLE = "build_manifest"
 
@@ -712,8 +717,8 @@ def build_index(
             .sortWithinPartitions(F.desc_nulls_last(sort_field),
                                   F.asc("doc_id")))
         cat.write(SORTED_ATTRS_TABLE, s_sorted)
-        cat.write_small(SORTED_ATTRS_META, [(sort_field, 1)],
-                        "sort_field string, descending int")
+        cat.write_small(SORTED_ATTRS_META, [(sort_field, 1, 0)],
+                        "sort_field string, descending int, n_segs long")
 
     def _doc_store_fn():
         # stored-fields column family (the ES _source analog,

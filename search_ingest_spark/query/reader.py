@@ -997,17 +997,45 @@ class LocalSearcher:
             raise ValueError("sorted_topk supports flat filters only")
         tfilter = filters.arrow_cond(attr_filter) if attr_filter else None
         cols = [sort_field] + [c for c in (attr_filter or []) if c != sort_field]
-        dataset = ds.dataset(data_path)
-        frags = sorted(dataset.get_fragments(), key=lambda f: f.path)
         k = int(k)
+        # Lucene-style sorted SEGMENTS (incremental maintenance): the
+        # base build is segment 0; each changefeed batch appended one
+        # sorted delta segment, and the owners table maps touched
+        # doc_id → owning segment seq (-1 deleted).  A row is LIVE iff
+        # owners.get(doc_id, 0) == its segment's seq.  Fragments from
+        # ALL segments merge in max-stat-descending order, so the
+        # strictly-below-kth early termination stays sound across
+        # segments (unknown-max fragments read first, conservatively).
+        n_segs = int(meta.get("n_segs") or 0)
+        owners: dict[int, int] = {}
+        try:
+            opath = self.cat.data_path(ib.SORTED_ATTRS_OWNERS)
+            ot = ds.dataset(opath).to_table()
+            owners = dict(zip(ot["doc_id"].to_pylist(),
+                              ot["seq"].to_pylist()))
+        except FileNotFoundError:
+            pass
+        tagged: list[tuple[object, int, object]] = []  # (fmax, seq, frag)
+        seg_paths = [(0, data_path)] + [
+            (i, self.cat.data_path(f"{ib.SORTED_ATTRS_SEG_PREFIX}{i}"))
+            for i in range(1, n_segs + 1)
+        ]
+        for seq, path in seg_paths:
+            for frag in sorted(ds.dataset(path).get_fragments(),
+                               key=lambda f: f.path):
+                tagged.append((_fragment_max(frag, sort_field), seq, frag))
+        unknown = [t for t in tagged if t[0] is None]
+        known = sorted((t for t in tagged if t[0] is not None),
+                       key=lambda t: t[0], reverse=True)
+        ordered = unknown + known
         rows: list[tuple[object, int]] = []  # (key, doc_id), kept sorted
         kth_key = None
         n_read = 0
-        for frag in frags:
+        for fmax, seq, frag in ordered:
             if kth_key is not None:
-                fmax = _fragment_max(frag, sort_field)
                 # strictly below the kth key: no row in this (or any
-                # later) fragment can enter the top k, even via ties
+                # later, smaller-max) fragment can enter the top k,
+                # even via ties
                 if fmax is not None and fmax < kth_key:
                     break
             tbl = frag.to_table(columns=["doc_id", *dict.fromkeys(cols)],
@@ -1016,14 +1044,14 @@ class LocalSearcher:
             keys = tbl[sort_field].to_pylist()
             ids = tbl["doc_id"].to_pylist()
             rows.extend((ky, d) for ky, d in zip(keys, ids)
-                        if ky is not None)
+                        if ky is not None and owners.get(d, 0) == seq)
             if len(rows) >= k:
                 _sort_desc_id_asc(rows)
                 rows = rows[:k]
                 kth_key = rows[-1][0]
         if stats is not None:
             stats["fragments_read"] = n_read
-            stats["fragments_total"] = len(frags)
+            stats["fragments_total"] = len(ordered)
         _sort_desc_id_asc(rows)
         rows = rows[:k]
         return [(int(d), ky, i + 1) for i, (ky, d) in enumerate(rows)]

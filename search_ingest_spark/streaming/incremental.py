@@ -137,15 +137,187 @@ class PageIndexer:
     `backfill()` (full build), `apply_changes()` (changefeed batch),
     `reindex()` (drop + rebuild, `table.cr:61-76`)."""
 
+    # delta-segment count above which apply_changes folds the sorted
+    # segments back into one base (the Lucene merge-policy analog: read
+    # amplification grows with live segments, so bound it)
+    SORTED_COMPACT_SEGS = 16
+
     def __init__(
         self, spark: SparkSession, cat: Catalog, *, mode: str = "standard",
         docs_per_shard: int = 100_000, with_positions: bool = False,
+        attr_exprs: dict[str, str] | None = None,
+        sort_field: str | None = None,
     ) -> None:
+        """`attr_exprs` derives the filterable attr columns from the
+        page row itself ({name: SQL expr over url/warc_ts/text}, e.g.
+        {"n_chars": "length(text)"}) — which is what lets the
+        changefeed path MAINTAIN doc_attrs and the index-sorted table
+        instead of dropping them: updated docs' attr values are
+        recomputable from the batch.  `sort_field` (one of attr_exprs)
+        additionally keeps the index-sorted copy alive across batches
+        via Lucene-style sorted delta segments (see _sorted_delta_writes)."""
         self.spark = spark
         self.cat = cat
         self.mode = mode
         self.docs_per_shard = docs_per_shard
         self.with_positions = with_positions
+        self.attr_exprs = dict(attr_exprs or {})
+        self.sort_field = sort_field
+        if sort_field and sort_field not in self.attr_exprs:
+            raise ValueError(
+                f"sort_field {sort_field!r} must be one of attr_exprs")
+
+    def _attr_cols(self, df: DataFrame) -> DataFrame:
+        """Append the derived attr columns to a doc frame."""
+        for name, expr in self.attr_exprs.items():
+            df = df.withColumn(name, F.expr(expr))
+        return df
+
+    def _seg_table(self, seq: int) -> str:
+        from search_ingest_spark.index import build as ib
+
+        return f"{ib.SORTED_ATTRS_SEG_PREFIX}{int(seq)}"
+
+    def _attr_maintenance_writes(
+        self, upserts: DataFrame, del_id_frame: DataFrame,
+        merged: DataFrame, dirty: list[int], n_part: int,
+        n_up: int, n_del: int,
+    ) -> tuple[list, int]:
+        """Writes that keep doc_attrs and the index-sorted table ALIVE
+        across a changefeed batch (VERDICT r5 item 4 — previously both
+        were dropped, silently degrading the 64×-I/O sorted-top-k path
+        to a full rebuild after the first update).
+
+        doc_attrs is shard-partitioned: the dirty shards' attrs are
+        recomputed from the already-persisted merged doc frame (one
+        projection, no extra scan) and spliced with the same
+        replace_partitions the doc store uses.
+
+        The index-sorted table gets Lucene's answer — sorted DELTA
+        SEGMENTS: the batch's upserted docs' attr rows are written as
+        one new globally-sorted segment table (attrs_sorted_seg_<n>),
+        and an owners table (doc_id → owning segment seq, -1 deleted)
+        records which segment holds each touched doc's LIVE row; the
+        base build is segment 0.  The reader merges fragments across
+        segments in max-stat order with the same strictly-below-kth
+        early termination, filtering rows to owners[doc] == segment
+        (reader.py::sorted_topk).  Costs per batch: one O(batch)
+        sorted write + one O(touched-since-build) owners rewrite —
+        never an O(corpus) re-sort.  apply_changes folds segments back
+        into the base past SORTED_COMPACT_SEGS (the merge policy).
+
+        Returns ([(tag, thunk)], n_segs_after); n_segs_after is -1
+        when the sorted table is not maintained."""
+        from search_ingest_spark.index import build as ib
+
+        cat = self.cat
+        writes: list = []
+        n_segs_after = -1
+        if not self.attr_exprs:
+            return writes, n_segs_after
+        attr_names = list(self.attr_exprs)
+        if cat.exists(ib.DOC_ATTRS_TABLE):
+            attrs_new = self._attr_cols(merged).select(
+                "doc_id", *attr_names, "shard")
+            writes.append(("doc_attrs", lambda: cat.replace_partitions(
+                ib.DOC_ATTRS_TABLE, attrs_new.repartition(n_part, "shard"),
+                "shard", dirty_values=dirty)))
+        if self.sort_field and cat.exists(ib.SORTED_ATTRS_META):
+            meta = cat.read_small(ib.SORTED_ATTRS_META)[0]
+            if meta["sort_field"] != self.sort_field:
+                raise ValueError(
+                    f"index is sorted by {meta['sort_field']!r} but this "
+                    f"indexer maintains {self.sort_field!r}")
+            n_seg = int(meta.get("n_segs") or 0)
+            seq_new = n_seg + 1 if n_up > 0 else n_seg
+            ups_attrs = self._attr_cols(upserts).select("doc_id", *attr_names)
+            own_parts = []
+            if n_up > 0:
+                own_parts.append(ups_attrs.select("doc_id").withColumn(
+                    "seq", F.lit(seq_new).cast("long")))
+            if n_del > 0:
+                own_parts.append(del_id_frame.select("doc_id").withColumn(
+                    "seq", F.lit(-1).cast("long")))
+            if own_parts:
+                touched_own = own_parts[0]
+                for p in own_parts[1:]:
+                    touched_own = touched_own.unionByName(p)
+                if cat.exists(ib.SORTED_ATTRS_OWNERS):
+                    # old owners resolve their snapshot path NOW (before
+                    # any staged write can shadow it)
+                    old_own = cat.read(ib.SORTED_ATTRS_OWNERS)
+                    new_own = (old_own.join(touched_own.select("doc_id"),
+                                            "doc_id", "left_anti")
+                               .unionByName(touched_own))
+                else:
+                    new_own = touched_own
+                writes.append(("attrs_owners", lambda: cat.write(
+                    ib.SORTED_ATTRS_OWNERS, new_own)))
+            if n_up > 0:
+                seg = (ups_attrs
+                       .repartitionByRange(
+                           n_part, F.desc_nulls_last(self.sort_field),
+                           F.asc("doc_id"))
+                       .sortWithinPartitions(
+                           F.desc_nulls_last(self.sort_field),
+                           F.asc("doc_id")))
+                seg_name = self._seg_table(seq_new)
+                writes.append(("attrs_seg", lambda: cat.write(seg_name, seg)))
+                writes.append(("attrs_meta", lambda: cat.write_small(
+                    ib.SORTED_ATTRS_META, [(self.sort_field, 1, seq_new)],
+                    "sort_field string, descending int, n_segs long")))
+            n_segs_after = seq_new
+        return writes, n_segs_after
+
+    def compact_sorted(self) -> None:
+        """Fold every sorted delta segment back into ONE globally
+        sorted base (the Lucene segment-merge analog): live rows =
+        base minus owned docs, plus each segment's rows the owners
+        table assigns to it; one repartitionByRange re-sort; segments
+        + owners dropped and n_segs reset, all in one atomic catalog
+        transaction.  O(live rows) — run when read amplification
+        (segment count) crosses the merge policy, not per batch."""
+        from search_ingest_spark.index import build as ib
+
+        cat = self.cat
+        meta = cat.read_small(ib.SORTED_ATTRS_META)[0]
+        n_segs = int(meta.get("n_segs") or 0)
+        sort_field = meta["sort_field"]
+        has_owners = cat.exists(ib.SORTED_ATTRS_OWNERS)
+        if n_segs == 0 and not has_owners:
+            return
+        owners = cat.read(ib.SORTED_ATTRS_OWNERS) if has_owners else None
+        base = cat.read(ib.SORTED_ATTRS_TABLE)
+        live = (base.join(owners.select("doc_id"), "doc_id", "left_anti")
+                if owners is not None else base)
+        for i in range(1, n_segs + 1):
+            seg = cat.read(self._seg_table(i))
+            if owners is not None:
+                seg = seg.join(
+                    owners.where(F.col("seq") == i).select("doc_id"),
+                    "doc_id", "left_semi")
+            live = live.unionByName(seg)
+        n_part = max(1, self.spark.sparkContext.defaultParallelism)
+        s_sorted = (
+            live.repartitionByRange(n_part, F.desc_nulls_last(sort_field),
+                                    F.asc("doc_id"))
+            .sortWithinPartitions(F.desc_nulls_last(sort_field),
+                                  F.asc("doc_id")))
+        cat.begin()
+        try:
+            cat.write(ib.SORTED_ATTRS_TABLE, s_sorted)
+            for i in range(1, n_segs + 1):
+                if cat.exists(self._seg_table(i)):
+                    cat.drop(self._seg_table(i))
+            if has_owners:
+                cat.drop(ib.SORTED_ATTRS_OWNERS)
+            cat.write_small(
+                ib.SORTED_ATTRS_META, [(sort_field, 1, 0)],
+                "sort_field string, descending int, n_segs long")
+            cat.commit()
+        except BaseException:
+            cat.rollback()
+            raise
 
     def _shard_col(self, id_col: str = "doc_id"):
         return (F.col(id_col) / F.lit(self.docs_per_shard)).cast("int")
@@ -169,9 +341,12 @@ class PageIndexer:
             partition_by=["shard"],
         )
         info = ib.build_index(
-            self.spark, self.cat.read(DOCS_TABLE), self.cat,
+            self.spark, self._attr_cols(self.cat.read(DOCS_TABLE)),
+            self.cat,
             mode=self.mode, docs_per_shard=self.docs_per_shard,
             with_positions=self.with_positions,
+            attr_cols=list(self.attr_exprs) or None,
+            sort_field=self.sort_field,
         )
         # dense-append high-water marks (doc ids cover ALL docs, even
         # token-less ones, so count the mapping — not stats.n_docs)
@@ -288,6 +463,7 @@ class PageIndexer:
             n_up, n_new, n_del = len(urls_up), len(novel_urls), 0
             touched_ids = []
             ids_rows = []
+            del_id_rows: list[tuple[int]] = []
             for u in urls_up:
                 did = idmap.get(u)
                 if did is None:
@@ -299,6 +475,9 @@ class PageIndexer:
                 if did is not None:
                     n_del += 1
                     touched_ids.append(int(did))
+                    del_id_rows.append((int(did),))
+            del_id_frame = spark.createDataFrame(
+                del_id_rows or [], "doc_id long")
             dirty = sorted({d // self.docs_per_shard for d in touched_ids})
             ids_df = spark.createDataFrame(
                 ids_rows or [], "url string, doc_id long"
@@ -373,6 +552,7 @@ class PageIndexer:
             n_del = int(meta_row["n_del"] or 0)
             dirty = sorted(int(s) for s in (meta_row["shards"] or []))
             upserts = upserts.drop("_new")
+            del_id_frame = del_ids.select("doc_id")
         _t = _prof("id-resolve", _t)
         n_part = max(1, min(len(dirty) or 1,
                             spark.sparkContext.defaultParallelism))
@@ -417,16 +597,20 @@ class PageIndexer:
             # once; in-txn staging is a GIL-atomic list append,
             # order-independent across tables)
             extra_writes = [
-                lambda: cat.replace_partitions(
+                ("docs", lambda: cat.replace_partitions(
                     DOCS_TABLE, merged, "shard", dirty_values=dirty,
-                ),
-                lambda: cat.replace_partitions(
+                )),
+                ("doc_ids", lambda: cat.replace_partitions(
                     DOC_IDS_TABLE,
                     upd_ids.repartition(max(1, min(len(dirty_buckets), n_part)),
                                         "id_bucket"),
                     "id_bucket", dirty_values=dirty_buckets,
-                ),
+                )),
             ]
+            attr_writes, n_segs_after = self._attr_maintenance_writes(
+                upserts, del_id_frame, merged, dirty, n_part,
+                n_up, n_del)
+            extra_writes.extend(attr_writes)
             n_new_terms = self._splice_index(dirty, merged_docs=merged,
                                              extra_writes=extra_writes)
             _t = _prof("splice", _t)
@@ -454,6 +638,8 @@ class PageIndexer:
                 merged.unpersist()
             except NameError:
                 pass
+        if n_segs_after > self.SORTED_COMPACT_SEGS:
+            self.compact_sorted()
         return ChangeStats(n_up, n_del, n_new, dirty)
 
     @staticmethod
@@ -483,10 +669,11 @@ class PageIndexer:
         directly instead of reading the staged doc table back — which
         removes the doc-store write from the tokenize's critical path
         and lets EVERY table write of the batch run concurrently.
-        `extra_writes`: caller-supplied zero-arg write thunks (the doc
-        store + id mapping) joined into this method's single fan-out."""
+        `extra_writes`: caller-supplied (tag, zero-arg thunk) write
+        pairs (doc store, id mapping, attr maintenance) joined into
+        this method's single fan-out."""
         if not dirty_shards:
-            for w in extra_writes:
+            for _tag, w in extra_writes:
                 w()
             return 0
         import time as _time
@@ -605,8 +792,7 @@ class PageIndexer:
         # frame above resolved its snapshot paths BEFORE any staged
         # write, so concurrent staging can't redirect them.  Critical
         # path drops from Σ(writes) to max(write-chain).
-        base_writes = list(zip(
-            ["docs", "doc_ids"][:len(extra_writes)], extra_writes))
+        base_writes = list(extra_writes)
         base_writes.append(("doc_lens", lambda: cat.replace_partitions(
             ib.DOC_LENS_TABLE, dl_new.repartition(n_part, "shard"),
             "shard", dirty_values=dirty,
@@ -779,14 +965,25 @@ class PageIndexer:
         )
         if dict_frame is not None:
             dict_frame.unpersist()
-        # the url-keyed incremental pipeline carries no filterable attr
-        # columns; a stale filter table is worse than none — drop it
-        # (a batch rebuild with attr_cols recreates it).  Same for the
-        # index-sorted copy: its global order is frozen at build time.
+        # attr tables the indexer can't RECOMPUTE from the batch are
+        # dropped (stale filters are worse than none); with attr_exprs
+        # configured both doc_attrs and the index-sorted copy are
+        # delta-maintained instead (_attr_maintenance_writes)
+        maintained: set[str] = set()
+        if self.attr_exprs:
+            maintained.add(ib.DOC_ATTRS_TABLE)
+            if self.sort_field:
+                maintained.update((ib.SORTED_ATTRS_TABLE,
+                                   ib.SORTED_ATTRS_META,
+                                   ib.SORTED_ATTRS_OWNERS))
         for t in (ib.DOC_ATTRS_TABLE, ib.SORTED_ATTRS_TABLE,
-                  ib.SORTED_ATTRS_META):
-            if cat.exists(t):
+                  ib.SORTED_ATTRS_META, ib.SORTED_ATTRS_OWNERS):
+            if t not in maintained and cat.exists(t):
                 cat.drop(t)
+        if ib.SORTED_ATTRS_TABLE not in maintained:
+            for t in list(cat.list_tables()):
+                if t.startswith(ib.SORTED_ATTRS_SEG_PREFIX):
+                    cat.drop(t)
         tokens_new.unpersist()
         return n_new_terms
 
