@@ -96,6 +96,27 @@ def main() -> None:
     similarity.brute_force_topk(emb, [1.0] + [0.0] * 63, 10).collect()
     out["ann_brute"] = round(time.time() - t0, 3)
 
+    # phrase probe (VERDICT r5 item 2: attribute the +55% r4→r5
+    # phrase_topk_p95 window delta) — same build/queries as bench.py
+    from search_ingest_spark.query.phrase import PhraseSearcher
+
+    catp = Catalog(spark, os.path.join(TMP, f"idxp_{TAG}_{os.getpid()}"))
+    t0 = time.time()
+    build_index(spark, docs, catp, mode="simple", resume=False,
+                with_positions=True)
+    out["index_build_pos"] = round(time.time() - t0, 3)
+    ph = PhraseSearcher(spark, catp)
+    ph.topk("table hash", 10).collect()  # warm
+    latp: list[float] = []
+    for q in ["table hash", "part filter", "merge group"]:
+        for _ in range(REPEATS):
+            t0 = time.time()
+            ph.topk(q, 10, round_to=4).collect()
+            latp.append(time.time() - t0)
+    latp.sort()
+    out["phrase_p50"] = round(statistics.median(latp), 4)
+    out["phrase_p95"] = round(latp[int(len(latp) * 0.95) - 1], 4)
+
     print(json.dumps({"tag": TAG, **out}))
 
 

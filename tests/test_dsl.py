@@ -1,0 +1,487 @@
+"""ES `_search` DSL façade (query/dsl.py): every COVERAGE query/agg
+type the façade supports must be REACHABLE from a request dict and
+compile onto exactly the operator a direct call would use — asserted
+as row-level equality between the compiled request and the direct
+API call on the same index.  Strictness (unknown clause → ValueError)
+is pinned too: a silently dropped clause is a wrong answer."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from search_ingest_spark.catalog import Catalog
+from search_ingest_spark.index import build as ib
+from search_ingest_spark.query import aggs as _aggs
+from search_ingest_spark.query import bm25, dsl, significant
+from search_ingest_spark.query.phrase import PhraseSearcher
+from search_ingest_spark.query.rescore import rescore_topk
+from search_ingest_spark.query.wand import Searcher
+
+SF = "/root/testdata/sf0.001"
+Q = "spark query data"
+
+
+@pytest.fixture(scope="module")
+def built(spark, documents_smoke, tmp_path_factory):
+    cat = Catalog(spark, str(tmp_path_factory.mktemp("dsl")))
+    docs = (
+        documents_smoke
+        .withColumn("tag", F.when(F.col("doc_id") % 3 == 0,
+                                  F.col("source")))
+        .withColumn("lat", ((F.col("doc_id") * 7919) % 18000)
+                    / F.lit(100.0) - F.lit(90.0))
+        .withColumn("lon", ((F.col("doc_id") * 104729) % 36000)
+                    / F.lit(100.0) - F.lit(180.0))
+        .withColumn("props", F.transform(
+            F.sequence(F.lit(0), (F.col("doc_id") % 3).cast("int")),
+            lambda i: F.struct(
+                F.concat(F.lit("k"), ((F.col("doc_id") + i) % 5)
+                         .cast("string")).alias("k"),
+                ((F.col("doc_id") * 7 + i * 13) % 100).alias("v"))))
+    )
+    ib.build_index(spark, docs, cat, mode="simple", docs_per_shard=50,
+                   attr_cols=["lang", "source", "n_chars", "tag",
+                              "lat", "lon", "props"],
+                   store_fields=["text"], with_positions=True,
+                   with_bigrams=True, sort_field="n_chars")
+    return cat
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, built):
+    return Searcher(spark, built)
+
+
+@pytest.fixture(scope="module")
+def phrase(spark, built):
+    return PhraseSearcher(spark, built)
+
+
+def _rows(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _same(got_df, want_df):
+    assert sorted(got_df.columns) == sorted(want_df.columns)
+    assert _rows(got_df) == _rows(want_df)
+    return True
+
+
+def _hits(searcher, request, phrase=None, docs=None):
+    return dsl.search(searcher, request, phrase_searcher=phrase,
+                      docs=docs)["hits"]
+
+
+class TestQueryTypes:
+    """One request per supported query type ↔ the direct operator."""
+
+    def test_match(self, searcher):
+        _same(_hits(searcher, {"query": {"match": {"text": Q}}}),
+              searcher.topk(Q, 10, round_to=4))
+
+    def test_match_operator_and_msm(self, searcher):
+        _same(_hits(searcher, {"query": {"match": {"text": {
+            "query": Q, "operator": "and"}}}}),
+            searcher.topk(Q, 10, round_to=4, match_all=True))
+        _same(_hits(searcher, {"query": {"match": {"text": {
+            "query": Q, "minimum_should_match": 2}}}}),
+            searcher.topk(Q, 10, round_to=4, min_match=2))
+
+    def test_match_all(self, searcher):
+        got = _hits(searcher, {"query": {"match_all": {}}, "size": 7})
+        rows = got.collect()
+        assert [r["doc_id"] for r in rows] == sorted(
+            r["doc_id"] for r in rows)
+        assert len(rows) == 7 and all(r["score"] == 1.0 for r in rows)
+
+    def test_bool_full(self, searcher):
+        req = {"query": {"bool": {
+            "must": {"match": {"text": "data"}},
+            "should": {"match": {"text": "spark query table"}},
+            "must_not": {"match": {"text": "customer"}},
+            "filter": [{"range": {"lat": {"gte": -60.0}}}],
+            "minimum_should_match": 1,
+        }}}
+        _same(_hits(searcher, req),
+              searcher.bool_topk(
+                  must="data", should="spark query table",
+                  must_not="customer", filter={"lat": {"gte": -60.0}},
+                  minimum_should_match=1, k=10, round_to=4))
+
+    def test_filter_context_kinds(self, searcher):
+        req = {"query": {"bool": {"filter": [
+            {"term": {"lang": "es"}},
+            {"terms": {"source": ["src1", "src2", "src3"]}},
+            {"range": {"n_chars": {"gte": 10}}},
+            {"exists": {"field": "tag"}},
+        ]}}}
+        _same(_hits(searcher, req),
+              searcher.constant_score(
+                  {"lang": "es", "source": ["src1", "src2", "src3"],
+                   "n_chars": {"gte": 10}, "tag": {"exists": True}}, 10))
+
+    def test_nested_filter(self, searcher):
+        req = {"query": {"nested": {
+            "path": "props",
+            "query": [{"term": {"k": "k2"}},
+                      {"range": {"v": {"gte": 50}}}],
+        }}}
+        _same(_hits(searcher, req),
+              searcher.constant_score(
+                  {"nested": {"path": "props",
+                              "where": {"k": "k2", "v": {"gte": 50}}}},
+                  10))
+
+    def test_term_top_level(self, searcher):
+        _same(_hits(searcher, {"query": {"term": {"lang": "fr"}}}),
+              searcher.constant_score({"lang": "fr"}, 10))
+
+    def test_constant_score_boost(self, searcher):
+        req = {"query": {"constant_score": {
+            "filter": {"term": {"lang": "fr"}}, "boost": 2.5}}}
+        _same(_hits(searcher, req),
+              searcher.constant_score({"lang": "fr"}, 10, boost=2.5))
+
+    def test_match_phrase_and_slop(self, searcher, phrase):
+        _same(_hits(searcher, {"query": {"match_phrase": {
+            "text": "table hash"}}}, phrase=phrase),
+            phrase.topk("table hash", 10, round_to=4))
+        _same(_hits(searcher, {"query": {"match_phrase": {"text": {
+            "query": "table hash", "slop": 2}}}}, phrase=phrase),
+            phrase.topk("table hash", 10, slop=2, round_to=4))
+
+    def test_match_phrase_prefix(self, searcher, phrase):
+        _same(_hits(searcher, {"query": {"match_phrase_prefix": {
+            "text": "table ha"}}}, phrase=phrase),
+            phrase.topk_phrase_prefix("table ha", 10, round_to=4))
+
+    def test_span_near(self, searcher, phrase):
+        req = {"query": {"span_near": {
+            "clauses": [{"span_term": {"text": "table"}},
+                        {"span_term": {"text": "hash"}}],
+            "slop": 3, "in_order": True}}}
+        _same(_hits(searcher, req, phrase=phrase),
+              phrase.span_near_topk("table hash", 10, slop=3,
+                                    in_order=True, round_to=4))
+
+    def test_match_bool_prefix(self, searcher):
+        _same(_hits(searcher, {"query": {"match_bool_prefix": {
+            "text": "spark qu"}}}),
+            searcher.match_bool_prefix_topk("spark qu", 10, round_to=4))
+
+    def test_multi_match_types(self, searcher, documents_smoke):
+        d = documents_smoke
+        for mm, direct in [
+            ("best_fields", lambda: bm25.multi_match(
+                d, "spark data", [("text", 1.0), ("source", 2.0)], 10)),
+            ("most_fields", lambda: bm25.multi_match(
+                d, "spark data", [("text", 1.0), ("source", 2.0)], 10,
+                mm_type="most_fields")),
+            ("cross_fields", lambda: bm25.multi_match_cross_fields(
+                d, "spark data", [("text", 1.0), ("source", 2.0)], 10)),
+        ]:
+            req = {"query": {"multi_match": {
+                "query": "spark data", "fields": ["text", "source^2"],
+                "type": mm}}}
+            _same(_hits(searcher, req, docs=d), direct())
+
+    def test_dis_max(self, searcher, documents_smoke):
+        req = {"query": {"dis_max": {
+            "queries": [{"match": {"text": "spark data"}},
+                        {"match": {"source": "spark data"}}],
+            "tie_breaker": 0.3}}}
+        _same(_hits(searcher, req, docs=documents_smoke),
+              bm25.multi_match(documents_smoke, "spark data",
+                               [("text", 1.0), ("source", 1.0)], 10,
+                               tie_breaker=0.3))
+
+    def test_prefix_wildcard_regexp_fuzzy(self, searcher):
+        _same(_hits(searcher, {"query": {"prefix": {"text": "qu"}}}),
+              searcher.topk_prefix("qu", 10, round_to=4))
+        _same(_hits(searcher, {"query": {"wildcard": {"text": {
+            "value": "qu*y"}}}}),
+            searcher.topk_wildcard("qu*y", 10, round_to=4))
+        _same(_hits(searcher, {"query": {"regexp": {"text": {
+            "value": "qu.*"}}}}),
+            searcher.topk_regexp("qu.*", 10, round_to=4))
+        _same(_hits(searcher, {"query": {"fuzzy": {"text": {
+            "value": "spark", "fuzziness": 1}}}}),
+            searcher.topk_fuzzy("spark", 10, fuzziness=1, round_to=4))
+
+    def test_terms_set(self, searcher):
+        req = {"query": {"terms_set": {"text": {
+            "terms": ["spark", "query", "data"],
+            "minimum_should_match_script": {
+                "source": "least(2, n_chars)"}}}}}
+        _same(_hits(searcher, req),
+              searcher.terms_set_topk(["spark", "query", "data"],
+                                      "least(2, n_chars)", ["n_chars"],
+                                      10, round_to=4))
+
+    def test_function_score_fvf(self, searcher):
+        req = {"query": {"function_score": {
+            "query": {"match": {"text": Q}},
+            "field_value_factor": {"field": "n_chars",
+                                   "modifier": "log1p", "factor": 1.0},
+            "boost_mode": "multiply"}}}
+        _same(_hits(searcher, req),
+              searcher.function_score_topk(Q, "n_chars", 10,
+                                           round_to=4))
+
+    def test_function_score_random(self, searcher):
+        req = {"query": {"function_score": {
+            "query": {"match": {"text": Q}},
+            "random_score": {"seed": "r6"}}}}
+        _same(_hits(searcher, req),
+              searcher.random_score_topk(Q, "r6", 10))
+
+    def test_function_score_decay(self, searcher):
+        req = {"query": {"function_score": {
+            "query": {"match": {"text": Q}},
+            "functions": [{"gauss": {"n_chars": {
+                "origin": 300.0, "scale": 100.0, "offset": 25.0,
+                "decay": 0.5}}}]}}}
+        _same(_hits(searcher, req),
+              searcher.decay_score_topk(Q, "n_chars", 10, origin=300.0,
+                                        scale=100.0, offset=25.0,
+                                        decay=0.5, round_to=4))
+
+    def test_boosting(self, searcher):
+        req = {"query": {"boosting": {
+            "positive": {"match": {"text": Q}},
+            "negative": {"match": {"text": "customer"}},
+            "negative_boost": 0.4}}}
+        _same(_hits(searcher, req),
+              searcher.boosting_topk(Q, "customer", 10,
+                                     negative_boost=0.4, round_to=4))
+
+    def test_more_like_this(self, searcher):
+        req = {"query": {"more_like_this": {"like": {"_id": 7},
+                                            "max_query_terms": 5}}}
+        _same(_hits(searcher, req),
+              searcher.more_like_this_topk(7, 10, round_to=4))
+
+    def test_rank_feature_should(self, searcher):
+        req = {"query": {"bool": {
+            "must": {"match": {"text": Q}},
+            "should": [
+                {"rank_feature": {"field": "n_chars",
+                                  "saturation": {"pivot": 200.0},
+                                  "boost": 2.0}},
+                {"distance_feature": {"field": "lat", "origin": 0.0,
+                                      "pivot": 30.0, "boost": 1.5}},
+            ]}}}
+        specs = [
+            {"function": "saturation", "field": "n_chars",
+             "pivot": 200.0, "boost": 2.0},
+            {"function": "distance", "field": "lat", "origin": 0.0,
+             "pivot": 30.0, "boost": 1.5},
+        ]
+        _same(_hits(searcher, req),
+              searcher.rank_feature_topk(Q, specs, 10, round_to=4))
+
+
+class TestTopLevel:
+    def test_from_size_paging(self, searcher):
+        req = {"query": {"match": {"text": Q}}, "from": 10, "size": 10}
+        got = _hits(searcher, req)
+        want = searcher.topk(Q, 20, round_to=4).where(F.col("rank") > 10)
+        _same(got, want)
+
+    def test_search_after(self, searcher):
+        page1 = searcher.topk(Q, 10, round_to=4).collect()
+        cursor = [float(page1[-1]["score"]), int(page1[-1]["doc_id"])]
+        req = {"query": {"match": {"text": Q}}, "search_after": cursor}
+        _same(_hits(searcher, req),
+              searcher.topk(Q, 10, round_to=4,
+                            search_after=tuple(cursor)))
+
+    def test_sort_by_field(self, searcher):
+        req = {"sort": [{"n_chars": {"order": "desc"}}], "size": 10}
+        _same(_hits(searcher, req), searcher.sorted_topk("n_chars", 10))
+
+    def test_collapse(self, searcher):
+        req = {"query": {"match": {"text": Q}},
+               "collapse": {"field": "source"}, "size": 8}
+        _same(_hits(searcher, req),
+              _aggs.collapse_topk(searcher, Q, "source", 8, round_to=4))
+
+    def test_rescore(self, searcher, phrase):
+        req = {"query": {"match": {"text": Q}},
+               "rescore": {"window_size": 50, "query": {
+                   "rescore_query": {"match_phrase": {
+                       "text": "table hash"}},
+                   "rescore_query_weight": 2.0}}}
+        _same(_hits(searcher, req, phrase=phrase),
+              rescore_topk(searcher, phrase, Q, "table hash", 10,
+                           window_size=50, rescore_query_weight=2.0,
+                           round_to=4))
+
+    def test_suggest(self, searcher):
+        req = {"size": 0, "suggest": {
+            "fix": {"text": "spark qeury", "term": {"field": "text"}},
+            "did_you_mean": {"text": "spark qeury",
+                             "phrase": {"field": "text"}}}}
+        out = dsl.search(searcher, req)
+        _same(out["suggest"]["fix"], searcher.suggest_terms("spark qeury"))
+        _same(out["suggest"]["did_you_mean"],
+              searcher.suggest_phrases("spark qeury"))
+
+
+class TestAggs:
+    """query + aggs composed in ONE request — the composition the
+    dedicated entry points never exercised."""
+
+    def test_terms_and_stats_with_query(self, searcher):
+        req = {"query": {"match": {"text": Q}}, "size": 5, "aggs": {
+            "by_source": {"terms": {"field": "source", "size": 5}},
+            "chars": {"stats": {"field": "n_chars"}},
+        }}
+        out = dsl.search(searcher, req)
+        assert out["hits"].count() == 5
+        hits = searcher.matching_doc_ids(Q)
+        attrs = searcher.cat.read(ib.DOC_ATTRS_TABLE)
+        want_terms = (attrs.select("doc_id", "source").join(hits, "doc_id")
+                      .groupBy("source").agg(F.count("*").alias("n_docs"))
+                      .orderBy(F.desc("n_docs"), F.asc("source")).limit(5))
+        _same(out["aggs"]["by_source"], want_terms)
+        stats = out["aggs"]["chars"].collect()[0]
+        want = (attrs.select("doc_id", "n_chars").join(hits, "doc_id")
+                .agg(F.count("*").alias("c"), F.min("n_chars").alias("mn"),
+                     F.max("n_chars").alias("mx"),
+                     F.sum("n_chars").alias("s")).collect()[0])
+        assert (stats["count"], stats["min"], stats["max"],
+                stats["sum"]) == tuple(want)
+
+    @pytest.mark.parametrize("name,spec,direct", [
+        ("histogram", {"histogram": {"field": "n_chars", "interval": 100}},
+         lambda s: _aggs.histogram_agg(s, Q, "n_chars", 100)),
+        ("range", {"range": {"field": "n_chars", "ranges": [
+            {"key": "small", "to": 150.0},
+            {"key": "big", "from": 150.0}]}},
+         lambda s: _aggs.range_agg(s, Q, "n_chars",
+                                   [("small", None, 150.0),
+                                    ("big", 150.0, None)])),
+        ("missing", {"missing": {"field": "tag"}},
+         lambda s: _aggs.missing_agg(s, Q, "tag")),
+        ("rare_terms", {"rare_terms": {"field": "source",
+                                       "max_doc_count": 2}},
+         lambda s: _aggs.rare_terms(s, Q, "source", 2)),
+        ("extended_stats", {"extended_stats": {"field": "n_chars"}},
+         lambda s: _aggs.extended_stats(s, Q, "n_chars")),
+        ("string_stats", {"string_stats": {"field": "source"}},
+         lambda s: _aggs.string_stats(s, Q, "source")),
+        ("percentile_ranks", {"percentile_ranks": {
+            "field": "n_chars", "values": [100.0, 300.0]}},
+         lambda s: _aggs.percentile_ranks(s, Q, "n_chars",
+                                          [100.0, 300.0])),
+        ("multi_terms", {"multi_terms": {
+            "terms": [{"field": "source"}, {"field": "lang"}],
+            "size": 6}},
+         lambda s: _aggs.multi_terms_agg(s, Q, ["source", "lang"], 6)),
+        ("top_metrics", {"top_metrics": {
+            "metrics": [{"field": "lang"}],
+            "sort": {"n_chars": "desc"}, "size": 3}},
+         lambda s: _aggs.top_metrics(s, Q, "n_chars", ["lang"], 3)),
+        ("weighted_avg", {"weighted_avg": {
+            "value": {"field": "n_chars"},
+            "weight": {"field": "lat"}}},
+         lambda s: _aggs.weighted_avg(s, Q, "n_chars", "lat")),
+        ("significant_terms", {"significant_terms": {"size": 5}},
+         lambda s: significant.significant_terms(s, Q, 5)),
+        ("composite", {"composite": {
+            "sources": [{"source": {}}, {"lang": {}}], "size": 7,
+            "after": ["src12", "es"]}},
+         lambda s: _aggs.composite_agg(s, Q, ["source", "lang"], 7,
+                                       after=("src12", "es"))),
+        ("sampler", {"sampler": {
+            "shard_size": 40, "aggs": {"terms": {"field": "lang"}}}},
+         lambda s: _aggs.sampler_terms(s, Q, "lang", shard_size=40)),
+        ("geotile_grid", {"geotile_grid": {"precision": 3}},
+         lambda s: _aggs.geotile_grid_agg(s, Q, 3)),
+        ("cardinality", {"cardinality": {"field": "source"}}, None),
+        ("value_count", {"value_count": {"field": "tag"}}, None),
+        ("filters", {"filters": {"filters": {
+            "short": [{"range": {"n_chars": {"lt": 150}}}],
+            "es": [{"term": {"lang": "es"}}]}}},
+         lambda s: _aggs.filters_agg(s, Q, {
+             "short": {"n_chars": {"lt": 150}}, "es": {"lang": "es"}})),
+        ("adjacency_matrix", {"adjacency_matrix": {"filters": {
+            "a": [{"term": {"lang": "es"}}],
+            "b": [{"range": {"n_chars": {"gte": 150}}}]}}},
+         lambda s: _aggs.adjacency_matrix_agg(s, Q, {
+             "a": {"lang": "es"}, "b": {"n_chars": {"gte": 150}}})),
+        ("geo_distance", {"geo_distance": {
+            "origin": {"lat": 0.0, "lon": 0.0},
+            "ranges": [{"to": 5000.0}, {"from": 5000.0, "to": 10000.0},
+                       {"from": 10000.0}]}},
+         lambda s: _aggs.geo_distance_agg(s, Q, 0.0, 0.0,
+                                          [5000.0, 10000.0])),
+        ("percentiles", {"percentiles": {"field": "n_chars",
+                                         "percents": [50, 95]}}, None),
+    ])
+    def test_every_agg_reachable(self, searcher, name, spec, direct):
+        out = dsl.search(searcher, {
+            "query": {"match": {"text": Q}}, "aggs": {name: spec}})
+        df = out["aggs"][name]
+        if direct is not None:
+            _same(df, direct(searcher))
+        else:
+            assert df.count() >= 1  # scalar aggs: shape checked below
+
+    def test_cardinality_and_value_count_values(self, searcher):
+        out = dsl.search(searcher, {
+            "query": {"match": {"text": Q}},
+            "aggs": {"c": {"cardinality": {"field": "source"}},
+                     "v": {"value_count": {"field": "tag"}}}})
+        hits = searcher.matching_doc_ids(Q)
+        attrs = searcher.cat.read(ib.DOC_ATTRS_TABLE)
+        j = attrs.join(hits, "doc_id")
+        assert out["aggs"]["c"].collect()[0]["cardinality"] == \
+            j.select("source").distinct().count()
+        assert out["aggs"]["v"].collect()[0]["value_count"] == \
+            j.where(F.col("tag").isNotNull()).count()
+
+
+class TestStrictness:
+    def test_unknown_query_type(self, searcher):
+        with pytest.raises(ValueError, match="unsupported query type"):
+            _hits(searcher, {"query": {"knn": {}}})
+
+    def test_unknown_agg_type(self, searcher):
+        with pytest.raises(ValueError, match="unsupported agg type"):
+            dsl.search(searcher, {"query": {"match": {"text": Q}},
+                                  "aggs": {"x": {"t_test": {}}}})
+
+    def test_unknown_top_level_key(self, searcher):
+        with pytest.raises(ValueError, match="unsupported request keys"):
+            dsl.search(searcher, {"query": {"match": {"text": Q}},
+                                  "track_total_hits": True})
+
+    def test_unknown_match_option(self, searcher):
+        with pytest.raises(ValueError, match="unsupported match options"):
+            _hits(searcher, {"query": {"match": {"text": {
+                "query": Q, "fuzziness": "AUTO"}}}})
+
+    def test_unknown_filter_kind(self, searcher):
+        with pytest.raises(ValueError, match="unsupported filter clause"):
+            _hits(searcher, {"query": {"bool": {
+                "must": {"match": {"text": Q}},
+                "filter": [{"geo_shape": {"x": 1}}]}}})
+
+    def test_aggs_need_match(self, searcher):
+        with pytest.raises(ValueError, match="plain match"):
+            dsl.search(searcher, {"query": {"prefix": {"text": "qu"}},
+                                  "aggs": {"x": {"stats": {
+                                      "field": "n_chars"}}}})
+
+    def test_phrase_needs_phrase_searcher(self, searcher):
+        with pytest.raises(ValueError, match="phrase_searcher"):
+            _hits(searcher, {"query": {"match_phrase": {"text": "a b"}}})
+
+    def test_sort_asc_rejected(self, searcher):
+        with pytest.raises(ValueError, match="asc"):
+            _hits(searcher, {"sort": [{"n_chars": {"order": "asc"}}]})
