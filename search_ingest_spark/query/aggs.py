@@ -341,14 +341,16 @@ LIMIT {int(size)}
 # -- weighted_avg -------------------------------------------------------------
 
 def weighted_avg(searcher, query_text: str, value_col: str,
-                 weight_expr: str, *, round_to: int = 4) -> DataFrame:
+                 weight_expr: str, *, round_to: int = 4,
+                 weight_cols: tuple = ()) -> DataFrame:
     """ES `weighted_avg` over the hit set: Σ(value·weight) / Σ(weight).
     `weight_expr` is a SQL expression over doc_attrs columns/doc_id
-    (ES reads the weight from a field; an expression generalizes it).
-    Integer inputs keep both sums exact (associative), so the single
-    final division + round replays in the oracle.  (weighted_avg,
-    n_docs)."""
-    df = _hit_attrs(searcher, query_text, [value_col])
+    (ES reads the weight from a field; an expression generalizes it) —
+    attr columns it references beyond `value_col`/doc_id go in
+    `weight_cols` so the hit-set projection carries them.  Integer
+    inputs keep both sums exact (associative), so the single final
+    division + round replays in the oracle.  (weighted_avg, n_docs)."""
+    df = _hit_attrs(searcher, query_text, [value_col, *weight_cols])
     w = F.expr(weight_expr)
     return df.agg(
         F.round(

@@ -510,8 +510,9 @@ def _agg_top_metrics(searcher, text, body):
 
 def _agg_weighted_avg(searcher, text, body):
     from search_ingest_spark.query import aggs as _aggs
+    wfield = body["weight"]["field"]
     return _aggs.weighted_avg(searcher, text, body["value"]["field"],
-                              body["weight"]["field"])
+                              wfield, weight_cols=(wfield,))
 
 
 def _agg_multi_terms(searcher, text, body):

@@ -389,7 +389,8 @@ class TestAggs:
         ("weighted_avg", {"weighted_avg": {
             "value": {"field": "n_chars"},
             "weight": {"field": "lat"}}},
-         lambda s: _aggs.weighted_avg(s, Q, "n_chars", "lat")),
+         lambda s: _aggs.weighted_avg(s, Q, "n_chars", "lat",
+                                      weight_cols=("lat",))),
         ("significant_terms", {"significant_terms": {"size": 5}},
          lambda s: significant.significant_terms(s, Q, 5)),
         ("composite", {"composite": {
