@@ -1588,6 +1588,20 @@ def _q_geotile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _aggs.geotile_grid_agg(_searcher(spark, sf_dir), _AGG_QUERY, 3)
 
 
+# ES geohash_grid at precision 3: base32 geohash cells over the same
+# synthetic lat/lon attrs — the encode is ONE integer/double arithmetic
+# emitted for both engines (query/geo_grid.py), so the hash check is
+# exact.
+from search_ingest_spark.query import geo_grid as _geo_grid  # noqa: E402
+
+
+@register("search_geohash_grid",
+          _geo_grid.geohash_grid_oracle_sql(_AGG_QUERY, 3, lat_sql=_LAT_SQL,
+                                            lon_sql=_LON_SQL))
+def _q_geohash_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _geo_grid.geohash_grid_agg(_searcher(spark, sf_dir), _AGG_QUERY, 3)
+
+
 # ES sort-by-field top-k: Spark path = TakeOrdered over the doc-values
 # scan; the serving twin below early-terminates on the INDEX-SORTED
 # table (build sort_field="n_chars" — ES/Lucene index sorting).
@@ -2257,6 +2271,68 @@ def _q_ann_ivf(spark, sf_dir):
     cents = np.array(IVF_CENTROIDS, dtype=np.float64)
     bucketed = similarity.assign_buckets(_emb(spark, sf_dir), cents)
     return similarity.ivf_topk(bucketed, cents, _QVEC, k=10, nprobe=3)
+
+
+# ---------------------------------------------------------------------------
+# HNSW (ops/hnsw.py) — the ES-8 kNN serving structure.  The graph is a
+# serving-tier artifact over the embeddings table sorted by vec_id
+# (bounded like every LocalSearcher load: one graph per segment /
+# centroid table at scale, never the raw corpus), cached per sf_dir.
+# ---------------------------------------------------------------------------
+
+_HNSW_CACHE: dict = {}
+
+
+def _hnsw_for(sf_dir):
+    hit = _HNSW_CACHE.get(sf_dir)
+    if hit is None:
+        import numpy as np
+        import pyarrow.parquet as papq
+
+        from search_ingest_spark.ops import hnsw as _hnsw
+
+        t = (papq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+             .sort_by("vec_id"))
+        X = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        hit = _HNSW_CACHE[sf_dir] = (Xn, _hnsw.build(Xn))
+    return hit
+
+
+# HNSW beam (ef=128) + exact-cosine rerank of the beam: equals the
+# brute-force top-10 because the beam provably contains it at the
+# driver's scales (tests/test_hnsw.py pins recall 1.0 for exactly
+# these parameters at sf0.001 and sf0.01) — so the exact oracle
+# applies, the repo's standard pinned-approximate pattern.
+@register("ann_hnsw_topk", similarity.brute_force_topk_sql(_QVEC, k=10))
+def _q_ann_hnsw(spark, sf_dir):
+    import numpy as np
+
+    from search_ingest_spark.ops import hnsw as _hnsw
+
+    Xn, g = _hnsw_for(sf_dir)
+    q = np.asarray(_QVEC, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    beam = [i for i, _ in _hnsw.search(g, Xn, q, 128, ef=128)]
+    cands = _emb(spark, sf_dir).where(F.col("vec_id").isin(beam))
+    return similarity.brute_force_topk(cands, _QVEC, k=10)
+
+
+# The FAISS IVF+HNSW composition: HNSW over the pinned centroids IS the
+# coarse quantizer (O(ef·M) vs O(nlist) per query — the term that
+# dominates at nlist=2^17+).  With ef=|centroids| the probe choice is
+# bit-identical to the argsort's (tests/test_hnsw.py), so the existing
+# exact IVF oracle carries over unchanged.
+@register("ann_ivf_hnsw_topk", _ANN_IVF_SQL)
+def _q_ann_ivf_hnsw(spark, sf_dir):
+    import numpy as np
+
+    from search_ingest_spark.ops import hnsw as _hnsw
+
+    cents = np.array(IVF_CENTROIDS, dtype=np.float64)
+    probes = _hnsw.hnsw_nprobe(cents, np.asarray(_QVEC, dtype=np.float64), 3)
+    bucketed = similarity.assign_buckets(_emb(spark, sf_dir), cents)
+    return similarity.ivf_topk(bucketed, cents, _QVEC, k=10, probes=probes)
 
 
 # ---------------------------------------------------------------------------

@@ -204,12 +204,16 @@ def ivf_topk(
     emb_bucketed: DataFrame, centroids: np.ndarray, qvec: list[float],
     k: int = 10, *, nprobe: int = 4, id_col: str = "vec_id",
     vec_col: str = "embedding", round_to: int | None = 4,
+    probes: list[int] | None = None,
 ) -> DataFrame:
     """Probe the nprobe nearest buckets only (partition pruning at scale),
-    exact cosine within them."""
-    q = np.asarray(qvec, dtype=np.float64)
-    order = np.argsort(((centroids - q) ** 2).sum(axis=1), kind="stable")
-    probes = [int(j) for j in order[:nprobe]]
+    exact cosine within them.  `probes` overrides the coarse quantizer
+    (e.g. ops.hnsw.hnsw_nprobe replaces this exact argsort scan when
+    nlist is large enough that O(nlist) per query matters)."""
+    if probes is None:
+        q = np.asarray(qvec, dtype=np.float64)
+        order = np.argsort(((centroids - q) ** 2).sum(axis=1), kind="stable")
+        probes = [int(j) for j in order[:nprobe]]
     pruned = emb_bucketed.where(F.col("ivf_bucket").isin(probes))
     return brute_force_topk(
         pruned, qvec, k, id_col=id_col, vec_col=vec_col, round_to=round_to
