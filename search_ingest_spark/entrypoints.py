@@ -657,6 +657,25 @@ def _q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          "spark query data", 10)
 
 
+# ES `significant_text`: the free-text sibling — re-analyzes the
+# STORED text of a bounded top-score sample (sampler contract, one
+# doc-range-pruned doc_store read), background stats from the term
+# dictionary; filter_duplicate_text exercises the exact-dup guard
+# (this corpus genuinely contains duplicate texts — dedup_exact's
+# subject).  Oracle replays sample rule, dup filter, re-analysis and
+# JLH from raw text.
+@register(
+    "search_significant_text",
+    significant.significant_text_oracle_sql(
+        "spark query data", k=10, sample_size=50,
+        filter_duplicate_text=True),
+)
+def _q_significant_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return significant.significant_text(
+        _searcher(spark, sf_dir), "spark query data", 10,
+        sample_size=50, filter_duplicate_text=True)
+
+
 # Index statistics surface (ES _stats / _count analog): corpus counts
 # from the stats table + vocabulary size from term_dict, verified
 # against a from-corpus recount.
@@ -3179,6 +3198,44 @@ def _q_rollup_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         since_epoch=_ROLLUP_SINCE, until_epoch=_ROLLUP_UNTIL)
 
 
+# The continuous-aggregate PLANNER REWRITE (ops/rollup.py::
+# route_date_histogram): a 4-hour date_histogram is a multiple of the
+# hourly rollup base, so the router serves it FROM the rollup
+# (|buckets| pre-folded rows, not an events re-scan) — the oracle
+# recomputes from RAW events, certifying the rewrite is invisible.
+@register("events_date_histogram_routed",
+          rollup_mod.rollup_query_oracle_sql(
+              interval_sec=14400, since_epoch=_ROLLUP_SINCE,
+              until_epoch=_ROLLUP_UNTIL))
+def _q_dh_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_ingest_spark.ops import rollup
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    df, route = rollup.route_date_histogram(
+        spark, _rollup_cat(spark, sf_dir), ev, interval_sec=14400,
+        since_epoch=_ROLLUP_SINCE, until_epoch=_ROLLUP_UNTIL)
+    assert route == "rollup", route
+    return df
+
+
+# The same router forced onto its RAW fallback (90 min is NOT a
+# multiple of the hourly base — the rollup cannot answer it exactly,
+# so the router must re-scan rather than silently approximate).
+@register("events_date_histogram_routed_raw",
+          rollup_mod.rollup_query_oracle_sql(
+              interval_sec=5400, since_epoch=_ROLLUP_SINCE,
+              until_epoch=_ROLLUP_UNTIL))
+def _q_dh_routed_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_ingest_spark.ops import rollup
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    df, route = rollup.route_date_histogram(
+        spark, _rollup_cat(spark, sf_dir), ev, interval_sec=5400,
+        since_epoch=_ROLLUP_SINCE, until_epoch=_ROLLUP_UNTIL)
+    assert route == "raw", route
+    return df
+
+
 # At-least-once replay dedup (streaming/stats.dedup_replays) in its
 # batch reconciliation form: the events table unioned with a
 # deterministic replayed subset (every 10th id re-delivered an hour
@@ -3441,3 +3498,41 @@ def _q_dsl_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                                "factor": 1.0},
         "boost_mode": "multiply",
     }}})
+
+
+# geo_bounding_box filter context: the box is exactly two attr range
+# clauses (geo_point stored as lat/lon doc-values), so it rides the
+# shared filter spec; the oracle rebuilds the synthetic coords and
+# applies the same BETWEEN.
+@register(
+    "search_dsl_geo_box",
+    bm25.bool_oracle_sql(
+        must=_AGG_QUERY,
+        filter_where=(f"({_LAT_SQL}) BETWEEN -40.0 AND 40.0 "
+                      f"AND ({_LON_SQL}) BETWEEN -50.0 AND 50.0"),
+        k=10),
+)
+def _q_dsl_geo_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsl_search(spark, sf_dir, {"query": {"bool": {
+        "must": {"match": {"text": _AGG_QUERY}},
+        "filter": [{"geo_bounding_box": {"location": {
+            "top_left": {"lat": 40.0, "lon": -50.0},
+            "bottom_right": {"lat": -40.0, "lon": 50.0},
+        }}}],
+    }}})
+
+
+# ES-8 kNN clause: HNSW beam (num_candidates=128) + exact rerank —
+# same two-stage as ann_hnsw_topk, reached through the request dict;
+# beam coverage at the driver scales is pinned by tests/test_hnsw.py,
+# so the exact brute-force oracle applies.
+@register("search_dsl_knn", similarity.brute_force_topk_sql(_QVEC, k=10))
+def _q_dsl_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_ingest_spark.query import dsl as _dsl
+
+    out = _dsl.search(
+        _searcher(spark, sf_dir),
+        {"knn": {"field": "embedding", "query_vector": _QVEC, "k": 10,
+                 "num_candidates": 128}},
+        emb=_emb(spark, sf_dir), knn_index=_hnsw_for(sf_dir))
+    return out["hits"]

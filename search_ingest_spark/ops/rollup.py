@@ -148,6 +148,63 @@ GROUP BY 1, {keys}
 """.strip()
 
 
+def route_date_histogram(
+    spark: SparkSession, cat, events: DataFrame, *,
+    name: str = ROLLUP_TABLE, interval_sec: int,
+    ts_col: str = "ts", value_col: str = "value",
+    key_cols: tuple = ("event_type",),
+    since_epoch: int | None = None, until_epoch: int | None = None,
+) -> tuple[DataFrame, str]:
+    """The continuous-aggregate PLANNER REWRITE (TimescaleDB's
+    real-time aggregate routing, ES's rollup search): a date_histogram
+    request is answered FROM the rollup whenever the rollup can answer
+    it EXACTLY — table materialized, interval a multiple of the base,
+    bounds aligned to base buckets — and falls back to the raw-events
+    scan otherwise.  Returns (df, route) with route in {"rollup",
+    "raw"} so callers and tests can assert which plan served the
+    request; both routes produce the IDENTICAL schema and values
+    (pinned by test), so the rewrite is invisible to the consumer.
+
+    At 100 TB the difference is the whole point: the rollup route
+    aggregates |buckets| pre-folded rows (thousands); the raw route
+    re-scans the events table (billions).  The router makes the cheap
+    plan the DEFAULT rather than an API the caller must know about."""
+    qi = int(interval_sec)
+    routable = cat.exists(name) and cat.exists(name + "_meta")
+    if routable:
+        base = int(cat.read_small(name + "_meta")[0]["interval_sec"])
+        routable = (qi % base == 0) and all(
+            b is None or int(b) % base == 0
+            for b in (since_epoch, until_epoch))
+    if routable:
+        return (rollup_query(
+            spark, cat, name=name, interval_sec=qi, key_cols=key_cols,
+            since_epoch=since_epoch, until_epoch=until_epoch), "rollup")
+    # raw fallback: same columns, same fixed-point integer metrics,
+    # straight off the events table (one map-side-combinable groupBy)
+    ev = events
+    epoch = F.unix_timestamp(ts_col)
+    if since_epoch is not None:
+        ev = ev.where(epoch >= int(since_epoch))
+    if until_epoch is not None:
+        ev = ev.where(epoch < int(until_epoch))
+    bucket = (F.floor(epoch / F.lit(qi)) * F.lit(qi)).cast("long")
+    raw = (
+        ev.groupBy(bucket.alias("bucket_start_epoch"),
+                   *[F.col(c) for c in key_cols])
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum(F.floor(F.col(value_col) * 10000).cast("long"))
+            .cast("long").alias("sum_value_e4"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .withColumn("avg_value_e4",
+                    F.expr("sum_value_e4 div n_events").cast("long"))
+    )
+    return raw, "raw"
+
+
 def refresh_rollup(
     new_events: DataFrame, cat, *, name: str = ROLLUP_TABLE,
     ts_col: str = "ts", value_col: str = "value",

@@ -43,9 +43,10 @@ from pyspark.sql import functions as F
 from search_ingest_spark.index import build as ib
 
 _TOP_KEYS = {"query", "aggs", "sort", "from", "size", "search_after",
-             "collapse", "rescore", "suggest", "min_score"}
+             "collapse", "rescore", "suggest", "min_score", "knn"}
 
-_FILTER_KINDS = {"term", "terms", "range", "exists", "nested"}
+_FILTER_KINDS = {"term", "terms", "range", "exists", "nested",
+                 "geo_bounding_box"}
 
 
 # ---------------------------------------------------------------------------
@@ -88,6 +89,14 @@ def filter_spec(clauses) -> dict:
         elif kind == "nested":
             inner = filter_spec(body["query"])
             _put("nested", {"path": body["path"], "where": inner})
+        elif kind == "geo_bounding_box":
+            # the mapping stores geo_point as lat/lon doc-values (same
+            # contract as the geo aggs) — the box is exactly two range
+            # clauses, so it compiles onto the shared filter spec
+            (_f, box), = body.items()
+            tl, br = box["top_left"], box["bottom_right"]
+            _put("lat", {"gte": float(br["lat"]), "lte": float(tl["lat"])})
+            _put("lon", {"gte": float(tl["lon"]), "lte": float(br["lon"])})
         else:
             raise ValueError(
                 f"unsupported filter clause {kind!r} (supported: "
@@ -459,6 +468,24 @@ def _agg_significant(searcher, text, body):
                                          int(body.get("size", 10)))
 
 
+def _agg_significant_text(searcher, text, body):
+    from search_ingest_spark.query import significant
+    if body.get("field", "text") != "text":
+        raise ValueError(
+            f"significant_text field must be the indexed text field "
+            f"'text', got {body['field']!r}")
+    extra = set(body) - {"field", "size", "sample_size",
+                         "filter_duplicate_text"}
+    if extra:
+        raise ValueError(
+            f"unsupported significant_text options: {sorted(extra)}")
+    return significant.significant_text(
+        searcher, text, int(body.get("size", 10)),
+        sample_size=int(body.get("sample_size", 100)),
+        filter_duplicate_text=bool(body.get("filter_duplicate_text",
+                                            False)))
+
+
 def _agg_composite(searcher, text, body):
     from search_ingest_spark.query import aggs as _aggs
     sources = [next(iter(s)) for s in body["sources"]] \
@@ -495,6 +522,12 @@ def _agg_geotile(searcher, text, body):
     from search_ingest_spark.query import aggs as _aggs
     return _aggs.geotile_grid_agg(searcher, text,
                                   int(body["precision"]))
+
+
+def _agg_geohash(searcher, text, body):
+    from search_ingest_spark.query import geo_grid
+    return geo_grid.geohash_grid_agg(searcher, text,
+                                     int(body["precision"]))
 
 
 def _agg_top_metrics(searcher, text, body):
@@ -549,11 +582,13 @@ _AGG_COMPILERS = {
     "range": _agg_range,
     "filters": _agg_filters,
     "significant_terms": _agg_significant,
+    "significant_text": _agg_significant_text,
     "composite": _agg_composite,
     "sampler": _agg_sampler,
     "diversified_sampler": _agg_sampler,
     "geo_distance": _agg_geo_distance,
     "geotile_grid": _agg_geotile,
+    "geohash_grid": _agg_geohash,
     "top_metrics": _agg_top_metrics,
     "weighted_avg": _agg_weighted_avg,
     "adjacency_matrix": _agg_adjacency,
@@ -567,15 +602,66 @@ _AGG_COMPILERS = {
 
 
 # ---------------------------------------------------------------------------
+# ES-8 kNN clause — the HNSW serving path (ops/hnsw.py)
+# ---------------------------------------------------------------------------
+
+def _knn_hits(knn: dict, emb, knn_index, *, default_k: int) -> DataFrame:
+    """{"field": "embedding", "query_vector": [...], "k": K,
+    "num_candidates": N} → (vec_id, cosine, rank): HNSW beam of
+    num_candidates over the normalized vectors, exact-cosine rerank of
+    ONLY the beam (the two-stage every ANN entry in this repo uses)."""
+    import numpy as np
+
+    from search_ingest_spark.ops import hnsw as _hnsw
+    from search_ingest_spark.ops import similarity
+
+    extra = set(knn) - {"field", "query_vector", "k", "num_candidates"}
+    if extra:
+        raise ValueError(f"unsupported knn options: {sorted(extra)}")
+    if knn.get("field", "embedding") != "embedding":
+        raise ValueError(
+            f"knn field must be the dense-vector column 'embedding', "
+            f"got {knn['field']!r}")
+    if emb is None:
+        raise ValueError("knn requires the embeddings table (emb=)")
+    k = int(knn.get("k", default_k))
+    num_candidates = int(knn.get("num_candidates", max(10 * k, 100)))
+    if knn_index is None:
+        rows = (emb.select("vec_id", "embedding")
+                .orderBy("vec_id").collect())
+        if [r["vec_id"] for r in rows] != list(range(len(rows))):
+            raise ValueError("knn graph build needs contiguous vec_ids "
+                             "0..n-1 (pass a prebuilt knn_index instead)")
+        X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        knn_index = (Xn, _hnsw.build(Xn))
+    Xn, graph = knn_index
+    q = np.asarray([float(v) for v in knn["query_vector"]],
+                   dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    beam = [i for i, _ in _hnsw.search(graph, Xn, q, num_candidates,
+                                       ef=num_candidates)]
+    cands = emb.where(F.col("vec_id").isin(beam))
+    return similarity.brute_force_topk(
+        cands, [float(v) for v in knn["query_vector"]], k)
+
+
+# ---------------------------------------------------------------------------
 # the request compiler
 # ---------------------------------------------------------------------------
 
 def search(searcher, request: dict, *, phrase_searcher=None,
-           docs: DataFrame | None = None, round_to=4) -> dict:
+           docs: DataFrame | None = None, round_to=4,
+           emb: DataFrame | None = None, knn_index=None) -> dict:
     """Execute one ES `_search`-shaped request dict.  Returns
     {"hits": DataFrame | None, "aggs": {name: DataFrame},
     "suggest": {name: DataFrame}} — DataFrames so callers keep
-    composing/collecting exactly as with direct operator calls."""
+    composing/collecting exactly as with direct operator calls.
+
+    `emb` is the dense-vector table for ES-8 `knn` requests;
+    `knn_index` an optional prebuilt (normalized_vectors, HnswGraph)
+    pair (ops/hnsw.py) — without it the graph is built from `emb`
+    (a bounded serving-tier artifact, like every LocalSearcher load)."""
     extra = set(request) - _TOP_KEYS
     if extra:
         raise ValueError(f"unsupported request keys: {sorted(extra)}")
@@ -585,6 +671,22 @@ def search(searcher, request: dict, *, phrase_searcher=None,
         raise ValueError("from/size must be non-negative")
     query = request.get("query", {"match_all": {}})
     out: dict = {"hits": None, "aggs": {}, "suggest": {}}
+
+    if "knn" in request:
+        # ES 8 kNN: HNSW beam of num_candidates, exact rerank to k.
+        # Lexical/kNN score fusion is out of scope — knn must be the
+        # only hits-producing clause (strict, like every other gap).
+        clash = [key for key in ("query", "sort", "collapse", "rescore",
+                                 "search_after", "aggs") if key in request]
+        if clash:
+            raise ValueError(
+                f"knn cannot be combined with {clash} in this façade "
+                f"(score fusion not implemented)")
+        out["hits"] = _knn_hits(request["knn"], emb, knn_index,
+                                default_k=frm + size)
+        if frm:
+            out["hits"] = out["hits"].where(F.col("rank") > frm)
+        return out
 
     needs_text = [key for key in ("aggs", "collapse", "rescore")
                   if key in request] + (

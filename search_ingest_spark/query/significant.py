@@ -37,6 +37,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from search_ingest_spark.index import build as ib
 from search_ingest_spark.index import codec
@@ -168,6 +169,138 @@ scored AS (
 ),
 topk AS (
   SELECT term, fg_df, df, score FROM scored
+  ORDER BY score DESC, term ASC LIMIT {k}
+)
+SELECT term, fg_df, df, score,
+       row_number() OVER (ORDER BY score DESC, term ASC)::INT AS rank
+FROM topk
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# significant_text — the free-text sibling (re-analyzes a hit SAMPLE)
+# ---------------------------------------------------------------------------
+
+def significant_text(
+    searcher, query_text: str, k: int = 10, *, sample_size: int = 100,
+    filter_duplicate_text: bool = False, round_to: int = 6,
+) -> DataFrame:
+    """ES `significant_text`: JLH-significant terms computed by
+    RE-ANALYZING the stored text of a bounded hit sample — the agg ES
+    offers for free-text fields with no fielddata, always run under a
+    sampler because re-analysis costs per sampled doc, not per hit.
+
+    Sample rule (deterministic single-shard analog of ES's per-shard
+    sampling, same contract as aggs.sampler_terms): the top
+    `sample_size` hits by (rounded score desc, doc_id asc) from
+    all_matching_scores — one pruned postings scan + one TakeOrdered.
+    `filter_duplicate_text=True` drops exact-duplicate texts (lowest
+    doc_id survives) before counting, ES's near-dup guard in its
+    deterministic exact form.  Re-analysis touches `sample_size`
+    stored rows via the doc-range-pruned doc_store read; the
+    background stats come from the term dictionary — NO corpus pass
+    anywhere.  (term, fg_df, df, score, rank); fg_df counts SAMPLED
+    docs containing the term, background df/n_docs are index-wide
+    (exactly ES, where fg comes from the sampled context)."""
+    from search_ingest_spark.ranking import ranked_desc
+
+    scored = searcher.all_matching_scores(query_text, round_to=4)
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")) \
+        .limit(int(sample_size))
+    store = searcher.cat.read(ib.DOC_STORE_TABLE).select("doc_id", "text")
+    sample = store.join(top.select("doc_id"), "doc_id")
+    if filter_duplicate_text:
+        w = Window.partitionBy(F.md5("text")).orderBy(F.asc("doc_id"))
+        sample = (sample.withColumn("_dup_rank", F.row_number().over(w))
+                  .where(F.col("_dup_rank") == 1).drop("_dup_rank"))
+    toks = sample.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.expr(
+            "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")))
+        .alias("term"))
+    fg_counts = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("fg_df"))
+    n_fg = sample.agg(F.count("*").alias("_n_fg"))
+    dict_df = searcher.term_dict.select("term", "df")
+    joined = (fg_counts.join(F.broadcast(dict_df), "term")
+              .crossJoin(F.broadcast(n_fg)))
+    n_docs = F.lit(float(searcher.n_docs))
+    fg_rate = F.col("fg_df").cast("double") / F.col("_n_fg").cast("double")
+    bg_rate = F.col("df").cast("double") / n_docs
+    jlh = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+    scored_t = (
+        joined.where(fg_rate > bg_rate)
+        .select("term", "fg_df", "df", F.round(jlh, round_to).alias("score"))
+    )
+    topk = scored_t.orderBy(F.desc("score"), F.asc("term")).limit(k)
+    ranked = ranked_desc(topk, "score", "term")
+    return (
+        ranked.join(topk.select("term", "fg_df", "df"), "term")
+        .select("term", "fg_df", "df", "score", "rank")
+        .orderBy("rank")
+    )
+
+
+def significant_text_oracle_sql(
+    query_text: str, k: int = 10, *, sample_size: int = 100,
+    filter_duplicate_text: bool = False, round_to: int = 6,
+    table: str = "documents", id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    """DuckDB replay: same sample rule (BM25 scores re-derived from raw
+    text), same optional exact-dup filter (md5 partition, lowest doc_id
+    survives), same re-analysis regex, background df/n_docs re-derived
+    from the full corpus, identical JLH operand order."""
+    from search_ingest_spark.query.bm25 import bm25_scores_cte
+
+    dup = ""
+    src = "sample"
+    if filter_duplicate_text:
+        dup = f"""
+, dedup AS (
+  SELECT *, row_number() OVER (PARTITION BY md5({text_col})
+            ORDER BY doc_id ASC) AS _dup_rank
+  FROM sample
+)"""
+        src = "dedup WHERE _dup_rank = 1"
+    return f"""
+WITH {bm25_scores_cte(query_text, round_to=4)},
+top_n AS (
+  SELECT doc_id FROM scores_r
+  ORDER BY score DESC, doc_id ASC LIMIT {int(sample_size)}
+),
+sample AS (
+  SELECT d.{id_col} AS doc_id, d.{text_col} AS {text_col}
+  FROM {table} d JOIN top_n ON d.{id_col} = top_n.doc_id
+){dup},
+samp AS (SELECT * FROM {src}),
+stoks AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS term
+  FROM samp
+),
+fgt AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS fg_df
+        FROM stoks GROUP BY 1),
+fg AS (SELECT count(*)::BIGINT AS n_fg FROM samp),
+alltoks AS (
+  SELECT {id_col} AS doc_id,
+         unnest(regexp_extract_all(lower({text_col}), '[a-z0-9]+')) AS term
+  FROM {table}
+),
+bg AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+       FROM alltoks GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n_docs FROM alltoks),
+scored_t AS (
+  SELECT fgt.term, fgt.fg_df, bg.df,
+         round(
+           (fgt.fg_df::DOUBLE / fg.n_fg::DOUBLE - bg.df::DOUBLE / n.n_docs::DOUBLE)
+           * ((fgt.fg_df::DOUBLE / fg.n_fg::DOUBLE) / (bg.df::DOUBLE / n.n_docs::DOUBLE)),
+           {round_to})::DOUBLE AS score
+  FROM fgt JOIN bg USING (term) CROSS JOIN fg CROSS JOIN n
+  WHERE fgt.fg_df::DOUBLE / fg.n_fg::DOUBLE > bg.df::DOUBLE / n.n_docs::DOUBLE
+),
+topk AS (
+  SELECT term, fg_df, df, score FROM scored_t
   ORDER BY score DESC, term ASC LIMIT {k}
 )
 SELECT term, fg_df, df, score,

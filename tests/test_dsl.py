@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from search_ingest_spark.catalog import Catalog
 from search_ingest_spark.index import build as ib
 from search_ingest_spark.query import aggs as _aggs
-from search_ingest_spark.query import bm25, dsl, significant
+from search_ingest_spark.query import bm25, dsl, geo_grid, significant
 from search_ingest_spark.query.phrase import PhraseSearcher
 from search_ingest_spark.query.rescore import rescore_topk
 from search_ingest_spark.query.wand import Searcher
@@ -393,6 +393,11 @@ class TestAggs:
                                       weight_cols=("lat",))),
         ("significant_terms", {"significant_terms": {"size": 5}},
          lambda s: significant.significant_terms(s, Q, 5)),
+        ("significant_text", {"significant_text": {
+            "field": "text", "size": 5, "sample_size": 40,
+            "filter_duplicate_text": True}},
+         lambda s: significant.significant_text(
+             s, Q, 5, sample_size=40, filter_duplicate_text=True)),
         ("composite", {"composite": {
             "sources": [{"source": {}}, {"lang": {}}], "size": 7,
             "after": ["src12", "es"]}},
@@ -403,6 +408,8 @@ class TestAggs:
          lambda s: _aggs.sampler_terms(s, Q, "lang", shard_size=40)),
         ("geotile_grid", {"geotile_grid": {"precision": 3}},
          lambda s: _aggs.geotile_grid_agg(s, Q, 3)),
+        ("geohash_grid", {"geohash_grid": {"precision": 3}},
+         lambda s: geo_grid.geohash_grid_agg(s, Q, 3)),
         ("cardinality", {"cardinality": {"field": "source"}}, None),
         ("value_count", {"value_count": {"field": "tag"}}, None),
         ("filters", {"filters": {"filters": {
@@ -447,6 +454,76 @@ class TestAggs:
             j.where(F.col("tag").isNotNull()).count()
 
 
+class TestGeoBox:
+    def test_box_equals_range_filters(self, searcher):
+        # geo_bounding_box compiles onto EXACTLY the lat/lon range spec
+        got = _hits(searcher, {"query": {"bool": {
+            "must": {"match": {"text": Q}},
+            "filter": [{"geo_bounding_box": {"location": {
+                "top_left": {"lat": 40.0, "lon": -50.0},
+                "bottom_right": {"lat": -40.0, "lon": 50.0}}}}]}}})
+        want = _hits(searcher, {"query": {"bool": {
+            "must": {"match": {"text": Q}},
+            "filter": [
+                {"range": {"lat": {"gte": -40.0, "lte": 40.0}}},
+                {"range": {"lon": {"gte": -50.0, "lte": 50.0}}}]}}})
+        assert _same(got, want)
+
+    def test_box_actually_filters(self, searcher):
+        got = _hits(searcher, {"query": {"bool": {
+            "must": {"match": {"text": Q}},
+            "filter": [{"geo_bounding_box": {"location": {
+                "top_left": {"lat": 40.0, "lon": -50.0},
+                "bottom_right": {"lat": -40.0, "lon": 50.0}}}}]}}})
+        attrs = searcher.cat.read(ib.DOC_ATTRS_TABLE)
+        checked = got.join(attrs, "doc_id").where(
+            (F.col("lat") < -40) | (F.col("lat") > 40)
+            | (F.col("lon") < -50) | (F.col("lon") > 50))
+        assert got.count() >= 1 and checked.count() == 0
+
+
+class TestKnn:
+    def _emb(self, spark):
+        return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    def test_knn_equals_brute_force(self, spark, searcher):
+        from search_ingest_spark.ops import similarity
+        qv = [1.0] + [0.0] * 63
+        out = dsl.search(searcher, {
+            "knn": {"field": "embedding", "query_vector": qv,
+                    "k": 10, "num_candidates": 128}},
+            emb=self._emb(spark))
+        assert _same(out["hits"],
+                     similarity.brute_force_topk(self._emb(spark), qv, 10))
+
+    def test_knn_paged(self, spark, searcher):
+        qv = [1.0] + [0.0] * 63
+        out = dsl.search(searcher, {
+            "knn": {"field": "embedding", "query_vector": qv,
+                    "num_candidates": 128}, "from": 2, "size": 5},
+            emb=self._emb(spark))
+        ranks = [r["rank"] for r in out["hits"].collect()]
+        assert ranks == [3, 4, 5, 6, 7]
+
+    def test_knn_needs_emb(self, searcher):
+        with pytest.raises(ValueError, match="embeddings table"):
+            dsl.search(searcher, {"knn": {
+                "field": "embedding", "query_vector": [1.0], "k": 3}})
+
+    def test_knn_rejects_combination(self, spark, searcher):
+        with pytest.raises(ValueError, match="cannot be combined"):
+            dsl.search(searcher, {
+                "query": {"match": {"text": Q}},
+                "knn": {"field": "embedding", "query_vector": [1.0]}},
+                emb=self._emb(spark))
+
+    def test_knn_bad_field(self, spark, searcher):
+        with pytest.raises(ValueError, match="dense-vector column"):
+            dsl.search(searcher, {"knn": {
+                "field": "vec", "query_vector": [1.0], "k": 3}},
+                emb=self._emb(spark))
+
+
 class TestStrictness:
     def test_unknown_query_type(self, searcher):
         with pytest.raises(ValueError, match="unsupported query type"):
@@ -466,6 +543,12 @@ class TestStrictness:
         with pytest.raises(ValueError, match="unsupported match options"):
             _hits(searcher, {"query": {"match": {"text": {
                 "query": Q, "fuzziness": "AUTO"}}}})
+
+    def test_significant_text_bad_field(self, searcher):
+        with pytest.raises(ValueError, match="indexed text field"):
+            dsl.search(searcher, {"query": {"match": {"text": Q}},
+                                  "aggs": {"x": {"significant_text": {
+                                      "field": "title"}}}})
 
     def test_unknown_filter_kind(self, searcher):
         with pytest.raises(ValueError, match="unsupported filter clause"):

@@ -727,6 +727,41 @@ class TestBoosting:
                                                  negative_boost=1.5)
 
 
+class TestSignificantText:
+    """significant_text: sampled re-analysis of stored text vs the
+    brute-force DuckDB replay, with and without the exact-dup guard."""
+
+    @pytest.fixture(scope="class")
+    def built_store(self, spark, documents_smoke, tmp_path_factory):
+        cat = Catalog(spark, str(tmp_path_factory.mktemp("qx_sigtext")))
+        ib.build_index(spark, documents_smoke, cat, mode="simple",
+                       docs_per_shard=50, store_fields=["text"])
+        return cat
+
+    @pytest.mark.parametrize("dup_filter", [False, True])
+    def test_matches_oracle(self, spark, built_store, dup_filter):
+        from search_ingest_spark.query.significant import (
+            significant_text, significant_text_oracle_sql)
+
+        s = Searcher(spark, built_store)
+        got = [tuple(r) for r in significant_text(
+            s, "spark query data", 10, sample_size=40,
+            filter_duplicate_text=dup_filter).collect()]
+        want = _oracle(significant_text_oracle_sql(
+            "spark query data", k=10, sample_size=40,
+            filter_duplicate_text=dup_filter))
+        assert got == want and len(got) == 10
+
+    def test_sample_bounds_fg(self, spark, built_store):
+        # fg_df can never exceed the sample size
+        from search_ingest_spark.query.significant import significant_text
+
+        s = Searcher(spark, built_store)
+        rows = significant_text(s, "spark query data", 10,
+                                sample_size=15).collect()
+        assert rows and all(r["fg_df"] <= 15 for r in rows)
+
+
 class TestSignificantTerms:
     """JLH significant_terms over the cogrouped postings kernel vs the
     brute-force DuckDB replay; query terms themselves must rank at the
