@@ -1422,6 +1422,37 @@ def _q_msearch(spark: SparkSession, sf_dir: str) -> DataFrame:
         _msearch_indexes(spark, sf_dir), "spark query data", 12)
 
 
+# The same federation served Spark-free: per-index LocalSearcher top-k
+# with each index's OWN stats, coordinating-node merge of ≤ Σk rows
+# (msearch.local_msearch) — the reader-fleet form of ES's two-phase
+# cross-index query; identical oracle as the Spark path.
+@register("search_msearch_boosted_local",
+          msearch_mod.msearch_oracle_sql(
+              "spark query data",
+              [("even", "doc_id % 2 = 0", 2.0),
+               ("odd", "doc_id % 2 = 1", 1.0)], k=12))
+def _q_msearch_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.dataset as _ds
+
+    from search_ingest_spark.query.reader import LocalSearcher
+
+    key = "msearch_local:" + os.path.abspath(sf_dir)
+    local = _INDEX_CACHE.get(key)
+    if local is None:
+        local = []
+        for name, searcher, _remap, boost in _msearch_indexes(spark, sf_dir):
+            cat = searcher.cat
+            m = _ds.dataset(cat.data_path("id_map")).to_table(
+                columns=["doc_id", "orig_id"])
+            id_map = dict(zip(m["doc_id"].to_pylist(),
+                              m["orig_id"].to_pylist()))
+            local.append((name, LocalSearcher(cat), id_map, boost))
+        _INDEX_CACHE[key] = local
+    got = msearch_mod.local_msearch(local, "spark query data", 12)
+    return spark.createDataFrame(
+        got, "index_name string, doc_id long, score double, rank int")
+
+
 # ES percentile_ranks: % of hit values ≤ each threshold — the inverse
 # of the percentiles agg, exact conditional sums.
 @register("search_percentile_ranks",
@@ -2268,6 +2299,35 @@ def _q_ann_ivfpq(spark, sf_dir):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return _pq.ivfpq_topk(emb, IVF_CENTROIDS, PQ_CODEBOOKS, _QVEC, 10,
                           nprobe=3, shortlist=50)
+
+
+def _ivfpq_codes_cat(spark: SparkSession, sf_dir: str):
+    """The persisted IVF-PQ serving artifact: (vec_id, pq_codes)
+    partitioned by ivf_bucket, encoded once per process per sf_dir."""
+    key = "ivfpqcodes:" + os.path.abspath(sf_dir)
+    got = _INDEX_CACHE.get(key)
+    if got is None:
+        from search_ingest_spark.catalog import Catalog
+
+        cat = Catalog(spark, tempfile.mkdtemp(prefix="sis_ivfpq_"))
+        _pq.persist_ivfpq_codes(_emb(spark, sf_dir), cat,
+                                IVF_CENTROIDS, PQ_CODEBOOKS)
+        got = _INDEX_CACHE[key] = cat
+    return got
+
+
+# IVF-PQ served from the PERSISTED codes table: the query prunes to
+# nprobe bucket PARTITIONS (hive pruning at the file level), scans
+# only their 8-byte codes, and fetches shortlist floats by id from the
+# source table — encode determinism makes it row-identical to the
+# on-the-fly composition, so the same oracle certifies both.
+@register("ann_ivfpq_persisted",
+          _pq.ivfpq_oracle_sql(_QVEC, IVF_CENTROIDS, PQ_CODEBOOKS, k=10,
+                               nprobe=3, shortlist=50))
+def _q_ann_ivfpq_persisted(spark, sf_dir):
+    return _pq.ivfpq_topk_from_table(
+        _ivfpq_codes_cat(spark, sf_dir), _emb(spark, sf_dir),
+        IVF_CENTROIDS, PQ_CODEBOOKS, _QVEC, 10, nprobe=3, shortlist=50)
 
 
 # the production two-stage: ADC shortlist over codes, exact L2 rerank

@@ -231,6 +231,7 @@ def pq_topk_reranked(
     coded: DataFrame, qvec: list[float], codebooks: np.ndarray,
     k: int = 10, *, shortlist: int = 50, id_col: str = "vec_id",
     vec_col: str = "embedding", round_to: int = 6,
+    vectors: DataFrame | None = None,
 ) -> DataFrame:
     """The production two-stage ANN: ADC over the codes produces a
     `shortlist` of candidates (reading 8-byte codes, never floats),
@@ -245,7 +246,11 @@ def pq_topk_reranked(
         raise ValueError(f"shortlist {shortlist} must be ≥ k {k}")
     cand = pq_topk(coded, qvec, codebooks, int(shortlist),
                    id_col=id_col, round_to=round_to)
-    vecs = coded.select(F.col(id_col).alias("vec_id"), vec_col)
+    # `vectors` decouples the rerank's float fetch from the code scan —
+    # the persisted-codes path stores ONLY (id, codes) and fetches
+    # vectors from the source table by id (shortlist-sized lookup)
+    vecs = (vectors if vectors is not None else coded).select(
+        F.col(id_col).alias("vec_id"), vec_col)
     exact = (cand.select("vec_id").join(vecs, "vec_id")
              .select("vec_id",
                      F.round(exact_l2_col(qvec, vec_col), int(round_to))
@@ -361,3 +366,60 @@ def ivfpq_oracle_sql(
         id_col="vec_id", vec_col="embedding", round_to=round_to)
     assert body.startswith("WITH ")
     return f"WITH {ivf_cte},\n{body[5:]}"
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ codes — the build-time serving artifact
+# ---------------------------------------------------------------------------
+
+IVFPQ_CODES_TABLE = "ivfpq_codes"
+
+
+def persist_ivfpq_codes(
+    emb: DataFrame, cat, ivf_centroids, pq_codebooks: np.ndarray, *,
+    name: str = IVFPQ_CODES_TABLE, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the FAISS-style index the on-the-fly `ivfpq_topk`
+    recomputes per query: (vec_id, pq_codes) PARTITIONED BY ivf_bucket.
+    Encoding happens ONCE at build; a query then reads only its nprobe
+    bucket partitions of 8-byte codes (partition pruning at the file
+    level — asserted in tests), and the float vectors stay solely in
+    the source table, fetched shortlist-sized by id at rerank.  At
+    10^12 vectors this is the difference between an index and a scan:
+    codes ≈ m bytes/vector vs dim·4, and the bucket directory is the
+    Iceberg/hive partition key."""
+    from search_ingest_spark.ops.similarity import assign_buckets
+
+    C = np.asarray(ivf_centroids, dtype=np.float64)
+    b = assign_buckets(emb, C, vec_col=vec_col)
+    coded = encode_pq(b, pq_codebooks, vec_col=vec_col)
+    cat.write(
+        name,
+        coded.select(F.col(id_col).alias("vec_id"), "ivf_bucket",
+                     "pq_codes").repartition("ivf_bucket"),
+        partition_by=["ivf_bucket"],
+    )
+
+
+def ivfpq_topk_from_table(
+    cat, emb: DataFrame, ivf_centroids, pq_codebooks: np.ndarray,
+    qvec: list[float], k: int = 10, *, nprobe: int = 3,
+    shortlist: int = 50, name: str = IVFPQ_CODES_TABLE,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Serve IVF-PQ from the PERSISTED codes table: prune to the nprobe
+    bucket partitions, ADC-scan their codes, exact-rerank the shortlist
+    against the source table's floats.  Encode determinism makes this
+    row-identical to the on-the-fly `ivfpq_topk` (pinned by test), so
+    the same oracle certifies both."""
+    C = np.asarray(ivf_centroids, dtype=np.float64)
+    q = np.asarray(qvec, dtype=np.float64)
+    order = np.argsort(((C - q) ** 2).sum(axis=1), kind="stable")
+    probes = [int(j) for j in order[:int(nprobe)]]
+    coded = cat.read(name).where(F.col("ivf_bucket").isin(probes))
+    return pq_topk_reranked(
+        coded, qvec, pq_codebooks, int(k), shortlist=int(shortlist),
+        id_col="vec_id", vec_col=vec_col, round_to=round_to,
+        vectors=emb.select(F.col(id_col).alias("vec_id"), vec_col))

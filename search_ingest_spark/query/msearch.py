@@ -132,3 +132,40 @@ SELECT index_name, doc_id, score,
                           doc_id ASC)::INT AS rank
 FROM topk
 """.strip()
+
+
+def local_msearch(
+    indexes: list[tuple], query_text: str, k: int = 10, *,
+    round_to: int = 4,
+) -> list[tuple[str, int, float, int]]:
+    """The Spark-free serving twin of :func:`msearch_topk` — ES's
+    coordinating-node merge, literally: each index serves its OWN
+    top-k with its OWN statistics (`LocalSearcher.topk`, raw scores),
+    and the coordinator merges ≤ Σk candidate rows.
+
+    Exactness: a per-index boost is a monotone scale within that
+    index, so each index's top-k by raw score IS its top-k by boosted
+    score; any global top-k row is in its own index's top-k, hence in
+    the merge's candidate set — the ES two-phase argument.  Rounding
+    (shared _round_half_up, after the boost multiply) and the
+    (score desc, index_name asc, doc_id asc) tie-break replicate the
+    Spark path bitwise, pinned by test.
+
+    `indexes`: [(name, local_searcher, id_map_or_None, boost)] with
+    id_map a plain dict carrying subset doc_ids to natural keys (the
+    serving-side form of the dense-subset remap; a scale deployment
+    stores the natural key in doc_store instead of a driver dict).
+    Returns [(index_name, doc_id, score, rank)]."""
+    from search_ingest_spark.query.wand import _round_half_up
+
+    if not indexes:
+        raise ValueError("local_msearch needs ≥1 index")
+    merged = []
+    for name, ls, id_map, boost in indexes:
+        for doc_id, score, _rank in ls.topk(query_text, k, round_to=None):
+            nat = int(id_map[doc_id]) if id_map is not None else int(doc_id)
+            merged.append((_round_half_up(score * float(boost), round_to),
+                           str(name), nat))
+    merged.sort(key=lambda t: (-t[0], t[1], t[2]))
+    return [(nm, did, sc, i + 1)
+            for i, (sc, nm, did) in enumerate(merged[:int(k)])]

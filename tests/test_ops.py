@@ -942,6 +942,47 @@ class TestIVFPQ:
             .select("vec_id", "dist", "rank").collect()]
         assert sorted(a) == sorted(b)
 
+    # -- persisted codes table: the build-once serving artifact
+
+    @pytest.fixture(scope="class")
+    def codes_cat(self, spark, emb, tmp_path_factory):
+        from search_ingest_spark.catalog import Catalog
+        from search_ingest_spark.ops import pq
+        from search_ingest_spark.ops.ivf_pinned import IVF_CENTROIDS
+        from search_ingest_spark.ops.pq_pinned import PQ_CODEBOOKS
+
+        cat = Catalog(spark, str(tmp_path_factory.mktemp("ivfpq_codes")))
+        pq.persist_ivfpq_codes(emb, cat, IVF_CENTROIDS, PQ_CODEBOOKS)
+        return cat
+
+    def test_persisted_identical_to_on_the_fly(self, spark, emb,
+                                               codes_cat):
+        from search_ingest_spark.ops import pq
+        from search_ingest_spark.ops.ivf_pinned import IVF_CENTROIDS
+        from search_ingest_spark.ops.pq_pinned import PQ_CODEBOOKS
+
+        a = [tuple(r) for r in pq.ivfpq_topk_from_table(
+            codes_cat, emb, IVF_CENTROIDS, PQ_CODEBOOKS, self.QVEC, 10,
+            nprobe=3, shortlist=50)
+            .select("vec_id", "dist", "rank").collect()]
+        b = [tuple(r) for r in pq.ivfpq_topk(
+            emb, IVF_CENTROIDS, PQ_CODEBOOKS, self.QVEC, 10,
+            nprobe=3, shortlist=50)
+            .select("vec_id", "dist", "rank").collect()]
+        assert sorted(a) == sorted(b) and len(a) == 10
+
+    def test_codes_scan_is_partition_pruned(self, spark, codes_cat):
+        # the probe predicate must land on the hive partition column —
+        # the scan's PartitionFilters prune to nprobe directories
+        plan = codes_cat.read("ivfpq_codes").where(
+            F.col("ivf_bucket").isin([0, 3]))._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "PartitionFilters" in plan and "ivf_bucket" in plan
+
+    def test_codes_table_stores_no_floats(self, spark, codes_cat):
+        cols = set(codes_cat.read("ivfpq_codes").columns)
+        assert cols == {"vec_id", "ivf_bucket", "pq_codes"}
+
 
 class TestRollupRefresh:
     def test_incremental_equals_full_build(self, spark, tmp_path_factory):

@@ -1010,6 +1010,29 @@ class TestMsearch:
             "spark query data", self.PARTS, k=12))
         assert got == want and len(got) == 12
 
+    def test_local_twin_bitwise_parity(self, spark, msearch_indexes):
+        # the Spark-free coordinating-node merge must reproduce the
+        # Spark federation row-for-row (same stats, boost-then-round,
+        # same tie-break)
+        from search_ingest_spark.query import msearch as ms
+        from search_ingest_spark.query.reader import LocalSearcher
+
+        local = []
+        for name, searcher, remap, boost in msearch_indexes:
+            id_map = ({i: i + 250 for i in range(1000)}
+                      if name == "hi" else None)
+            local.append((name, LocalSearcher(searcher.cat), id_map, boost))
+        got = ms.local_msearch(local, "spark query data", 12)
+        want = [tuple(r) for r in ms.msearch_topk(
+            msearch_indexes, "spark query data", 12).collect()]
+        assert got == want and len(got) == 12
+
+    def test_local_needs_indexes(self):
+        from search_ingest_spark.query import msearch as ms
+
+        with pytest.raises(ValueError, match="≥1 index"):
+            ms.local_msearch([], "x", 5)
+
     def test_both_indexes_contribute(self, msearch_indexes):
         from search_ingest_spark.query import msearch as ms
 
