@@ -3560,6 +3560,44 @@ def _q_dsl_function_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     }}})
 
 
+# ES min_score: hits scoring below the floor are dropped (scores are
+# rank-descending, so the cut removes a suffix and ranks stay
+# contiguous); the threshold splits this query's top-10 mid-list.
+@register(
+    "search_dsl_min_score",
+    "SELECT * FROM ("
+    + bm25.bm25_oracle_sql("spark query data", k=10)
+    + ") WHERE score >= 1.25",
+)
+def _q_dsl_min_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsl_search(spark, sf_dir, {
+        "query": {"match": {"text": "spark query data"}},
+        "min_score": 1.25, "size": 10,
+    })
+
+
+# the ES fetch phase through the DSL: _source field list + the
+# deterministic highlighter composed on one request — ≤k broadcast
+# joins after ranking, exactly the dedicated entries' plans.
+@register(
+    "search_dsl_source_highlight",
+    f"""
+SELECT t.doc_id, t.score, t.rank, d.lang, d.source,
+       substr(d.text, greatest(1, strpos(lower(d.text), 'data') - 30), 80)
+         AS snippet
+FROM ({bm25.bm25_oracle_sql("data table", k=10)}) t
+JOIN documents d USING (doc_id)
+""".strip(),
+)
+def _q_dsl_source_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsl_search(spark, sf_dir, {
+        "query": {"match": {"text": "data table"}},
+        "_source": ["lang", "source"],
+        "highlight": {"fields": {"text": {}}},
+        "size": 10,
+    })
+
+
 # geo_bounding_box filter context: the box is exactly two attr range
 # clauses (geo_point stored as lat/lon doc-values), so it rides the
 # shared filter spec; the oracle rebuilds the synthetic coords and

@@ -43,7 +43,8 @@ from pyspark.sql import functions as F
 from search_ingest_spark.index import build as ib
 
 _TOP_KEYS = {"query", "aggs", "sort", "from", "size", "search_after",
-             "collapse", "rescore", "suggest", "min_score", "knn"}
+             "collapse", "rescore", "suggest", "min_score", "knn",
+             "_source", "highlight"}
 
 _FILTER_KINDS = {"term", "terms", "range", "exists", "nested",
                  "geo_bounding_box"}
@@ -677,7 +678,9 @@ def search(searcher, request: dict, *, phrase_searcher=None,
         # Lexical/kNN score fusion is out of scope — knn must be the
         # only hits-producing clause (strict, like every other gap).
         clash = [key for key in ("query", "sort", "collapse", "rescore",
-                                 "search_after", "aggs") if key in request]
+                                 "search_after", "aggs", "min_score",
+                                 "_source", "highlight")
+                 if key in request]
         if clash:
             raise ValueError(
                 f"knn cannot be combined with {clash} in this façade "
@@ -688,8 +691,8 @@ def search(searcher, request: dict, *, phrase_searcher=None,
             out["hits"] = out["hits"].where(F.col("rank") > frm)
         return out
 
-    needs_text = [key for key in ("aggs", "collapse", "rescore")
-                  if key in request] + (
+    needs_text = [key for key in ("aggs", "collapse", "rescore",
+                                  "highlight") if key in request] + (
         ["sort"] if request.get("sort") else [])
     text = None
     if needs_text:
@@ -757,6 +760,68 @@ def search(searcher, request: dict, *, phrase_searcher=None,
 
     if frm and out["hits"] is not None:
         out["hits"] = out["hits"].where(F.col("rank") > frm)
+
+    if "min_score" in request:
+        # ES: drop hits scoring below the floor (scored queries only).
+        # Scores are rank-descending, so this removes a suffix and
+        # ranks stay contiguous.
+        if out["hits"] is None or "score" not in out["hits"].columns:
+            raise ValueError(
+                "min_score applies to scored hits only (this request "
+                "produced none)")
+        out["hits"] = out["hits"].where(
+            F.col("score") >= float(request["min_score"]))
+
+    src = request.get("_source")
+    if src is not None and src is not False:
+        # ES _source filtering: stored fields joined onto the final hit
+        # page — a ≤k broadcast join, the fetch phase of ES's two-phase
+        # query (strict: a field list; _source: false is the no-fetch
+        # form and everything else is unsupported)
+        if not (isinstance(src, list) and src
+                and all(isinstance(c, str) for c in src)):
+            raise ValueError(
+                f"_source must be false or a non-empty field list, "
+                f"got {src!r}")
+        if out["hits"] is None:
+            raise ValueError("_source requires hits")
+        if docs is None:
+            raise ValueError("_source requires the docs table (docs=)")
+        keep = list(out["hits"].columns)
+        out["hits"] = F.broadcast(out["hits"]).join(
+            docs.select("doc_id", *src), "doc_id").select(*keep, *src)
+
+    if "highlight" in request:
+        # the engine's deterministic highlighter (same rule as the
+        # dedicated entry): an 80-char window starting 30 chars before
+        # the first occurrence of the FIRST query term, or the text
+        # head if absent
+        h = request["highlight"]
+        if set(h) != {"fields"} or set(h["fields"]) != {"text"}:
+            raise ValueError(
+                "highlight supports exactly {'fields': {'text': {}}} "
+                f"(got {h!r})")
+        if h["fields"]["text"]:
+            raise ValueError(
+                f"unsupported highlight options: "
+                f"{sorted(h['fields']['text'])}")
+        if out["hits"] is None:
+            raise ValueError("highlight requires hits")
+        if docs is None:
+            raise ValueError("highlight requires the docs table (docs=)")
+        from search_ingest_spark.query.bm25 import analyze_query
+        terms = analyze_query(text, mode="simple")
+        if not terms:
+            raise ValueError("highlight needs ≥1 analyzable query term")
+        first = terms[0]
+        snippet = F.substring(
+            F.col("text"),
+            F.greatest(F.lit(1), F.locate(first, F.lower("text")) - 30),
+            80)
+        keep = list(out["hits"].columns)
+        out["hits"] = F.broadcast(out["hits"]).join(
+            docs.select("doc_id", "text"), "doc_id").select(
+            *keep, snippet.alias("snippet"))
 
     for name, spec in (request.get("aggs") or {}).items():
         if not isinstance(spec, dict) or len(spec) != 1:

@@ -517,6 +517,12 @@ class TestKnn:
                 "knn": {"field": "embedding", "query_vector": [1.0]}},
                 emb=self._emb(spark))
 
+    def test_knn_min_score_rejected(self, spark, searcher):
+        with pytest.raises(ValueError, match="cannot be combined"):
+            dsl.search(searcher, {
+                "knn": {"field": "embedding", "query_vector": [1.0]},
+                "min_score": 0.5}, emb=self._emb(spark))
+
     def test_knn_bad_field(self, spark, searcher):
         with pytest.raises(ValueError, match="dense-vector column"):
             dsl.search(searcher, {"knn": {
@@ -569,3 +575,66 @@ class TestStrictness:
     def test_sort_asc_rejected(self, searcher):
         with pytest.raises(ValueError, match="asc"):
             _hits(searcher, {"sort": [{"n_chars": {"order": "asc"}}]})
+
+    def test_source_fields_joined(self, searcher, documents_smoke):
+        out = dsl.search(searcher, {
+            "query": {"match": {"text": Q}}, "size": 5,
+            "_source": ["lang", "source"]}, docs=documents_smoke)
+        rows = out["hits"].collect()
+        assert rows and set(rows[0].asDict()) == {
+            "doc_id", "score", "rank", "lang", "source"}
+
+    def test_source_false_is_plain_hits(self, searcher, documents_smoke):
+        a = _hits(searcher, {"query": {"match": {"text": Q}},
+                             "_source": False})
+        b = _hits(searcher, {"query": {"match": {"text": Q}}})
+        assert _same(a, b)
+
+    def test_source_bad_value(self, searcher, documents_smoke):
+        with pytest.raises(ValueError, match="field list"):
+            dsl.search(searcher, {"query": {"match": {"text": Q}},
+                                  "_source": "lang"},
+                       docs=documents_smoke)
+
+    def test_highlight_matches_direct_rule(self, searcher,
+                                           documents_smoke):
+        out = dsl.search(searcher, {
+            "query": {"match": {"text": "data table"}}, "size": 10,
+            "highlight": {"fields": {"text": {}}}},
+            docs=documents_smoke)
+        got = {r["doc_id"]: r["snippet"] for r in out["hits"].collect()}
+        texts = {r["doc_id"]: r["text"] for r in
+                 documents_smoke.select("doc_id", "text").collect()}
+        assert got
+        for did, snip in got.items():
+            t = texts[did]
+            pos = t.lower().find("data")
+            start = max(0, pos - 30) if pos >= 0 else 0
+            assert snip == t[start:start + 80]
+
+    def test_highlight_strict_options(self, searcher, documents_smoke):
+        with pytest.raises(ValueError, match="unsupported highlight"):
+            dsl.search(searcher, {
+                "query": {"match": {"text": Q}},
+                "highlight": {"fields": {"text": {
+                    "fragment_size": 200}}}}, docs=documents_smoke)
+        with pytest.raises(ValueError, match="highlight supports"):
+            dsl.search(searcher, {
+                "query": {"match": {"text": Q}},
+                "highlight": {"fields": {"lang": {}}}},
+                docs=documents_smoke)
+
+    def test_min_score_filters_suffix(self, searcher):
+        full = _hits(searcher, {"query": {"match": {"text": Q}},
+                                "size": 10}).collect()
+        floor = sorted(r["score"] for r in full)[len(full) // 2]
+        cut = _hits(searcher, {"query": {"match": {"text": Q}},
+                               "size": 10, "min_score": floor}).collect()
+        assert 0 < len(cut) < len(full)
+        assert all(r["score"] >= floor for r in cut)
+        assert [r["rank"] for r in cut] == list(range(1, len(cut) + 1))
+
+    def test_min_score_needs_scored_hits(self, searcher):
+        with pytest.raises(ValueError, match="scored hits"):
+            _hits(searcher, {"sort": [{"n_chars": {"order": "desc"}}],
+                             "min_score": 1.0})
