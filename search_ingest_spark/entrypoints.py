@@ -1691,6 +1691,29 @@ def _q_sort_field_local(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "doc_id long, n_chars long, rank int")
 
 
+# ASCENDING sort served from the SAME desc-sorted layout: the scan
+# walks fragments by parquet MIN stat (file tail first) and stops when
+# the next fragment's min exceeds the kth key — the direction ES
+# cannot early-terminate (it requires a matching index sort); parquet
+# keeps both stats, so one layout serves both directions at
+# O(k + skipped).
+@register(
+    "search_sort_by_field_asc_local",
+    """
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars ASC, doc_id ASC)::INT AS rank
+FROM documents
+ORDER BY n_chars ASC, doc_id ASC
+LIMIT 10
+""".strip(),
+)
+def _q_sort_field_asc_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _local_searcher(spark, sf_dir).sorted_topk(
+        "n_chars", 10, ascending=True)
+    return spark.createDataFrame(
+        rows, "doc_id long, n_chars long, rank int")
+
+
 # ES _explain: per-term BM25 breakdown of one doc's score — block-level
 # postings point-read, rows fold to the doc's kernel score.
 @register("search_explain_doc",

@@ -28,9 +28,10 @@ Engine-specific notes (each mirrors the backing operator's contract):
 - the indexed text field is `text`; attr fields live in doc_attrs;
 - aggs / collapse / rescore / search_after ride a plain `match`
   query (they consume the OR hit set, like their entry points);
-- `sort` uses the index-sorted doc-values table (descending, the
-  build's sort_field — ES needs a matching index sort for the same
-  early termination);
+- `sort` uses the index-sorted doc-values table (the build's
+  sort_field; both directions served from the one desc-sorted layout
+  via parquet min/max stats — ES needs a matching index sort and only
+  early-terminates in the sorted direction);
 - pipeline aggs (derivative/moving_fn/...) post-process a bucket
   FRAME, not a request, and keep their dedicated entry points.
 """
@@ -742,16 +743,15 @@ def search(searcher, request: dict, *, phrase_searcher=None,
         else:
             order = opts.get("order", "desc") if isinstance(opts, dict) \
                 else opts
-            if order != "desc":
-                raise ValueError(
-                    "sort rides the index-sorted table (descending "
-                    "build order) — asc needs an asc-sorted index, "
-                    "exactly as in ES")
+            if order not in ("asc", "desc"):
+                raise ValueError(f"sort order must be asc|desc, "
+                                 f"got {order!r}")
             if text:
                 raise ValueError(
                     "sort + query is served scored (_score) or "
                     "unscored over match_all in this façade")
-            out["hits"] = searcher.sorted_topk(sort_field, frm + size)
+            out["hits"] = searcher.sorted_topk(
+                sort_field, frm + size, ascending=(order == "asc"))
     elif "query" in request or not request.get("aggs"):
         out["hits"] = compile_hits(
             searcher, query, k=frm + size, round_to=round_to,

@@ -90,9 +90,19 @@ def _sort_desc_id_asc(rows: list) -> None:
     rows.sort(key=lambda t: t[0], reverse=True)
 
 
-def _fragment_max(frag, column: str):
-    """Max parquet row-group statistic of `column` across a fragment,
-    or None when stats are absent — the sorted-scan stop bound."""
+def _sort_asc_id_asc(rows: list) -> None:
+    """In-place (key asc, doc_id asc) for [(key, doc_id)] — the
+    ascending twin of _sort_desc_id_asc (tuple sort is already the
+    right lexicographic order when both keys ascend, but keep the
+    two-pass form for any comparable key type)."""
+    rows.sort(key=lambda t: t[1])
+    rows.sort(key=lambda t: t[0])
+
+
+def _fragment_stat(frag, column: str, *, want_max: bool):
+    """Extreme parquet row-group statistic of `column` across a
+    fragment, or None when stats are absent — the sorted-scan stop
+    bound (max for a descending scan, min for ascending)."""
     md = frag.metadata
     idx = None
     best = None
@@ -108,8 +118,18 @@ def _fragment_max(frag, column: str):
         st = row_group.column(idx).statistics
         if st is None or not st.has_min_max:
             return None
-        best = st.max if best is None else max(best, st.max)
+        v = st.max if want_max else st.min
+        if best is None:
+            best = v
+        else:
+            best = max(best, v) if want_max else min(best, v)
     return best
+
+
+def _fragment_max(frag, column: str):
+    """Max parquet row-group statistic of `column` across a fragment,
+    or None when stats are absent — the sorted-scan stop bound."""
+    return _fragment_stat(frag, column, want_max=True)
 
 
 def lev_capped(a: str, b: str, cap: int) -> int:
@@ -961,10 +981,12 @@ class LocalSearcher:
     def sorted_topk(
         self, sort_field: str, k: int = 10, *,
         attr_filter: dict | None = None, stats: dict | None = None,
+        ascending: bool = False,
     ) -> list[tuple[int, object, int]]:
         """Early-terminating field-sorted top-k over the index-sorted
         doc-values table (ES/Lucene index sorting: index.sort.field) —
-        [(doc_id, sort_value, rank)], descending, ties on doc_id asc.
+        [(doc_id, sort_value, rank)], descending by default, ties on
+        doc_id asc.
 
         The build laid the table out in GLOBAL (sort_field desc,
         doc_id asc) order, so fragments are read in file order and the
@@ -980,7 +1002,16 @@ class LocalSearcher:
         read Lucene buys with sorted segments; pass `stats={}` to get
         {"fragments_read": n, "fragments_total": m} back for tests.
         NULL sort keys sort last at build time and are never
-        returned."""
+        returned.
+
+        `ascending=True` serves the OPPOSITE direction from the same
+        desc-sorted layout with the same O(k + skipped) read: parquet
+        keeps min AND max stats per fragment, so the scan walks
+        fragments in min-stat-ascending order (the file tail first) and
+        stops when the next fragment's MIN is strictly above the kth
+        key.  ES itself cannot do this — an asc sort over a desc index
+        sort falls back to a full scan there; the stats make the one
+        layout serve both directions here (pinned by test)."""
         try:
             meta_path = self.cat.data_path(ib.SORTED_ATTRS_META)
             data_path = self.cat.data_path(ib.SORTED_ATTRS_TABLE)
@@ -1020,23 +1051,27 @@ class LocalSearcher:
             (i, self.cat.data_path(f"{ib.SORTED_ATTRS_SEG_PREFIX}{i}"))
             for i in range(1, n_segs + 1)
         ]
+        sort_rows = _sort_asc_id_asc if ascending else _sort_desc_id_asc
         for seq, path in seg_paths:
             for frag in sorted(ds.dataset(path).get_fragments(),
                                key=lambda f: f.path):
-                tagged.append((_fragment_max(frag, sort_field), seq, frag))
+                tagged.append((_fragment_stat(frag, sort_field,
+                                              want_max=not ascending),
+                               seq, frag))
         unknown = [t for t in tagged if t[0] is None]
         known = sorted((t for t in tagged if t[0] is not None),
-                       key=lambda t: t[0], reverse=True)
+                       key=lambda t: t[0], reverse=not ascending)
         ordered = unknown + known
         rows: list[tuple[object, int]] = []  # (key, doc_id), kept sorted
         kth_key = None
         n_read = 0
-        for fmax, seq, frag in ordered:
-            if kth_key is not None:
-                # strictly below the kth key: no row in this (or any
-                # later, smaller-max) fragment can enter the top k,
+        for fstat, seq, frag in ordered:
+            if kth_key is not None and fstat is not None:
+                # desc: the fragment's max strictly below the kth key;
+                # asc: its min strictly above — no row in this (or any
+                # later, worse-stat) fragment can enter the top k,
                 # even via ties
-                if fmax is not None and fmax < kth_key:
+                if (fstat > kth_key if ascending else fstat < kth_key):
                     break
             tbl = frag.to_table(columns=["doc_id", *dict.fromkeys(cols)],
                                 filter=tfilter)
@@ -1046,13 +1081,13 @@ class LocalSearcher:
             rows.extend((ky, d) for ky, d in zip(keys, ids)
                         if ky is not None and owners.get(d, 0) == seq)
             if len(rows) >= k:
-                _sort_desc_id_asc(rows)
+                sort_rows(rows)
                 rows = rows[:k]
                 kth_key = rows[-1][0]
         if stats is not None:
             stats["fragments_read"] = n_read
             stats["fragments_total"] = len(ordered)
-        _sort_desc_id_asc(rows)
+        sort_rows(rows)
         rows = rows[:k]
         return [(int(d), ky, i + 1) for i, (ky, d) in enumerate(rows)]
 

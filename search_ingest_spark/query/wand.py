@@ -552,30 +552,36 @@ class Searcher:
 
     def sorted_topk(
         self, sort_field: str, k: int = 10, *,
-        attr_filter: dict | None = None,
+        attr_filter: dict | None = None, ascending: bool = False,
     ) -> DataFrame:
         """Field-sorted top-k (ES `sort` by a doc-values field,
-        descending, doc_id tie-break) on the Spark path: a
-        column-pruned doc_attrs scan + orderBy/limit, which Catalyst
-        executes as TakeOrdered — a per-partition k-heap, no full sort
-        ever materializes, so the plan is one scan at any corpus size.
-        The serving twin (LocalSearcher.sorted_topk) goes further and
-        early-terminates on the index-sorted table built with
-        sort_field=... — same rows, bitwise (integer/string fields).
+        doc_id tie-break) on the Spark path: a column-pruned doc_attrs
+        scan + orderBy/limit, which Catalyst executes as TakeOrdered —
+        a per-partition k-heap, no full sort ever materializes, so the
+        plan is one scan at any corpus size; `ascending` flips the
+        heap's comparator, same plan.  The serving twin
+        (LocalSearcher.sorted_topk) goes further and early-terminates
+        on the index-sorted table built with sort_field=... — same
+        rows, bitwise (integer/string fields), BOTH directions (parquet
+        keeps min AND max stats, so the desc-sorted layout serves asc
+        queries with the same O(k + skipped) read — a pruning ES
+        itself lacks, where an asc sort over a desc index sort scans).
         NULL sort keys are never returned (ES: missing sorts last; a
         top-k never reaches them).  (doc_id, sort_field, rank)."""
         attrs = self.cat.read(ib.DOC_ATTRS_TABLE)
         if attr_filter:
             attrs = attrs.where(filters.spark_cond(attr_filter))
+        key = (F.asc(sort_field) if ascending else F.desc(sort_field))
         top = (
             attrs.where(F.col(sort_field).isNotNull())
             .select("doc_id", sort_field)
-            .orderBy(F.desc(sort_field), F.asc("doc_id"))
+            .orderBy(key, F.asc("doc_id"))
             .limit(int(k))
         )
-        from search_ingest_spark.ranking import ranked_desc
+        from search_ingest_spark.ranking import ranked_asc, ranked_desc
 
-        return ranked_desc(top, sort_field, "doc_id").select(
+        ranker = ranked_asc if ascending else ranked_desc
+        return ranker(top, sort_field, "doc_id").select(
             "doc_id", sort_field, "rank")
 
     def terms_set_topk(

@@ -55,3 +55,40 @@ def ranked_desc(
             *[F.col(f"_row.{c}").alias(c) for c in extras],
         )
     )
+
+
+def ranked_asc(
+    df: DataFrame, key_col: str, id_col: str, *, rank_col: str = "rank",
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """Append 1-based `rank` ordered by (key asc, id asc) — the
+    ascending twin of :func:`ranked_desc`, same no-window one-group
+    aggregate."""
+
+    def cmp(lft: Column, rgt: Column) -> Column:
+        return (
+            F.when(lft[key_col] < rgt[key_col], F.lit(-1))
+            .when(lft[key_col] > rgt[key_col], F.lit(1))
+            .when(lft[id_col] < rgt[id_col], F.lit(-1))
+            .when(lft[id_col] > rgt[id_col], F.lit(1))
+            .otherwise(F.lit(0))
+        )
+
+    extras = list(extra_cols or [])
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(id_col), F.col(key_col),
+                     *[F.col(c) for c in extras])
+        ),
+        cmp,
+    )
+    return (
+        df.agg(arr.alias("_ranked"))
+        .select(F.posexplode("_ranked").alias("_pos", "_row"))
+        .select(
+            F.col(f"_row.{id_col}").alias(id_col),
+            F.col(f"_row.{key_col}").alias(key_col),
+            (F.col("_pos") + 1).cast("int").alias(rank_col),
+            *[F.col(f"_row.{c}").alias(c) for c in extras],
+        )
+    )

@@ -572,9 +572,15 @@ class TestStrictness:
         with pytest.raises(ValueError, match="phrase_searcher"):
             _hits(searcher, {"query": {"match_phrase": {"text": "a b"}}})
 
-    def test_sort_asc_rejected(self, searcher):
-        with pytest.raises(ValueError, match="asc"):
-            _hits(searcher, {"sort": [{"n_chars": {"order": "asc"}}]})
+    def test_sort_bad_order_rejected(self, searcher):
+        with pytest.raises(ValueError, match="asc\\|desc"):
+            _hits(searcher, {"sort": [{"n_chars": {"order": "up"}}]})
+
+    def test_sort_asc_reachable(self, searcher):
+        got = _hits(searcher, {"sort": [{"n_chars": {"order": "asc"}}],
+                               "size": 5})
+        want = searcher.sorted_topk("n_chars", 5, ascending=True)
+        assert _same(got, want)
 
     def test_source_fields_joined(self, searcher, documents_smoke):
         out = dsl.search(searcher, {

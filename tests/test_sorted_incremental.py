@@ -131,6 +131,19 @@ class TestSortedIncremental:
                      .sorted_topk("n_chars", 10).collect()]
         assert got_spark == [tuple(r) for r in got_local]
 
+    def test_asc_across_delta_segments(self, spark, indexer):
+        # the ascending scan merges base + delta segments by MIN stat;
+        # owners filtering is direction-agnostic, so asc stays exact
+        # after changefeed batches too
+        indexer.apply_changes(_changes_df(spark, BATCH1))
+        indexer.apply_changes(_changes_df(spark, BATCH2))
+        cat = indexer.cat
+        got = LocalSearcher(cat).sorted_topk("n_chars", 10,
+                                             ascending=True)
+        want = [tuple(r) for r in Searcher(spark, cat)
+                .sorted_topk("n_chars", 10, ascending=True).collect()]
+        assert got == want and len(got) == 10
+
     def test_deleted_and_stale_rows_never_surface(self, spark, indexer):
         indexer.apply_changes(_changes_df(spark, BATCH1))
         indexer.apply_changes(_changes_df(spark, BATCH2))

@@ -86,6 +86,49 @@ class TestSortedTopk:
         # a 5-row ask must stop well before the end of the table
         assert stats["fragments_read"] < stats["fragments_total"]
 
+    def test_asc_spark_path_matches_oracle(self, spark, built):
+        got = [tuple(r) for r in
+               Searcher(spark, built).sorted_topk(
+                   "n_chars", 10, ascending=True).collect()]
+        want = _oracle("""
+            SELECT doc_id, n_chars,
+                   row_number() OVER (ORDER BY n_chars ASC, doc_id ASC)
+                     ::INT AS rank
+            FROM documents ORDER BY n_chars ASC, doc_id ASC LIMIT 10""")
+        assert got == want
+
+    def test_asc_local_matches_spark_path_bitwise(self, spark, built):
+        s = Searcher(spark, built)
+        ls = LocalSearcher(built)
+        for k in (1, 10, 100, 10**6):
+            spark_side = [tuple(r) for r in
+                          s.sorted_topk("n_chars", k,
+                                        ascending=True).collect()]
+            assert ls.sorted_topk("n_chars", k,
+                                  ascending=True) == spark_side, k
+
+    def test_asc_early_terminates_on_min_stats(self, built):
+        # the SAME desc-sorted layout serves the opposite direction:
+        # min-stat fragment ordering walks the file tail first and
+        # stops early — the pruning ES itself lacks for a
+        # direction-mismatched sort
+        ls = LocalSearcher(built)
+        stats: dict = {}
+        rows = ls.sorted_topk("n_chars", 5, stats=stats, ascending=True)
+        assert len(rows) == 5
+        assert stats["fragments_total"] > 1
+        assert stats["fragments_read"] < stats["fragments_total"]
+
+    def test_asc_filtered_matches_spark(self, spark, built):
+        s = Searcher(spark, built)
+        ls = LocalSearcher(built)
+        spec = {"lang": ["es", "fr"], "n_chars": {"gte": 100}}
+        spark_side = [tuple(r) for r in
+                      s.sorted_topk("n_chars", 10, attr_filter=spec,
+                                    ascending=True).collect()]
+        assert ls.sorted_topk("n_chars", 10, attr_filter=spec,
+                              ascending=True) == spark_side
+
     def test_full_scan_when_k_exceeds_corpus(self, built):
         ls = LocalSearcher(built)
         stats: dict = {}
