@@ -3621,6 +3621,54 @@ def _q_dsl_source_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+# ES ids query: constant-score hits for the EXISTING docs among the
+# values (missing ids silently absent — 999999 exercises the rule).
+@register(
+    "search_dsl_ids",
+    """
+SELECT doc_id, 1.0::DOUBLE AS score,
+       row_number() OVER (ORDER BY doc_id ASC)::INT AS rank
+FROM documents WHERE doc_id IN (5, 42, 313, 999999)
+ORDER BY doc_id ASC LIMIT 10
+""".strip(),
+)
+def _q_dsl_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsl_search(spark, sf_dir, {"query": {"ids": {
+        "values": [5, 42, 313, 999999]}}})
+
+
+# ES pinned query: listed ids first in list order (scored down from
+# the 1.7014124e38 organic ceiling, ES's constant), organic fills the
+# rest with pins excluded; the missing pin is skipped.
+@register(
+    "search_dsl_pinned",
+    f"""
+WITH organic AS (
+  SELECT doc_id, score FROM ({bm25.bm25_oracle_sql("spark query data", k=13)})
+),
+pins(doc_id, pos) AS (VALUES (442, 0), (7, 1), (999999, 2)),
+pex AS (
+  SELECT p.doc_id, 1.7014124e38 - p.pos * 1e30 AS score
+  FROM pins p JOIN documents d USING (doc_id)
+),
+u AS (
+  SELECT doc_id, score FROM organic
+  WHERE doc_id NOT IN (SELECT doc_id FROM pins)
+  UNION ALL SELECT doc_id, score FROM pex
+),
+topk AS (SELECT * FROM u ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM topk
+""".strip(),
+)
+def _q_dsl_pinned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsl_search(spark, sf_dir, {"query": {"pinned": {
+        "ids": [442, 7, 999999],
+        "organic": {"match": {"text": "spark query data"}},
+    }}})
+
+
 # geo_bounding_box filter context: the box is exactly two attr range
 # clauses (geo_point stored as lat/lon doc-values), so it rides the
 # shared filter spec; the oracle rebuilds the synthetic coords and

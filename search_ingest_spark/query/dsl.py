@@ -254,6 +254,53 @@ def compile_hits(searcher, query: dict, *, k: int = 10, round_to=4,
         return searcher.constant_score(
             filter_spec(body["filter"]), k,
             boost=float(body.get("boost", 1.0)))
+    if kind == "ids":
+        # ES ids query: filter context on _id — constant score 1.0 for
+        # every EXISTING doc among the values (missing ids silently
+        # absent, ES's rule); rides the shared spec as a doc_id terms
+        # filter (pruned doc-values scan)
+        extra = set(body) - {"values"}
+        if extra:
+            raise ValueError(f"unsupported ids options: {sorted(extra)}")
+        vals = [int(v) for v in body["values"]]
+        if not vals:
+            raise ValueError("ids needs ≥1 value")
+        return searcher.constant_score({"doc_id": vals}, k)
+    if kind == "pinned":
+        # ES pinned query: the listed ids first IN LIST ORDER (scored
+        # down from ES's 1.7014124e38 organic ceiling), organic hits
+        # fill the rest with pins excluded; missing pinned ids are
+        # skipped.  Organic depth k+|pins| guarantees k total rows
+        # when they exist — the same two-phase ES runs.
+        extra = set(body) - {"ids", "organic"}
+        if extra:
+            raise ValueError(
+                f"unsupported pinned options: {sorted(extra)}")
+        pin_ids = [int(i) for i in body["ids"]]
+        if len(set(pin_ids)) != len(pin_ids) or not pin_ids:
+            raise ValueError("pinned ids must be non-empty and unique")
+        organic = compile_hits(
+            searcher, body["organic"], k=k + len(pin_ids),
+            round_to=round_to, phrase_searcher=phrase_searcher,
+            docs=docs)
+        attrs = searcher.cat.read(ib.DOC_ATTRS_TABLE).select("doc_id")
+        present = {r["doc_id"] for r in
+                   attrs.where(F.col("doc_id").isin(pin_ids)).collect()}
+        # list order enforced by strictly-decreasing scores above any
+        # BM25 value: the step must exceed ulp(1.7e38) ≈ 2.2e22 or the
+        # subtraction is absorbed and every pin ties (1e30 is exact in
+        # both engines; ES's float32 analog has the same constraint)
+        pin_base = 1.7014124e38
+        pinned_rows = [(int(i), pin_base - pos * 1e30)
+                       for pos, i in enumerate(pin_ids) if i in present]
+        pinned_df = searcher.spark.createDataFrame(
+            pinned_rows, "doc_id long, score double")
+        un = (organic.where(~F.col("doc_id").isin(pin_ids))
+              .select("doc_id", "score")
+              .unionByName(pinned_df))
+        topk = un.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+        from search_ingest_spark.ranking import ranked_desc
+        return ranked_desc(topk, "score", "doc_id")
     if kind == "match_phrase":
         (f, v), = body.items()
         if f != "text":

@@ -454,6 +454,45 @@ class TestAggs:
             j.where(F.col("tag").isNotNull()).count()
 
 
+class TestIdsAndPinned:
+    def test_ids_equals_constant_score(self, searcher):
+        got = _hits(searcher, {"query": {"ids": {
+            "values": [5, 42, 313, 999999]}}})
+        want = searcher.constant_score({"doc_id": [5, 42, 313, 999999]},
+                                       10)
+        assert _same(got, want)
+        assert {r["doc_id"] for r in got.collect()} == {5, 42, 313}
+
+    def test_pinned_order_and_exclusion(self, searcher):
+        rows = _hits(searcher, {"query": {"pinned": {
+            "ids": [442, 7, 999999],
+            "organic": {"match": {"text": Q}}}}}).collect()
+        # both existing pins lead, in list order; the missing pin is
+        # skipped; organic never re-lists a pin
+        assert [r["doc_id"] for r in rows[:2]] == [442, 7]
+        assert rows[0]["score"] > rows[1]["score"] > rows[2]["score"]
+        assert len([r for r in rows if r["doc_id"] in (442, 7)]) == 2
+        assert len(rows) == 10
+        assert [r["rank"] for r in rows] == list(range(1, 11))
+
+    def test_pinned_organic_tail_matches_match(self, searcher):
+        pinned = _hits(searcher, {"query": {"pinned": {
+            "ids": [442], "organic": {"match": {"text": Q}}}}}).collect()
+        organic = _hits(searcher, {"query": {"match": {"text": Q}},
+                                   "size": 10}).collect()
+        want = [r["doc_id"] for r in organic if r["doc_id"] != 442][:9]
+        assert [r["doc_id"] for r in pinned[1:]] == want
+
+    def test_ids_empty_rejected(self, searcher):
+        with pytest.raises(ValueError, match="≥1 value"):
+            _hits(searcher, {"query": {"ids": {"values": []}}})
+
+    def test_pinned_dup_rejected(self, searcher):
+        with pytest.raises(ValueError, match="unique"):
+            _hits(searcher, {"query": {"pinned": {
+                "ids": [3, 3], "organic": {"match": {"text": Q}}}}})
+
+
 class TestGeoBox:
     def test_box_equals_range_filters(self, searcher):
         # geo_bounding_box compiles onto EXACTLY the lat/lon range spec
