@@ -3542,6 +3542,30 @@ def _q_dsl_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         part="aggs", name="by_source")
 
 
+# terms agg with ES's order option — _key asc picks a DIFFERENT bucket
+# set than the count-desc default (first 5 keys alphabetically), so
+# the oracle certifies the ordering contract, not just the counting.
+@register(
+    "search_dsl_terms_key_order",
+    f"""
+WITH {_aggs.hits_cte(_AGG_QUERY)}
+SELECT d.source, count(*)::BIGINT AS n_docs
+FROM documents d JOIN hits USING (doc_id)
+GROUP BY d.source
+ORDER BY d.source ASC
+LIMIT 5
+""".strip(),
+)
+def _q_dsl_terms_key_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsl_search(
+        spark, sf_dir,
+        {"query": {"match": {"text": _AGG_QUERY}},
+         "aggs": {"by_source": {"terms": {
+             "field": "source", "size": 5,
+             "order": {"_key": "asc"}}}}},
+        part="aggs", name="by_source")
+
+
 # query + collapse in one request
 @register(
     "search_dsl_collapse",

@@ -451,10 +451,23 @@ def _hit_attrs(searcher, text: str, cols: list[str]) -> DataFrame:
 
 def _agg_terms(searcher, text, body):
     field, size = body["field"], int(body.get("size", 10))
+    order = body.get("order", {"_count": "desc"})
+    if not (isinstance(order, dict) and len(order) == 1):
+        raise ValueError(f"terms order must be a one-key dict: {order!r}")
+    (okey, odir), = order.items()
+    if okey not in ("_count", "_key") or odir not in ("asc", "desc"):
+        raise ValueError(
+            f"terms order must be {{_count|_key: asc|desc}}, "
+            f"got {order!r}")
+    if okey == "_count":
+        sort = [F.asc("n_docs") if odir == "asc" else F.desc("n_docs"),
+                F.asc(field)]
+    else:
+        sort = [F.asc(field) if odir == "asc" else F.desc(field)]
     df = _hit_attrs(searcher, text, [field])
     return (df.where(F.col(field).isNotNull())
             .groupBy(field).agg(F.count("*").alias("n_docs"))
-            .orderBy(F.desc("n_docs"), F.asc(field)).limit(size))
+            .orderBy(*sort).limit(size))
 
 
 def _agg_value_count(searcher, text, body):

@@ -440,6 +440,33 @@ class TestAggs:
         else:
             assert df.count() >= 1  # scalar aggs: shape checked below
 
+    def test_terms_order_variants(self, searcher):
+        base = dsl.search(searcher, {
+            "query": {"match": {"text": Q}},
+            "aggs": {"t": {"terms": {"field": "source", "size": 1000}}},
+        })["aggs"]["t"].collect()
+        counts = {r["source"]: r["n_docs"] for r in base}
+        by_key = dsl.search(searcher, {
+            "query": {"match": {"text": Q}},
+            "aggs": {"t": {"terms": {"field": "source", "size": 3,
+                                     "order": {"_key": "asc"}}}},
+        })["aggs"]["t"].collect()
+        assert [r["source"] for r in by_key] == sorted(counts)[:3]
+        rare = dsl.search(searcher, {
+            "query": {"match": {"text": Q}},
+            "aggs": {"t": {"terms": {"field": "source", "size": 3,
+                                     "order": {"_count": "asc"}}}},
+        })["aggs"]["t"].collect()
+        want = sorted(counts.items(), key=lambda t: (t[1], t[0]))[:3]
+        assert [(r["source"], r["n_docs"]) for r in rare] == want
+
+    def test_terms_order_strict(self, searcher):
+        with pytest.raises(ValueError, match="_count\\|_key"):
+            dsl.search(searcher, {
+                "query": {"match": {"text": Q}},
+                "aggs": {"t": {"terms": {"field": "source",
+                                         "order": {"_max": "asc"}}}}})
+
     def test_cardinality_and_value_count_values(self, searcher):
         out = dsl.search(searcher, {
             "query": {"match": {"text": Q}},
