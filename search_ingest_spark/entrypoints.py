@@ -2420,6 +2420,36 @@ def _q_ann_hnsw(spark, sf_dir):
     return similarity.brute_force_topk(cands, _QVEC, k=10)
 
 
+# HNSW served from the PERSISTED graph table: build-once rows form
+# (node_id, layer, neighbors) in the catalog + a _meta sidecar, one
+# Spark-free pyarrow reload — the reader-fleet consumption path (ES
+# persists the per-segment HNSW the same way).  Graph determinism +
+# the pinned roundtrip make it search-identical to the in-memory
+# build, so the same exact oracle certifies it.
+@register("ann_hnsw_persisted", similarity.brute_force_topk_sql(_QVEC, k=10))
+def _q_ann_hnsw_persisted(spark, sf_dir):
+    import numpy as np
+
+    from search_ingest_spark.ops import hnsw as _hnsw
+
+    key = "hnswgraph:" + os.path.abspath(sf_dir)
+    cat = _INDEX_CACHE.get(key)
+    if cat is None:
+        from search_ingest_spark.catalog import Catalog
+
+        cat = Catalog(spark, tempfile.mkdtemp(prefix="sis_hnsw_"))
+        _Xn, g = _hnsw_for(sf_dir)
+        _hnsw.persist_graph(spark, cat, g)
+        _INDEX_CACHE[key] = cat
+    Xn, _g_mem = _hnsw_for(sf_dir)
+    g = _hnsw.load_graph(cat)
+    q = np.asarray(_QVEC, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    beam = [i for i, _ in _hnsw.search(g, Xn, q, 128, ef=128)]
+    cands = _emb(spark, sf_dir).where(F.col("vec_id").isin(beam))
+    return similarity.brute_force_topk(cands, _QVEC, k=10)
+
+
 # The FAISS IVF+HNSW composition: HNSW over the pinned centroids IS the
 # coarse quantizer (O(ef·M) vs O(nlist) per query — the term that
 # dominates at nlist=2^17+).  With ef=|centroids| the probe choice is
@@ -3539,6 +3569,37 @@ def _q_dsl_terms_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"query": {"match": {"text": _AGG_QUERY}},
          "aggs": {"by_source": {"terms": {"field": "source",
                                           "size": 5}}}},
+        part="aggs", name="by_source")
+
+
+# terms + NESTED metric sub-aggregations in one request — ES's
+# bread-and-butter composition; all metrics fold inside the bucket
+# groupBy (one aggregate, no second pass).
+@register(
+    "search_dsl_terms_sub_aggs",
+    f"""
+WITH {_aggs.hits_cte(_AGG_QUERY)}
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       round(avg(d.n_chars), 4)::DOUBLE AS avg_len,
+       max(d.n_chars) AS max_len,
+       sum(d.n_chars)::BIGINT AS total_len
+FROM documents d JOIN hits USING (doc_id)
+GROUP BY d.source
+ORDER BY n_docs DESC, d.source ASC
+LIMIT 5
+""".strip(),
+)
+def _q_dsl_terms_sub_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsl_search(
+        spark, sf_dir,
+        {"query": {"match": {"text": _AGG_QUERY}},
+         "aggs": {"by_source": {
+             "terms": {"field": "source", "size": 5},
+             "aggs": {"avg_len": {"avg": {"field": "n_chars"}},
+                      "max_len": {"max": {"field": "n_chars"}},
+                      "total_len": {"sum": {"field": "n_chars"}}},
+         }}},
         part="aggs", name="by_source")
 
 

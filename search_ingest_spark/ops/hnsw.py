@@ -209,3 +209,36 @@ def hnsw_nprobe(centroids: np.ndarray, q: np.ndarray, nprobe: int, *,
         graph = build(centroids)
     hits = search(graph, centroids, q, nprobe, ef=len(centroids))
     return [i for i, _ in hits]
+
+
+HNSW_GRAPH_TABLE = "hnsw_graph"
+
+
+def persist_graph(spark, cat, graph: HnswGraph, *,
+                  name: str = HNSW_GRAPH_TABLE) -> None:
+    """Materialize the graph as a catalog table (node_id, layer,
+    neighbors array<long>) — the serving artifact a reader fleet
+    mmaps instead of rebuilding (ES persists the HNSW per segment the
+    same way).  m and seed ride a _meta sidecar so a reader can verify
+    it loads the graph it expects."""
+    rows = graph.to_rows()
+    df = spark.createDataFrame(
+        rows, "node_id long, layer int, neighbors array<long>")
+    cat.write(name, df.repartition(1).sortWithinPartitions(
+        "layer", "node_id"))
+    cat.write_small(name + "_meta", [(int(graph.m), str(graph.seed))],
+                    "m long, seed string")
+
+
+def load_graph(cat, *, name: str = HNSW_GRAPH_TABLE) -> HnswGraph:
+    """Spark-free reload: one pyarrow read of the rows table +
+    from_rows — the LocalSearcher-style consumption path."""
+    import pyarrow.dataset as ds
+
+    meta = cat.read_small(name + "_meta")[0]
+    t = ds.dataset(cat.data_path(name)).to_table(
+        columns=["node_id", "layer", "neighbors"])
+    rows = list(zip(t["node_id"].to_pylist(), t["layer"].to_pylist(),
+                    t["neighbors"].to_pylist()))
+    return HnswGraph.from_rows(rows, m=int(meta["m"]),
+                               seed=str(meta["seed"]))

@@ -449,7 +449,39 @@ def _hit_attrs(searcher, text: str, cols: list[str]) -> DataFrame:
     return attrs.join(hits, "doc_id")
 
 
-def _agg_terms(searcher, text, body):
+_SUB_METRICS = {"avg", "min", "max", "sum", "value_count"}
+
+
+def _sub_metric_exprs(subs: dict) -> list:
+    """ES sub-aggregation dict → per-bucket Catalyst aggregate
+    expressions (the metric kinds that fold inside ONE groupBy — the
+    nesting shape ES users compose constantly: terms + avg/max/…).
+    Strict: unknown sub kinds raise."""
+    exprs = []
+    for name, spec in subs.items():
+        if not (isinstance(spec, dict) and len(spec) == 1):
+            raise ValueError(
+                f"sub-agg {name!r} must be a one-key dict: {spec!r}")
+        kind, b = next(iter(spec.items()))
+        if kind not in _SUB_METRICS:
+            raise ValueError(
+                f"unsupported sub-agg type {kind!r} under terms "
+                f"(supported: {sorted(_SUB_METRICS)})")
+        f = b["field"]
+        if kind == "avg":
+            exprs.append(F.round(F.avg(f), 4).alias(name))
+        elif kind == "min":
+            exprs.append(F.min(f).alias(name))
+        elif kind == "max":
+            exprs.append(F.max(f).alias(name))
+        elif kind == "sum":
+            exprs.append(F.sum(f).alias(name))
+        else:
+            exprs.append(F.count(f).alias(name))
+    return exprs
+
+
+def _agg_terms(searcher, text, body, subs=None):
     field, size = body["field"], int(body.get("size", 10))
     order = body.get("order", {"_count": "desc"})
     if not (isinstance(order, dict) and len(order) == 1):
@@ -464,9 +496,11 @@ def _agg_terms(searcher, text, body):
                 F.asc(field)]
     else:
         sort = [F.asc(field) if odir == "asc" else F.desc(field)]
-    df = _hit_attrs(searcher, text, [field])
+    sub_exprs = _sub_metric_exprs(subs) if subs else []
+    sub_fields = [s[next(iter(s))]["field"] for s in (subs or {}).values()]
+    df = _hit_attrs(searcher, text, [field, *sub_fields])
     return (df.where(F.col(field).isNotNull())
-            .groupBy(field).agg(F.count("*").alias("n_docs"))
+            .groupBy(field).agg(F.count("*").alias("n_docs"), *sub_exprs)
             .orderBy(*sort).limit(size))
 
 
@@ -884,16 +918,26 @@ def search(searcher, request: dict, *, phrase_searcher=None,
             *keep, snippet.alias("snippet"))
 
     for name, spec in (request.get("aggs") or {}).items():
-        if not isinstance(spec, dict) or len(spec) != 1:
+        if not isinstance(spec, dict) or not (
+                len(spec) == 1 or (len(spec) == 2 and "aggs" in spec)):
             raise ValueError(
-                f"agg {name!r} must be a one-key dict, got {spec!r}")
-        kind, body = next(iter(spec.items()))
+                f"agg {name!r} must be a one-key dict (plus an "
+                f"optional 'aggs' of sub-aggregations), got {spec!r}")
+        subs = spec.get("aggs")
+        kind, body = next(iter(
+            (k, v) for k, v in spec.items() if k != "aggs"))
+        if subs is not None and kind != "terms":
+            raise ValueError(
+                f"sub-aggregations are supported under 'terms' only "
+                f"(agg {name!r} is {kind!r})")
         comp = _AGG_COMPILERS.get(kind)
         if comp is None:
             raise ValueError(
                 f"unsupported agg type {kind!r} (supported: "
                 f"{sorted(_AGG_COMPILERS)})")
-        out["aggs"][name] = comp(searcher, text, body)
+        out["aggs"][name] = (
+            _agg_terms(searcher, text, body, subs=subs)
+            if subs is not None else comp(searcher, text, body))
 
     for name, spec in (request.get("suggest") or {}).items():
         sug_text = spec["text"]

@@ -460,6 +460,52 @@ class TestAggs:
         want = sorted(counts.items(), key=lambda t: (t[1], t[0]))[:3]
         assert [(r["source"], r["n_docs"]) for r in rare] == want
 
+    def test_terms_sub_aggs(self, searcher):
+        # ES's bread-and-butter nesting: per-bucket metrics beside the
+        # bucket count, bucket selection/order unchanged
+        out = dsl.search(searcher, {
+            "query": {"match": {"text": Q}},
+            "aggs": {"by_src": {
+                "terms": {"field": "source", "size": 5},
+                "aggs": {"avg_len": {"avg": {"field": "n_chars"}},
+                         "max_len": {"max": {"field": "n_chars"}},
+                         "n_tags": {"value_count": {"field": "tag"}}},
+            }}})["aggs"]["by_src"]
+        rows = out.collect()
+        assert set(rows[0].asDict()) == {
+            "source", "n_docs", "avg_len", "max_len", "n_tags"}
+        plain = dsl.search(searcher, {
+            "query": {"match": {"text": Q}},
+            "aggs": {"t": {"terms": {"field": "source", "size": 5}}},
+        })["aggs"]["t"].collect()
+        assert [(r["source"], r["n_docs"]) for r in rows] == \
+            [(r["source"], r["n_docs"]) for r in plain]
+        # recompute one bucket's metrics from the raw hit set
+        hits = searcher.matching_doc_ids(Q)
+        attrs = searcher.cat.read(ib.DOC_ATTRS_TABLE)
+        j = attrs.join(hits, "doc_id").where(
+            F.col("source") == rows[0]["source"])
+        want_max = j.agg(F.max("n_chars")).collect()[0][0]
+        want_cnt = j.where(F.col("tag").isNotNull()).count()
+        assert rows[0]["max_len"] == want_max
+        assert rows[0]["n_tags"] == want_cnt
+
+    def test_sub_aggs_only_under_terms(self, searcher):
+        with pytest.raises(ValueError, match="sub-aggregations"):
+            dsl.search(searcher, {
+                "query": {"match": {"text": Q}},
+                "aggs": {"x": {"stats": {"field": "n_chars"},
+                               "aggs": {"m": {"max": {
+                                   "field": "n_chars"}}}}}})
+
+    def test_sub_aggs_unknown_kind(self, searcher):
+        with pytest.raises(ValueError, match="sub-agg"):
+            dsl.search(searcher, {
+                "query": {"match": {"text": Q}},
+                "aggs": {"x": {"terms": {"field": "source"},
+                               "aggs": {"m": {"percentiles": {
+                                   "field": "n_chars"}}}}}})
+
     def test_terms_order_strict(self, searcher):
         with pytest.raises(ValueError, match="_count\\|_key"):
             dsl.search(searcher, {

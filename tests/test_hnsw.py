@@ -71,6 +71,25 @@ class TestBuild:
             hnsw.build(np.zeros((0, 4)))
 
 
+class TestPersistence:
+    def test_catalog_roundtrip_search_identical(self, spark, X, graph,
+                                                tmp_path_factory):
+        # parquet typing (array<long>) + meta sidecar + pyarrow reload
+        # must reproduce the in-memory graph's searches exactly
+        from search_ingest_spark.catalog import Catalog
+
+        cat = Catalog(spark, str(tmp_path_factory.mktemp("hnswp")))
+        hnsw.persist_graph(spark, cat, graph)
+        back = hnsw.load_graph(cat)
+        assert back.to_rows() == graph.to_rows()
+        assert (back.m, back.seed) == (graph.m, graph.seed)
+        rng = np.random.default_rng(5)
+        for _ in range(3):
+            q = rng.normal(size=X.shape[1])
+            assert hnsw.search(back, X, q, 10, ef=96) == \
+                hnsw.search(graph, X, q, 10, ef=96)
+
+
 class TestRecall:
     def _exact(self, X, q, k=10):
         d = ((X - q) ** 2).sum(axis=1)
