@@ -3706,6 +3706,40 @@ def _q_dsl_source_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+# ES geo-distance sort: nearest docs to Paris — one haversine
+# projection (same literal-cos rendering as the rings agg) over the
+# doc-values scan + TakeOrdered; output and ORDERING use the rounded
+# distance so both engines agree, doc_id breaks rounded ties.
+@register(
+    "search_dsl_sort_geo_distance",
+    f"""
+WITH g AS (
+  SELECT doc_id, {_LAT_SQL} AS lat, {_LON_SQL} AS lon FROM documents
+),
+d AS (
+  SELECT doc_id,
+         round({{HAV}}, 4)::DOUBLE AS dist_km
+  FROM g
+),
+topk AS (
+  SELECT * FROM d ORDER BY dist_km ASC, doc_id ASC LIMIT 10
+)
+SELECT doc_id, dist_km,
+       row_number() OVER (ORDER BY dist_km ASC, doc_id ASC)::INT AS rank
+FROM topk
+""".replace("{HAV}", __import__(
+        "search_ingest_spark.query.geo", fromlist=["geo"]
+    ).haversine_sql("g.lat", "g.lon", 48.85, 2.35)).strip(),
+)
+def _q_dsl_sort_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsl_search(spark, sf_dir, {
+        "sort": [{"_geo_distance": {
+            "location": {"lat": 48.85, "lon": 2.35},
+            "order": "asc", "unit": "km"}}],
+        "size": 10,
+    })
+
+
 # ES ids query: constant-score hits for the EXISTING docs among the
 # values (missing ids silently absent — 999999 exercises the rule).
 @register(

@@ -834,6 +834,48 @@ def search(searcher, request: dict, *, phrase_searcher=None,
             out["hits"] = compile_hits(
                 searcher, query, k=frm + size, round_to=round_to,
                 phrase_searcher=phrase_searcher, docs=docs)
+        elif sort_field == "_geo_distance":
+            # ES geo sort: distance from an origin, nearest first by
+            # default — one haversine projection over the doc-values
+            # scan + TakeOrdered, the distance never leaves the JVM.
+            # Output distances round to 4 (the repo's float contract;
+            # ordering uses the rounded value so both engines agree,
+            # doc_id breaks rounded ties).  km only — strict.
+            from search_ingest_spark.query.geo import haversine_km
+            from search_ingest_spark.ranking import ranked_asc, \
+                ranked_desc
+            if not isinstance(opts, dict) or "location" not in opts:
+                raise ValueError(
+                    f"_geo_distance sort needs a location dict, "
+                    f"got {opts!r}")
+            extra = set(opts) - {"location", "order", "unit"}
+            if extra:
+                raise ValueError(
+                    f"unsupported _geo_distance options: {sorted(extra)}")
+            if opts.get("unit", "km") != "km":
+                raise ValueError("geo sort unit must be 'km'")
+            gorder = opts.get("order", "asc")
+            if gorder not in ("asc", "desc"):
+                raise ValueError(
+                    f"sort order must be asc|desc, got {gorder!r}")
+            if text:
+                raise ValueError(
+                    "sort + query is served scored (_score) or "
+                    "unscored over match_all in this façade")
+            loc = opts["location"]
+            dist = F.round(haversine_km(
+                "lat", "lon", float(loc["lat"]), float(loc["lon"])), 4)
+            attrs = searcher.cat.read(ib.DOC_ATTRS_TABLE)
+            key = F.asc("dist_km") if gorder == "asc" \
+                else F.desc("dist_km")
+            top = (attrs
+                   .where(F.col("lat").isNotNull()
+                          & F.col("lon").isNotNull())
+                   .select("doc_id", dist.alias("dist_km"))
+                   .orderBy(key, F.asc("doc_id")).limit(frm + size))
+            ranker = ranked_asc if gorder == "asc" else ranked_desc
+            out["hits"] = ranker(top, "dist_km", "doc_id").select(
+                "doc_id", "dist_km", "rank")
         else:
             order = opts.get("order", "desc") if isinstance(opts, dict) \
                 else opts

@@ -742,6 +742,28 @@ class TestStrictness:
                 "highlight": {"fields": {"lang": {}}}},
                 docs=documents_smoke)
 
+    def test_geo_sort_nearest_first(self, searcher):
+        rows = _hits(searcher, {"sort": [{"_geo_distance": {
+            "location": {"lat": 0.0, "lon": 0.0}, "order": "asc",
+            "unit": "km"}}], "size": 8}).collect()
+        assert len(rows) == 8
+        dists = [r["dist_km"] for r in rows]
+        assert dists == sorted(dists)
+        assert [r["rank"] for r in rows] == list(range(1, 9))
+        # farthest-first is the exact reverse ordering contract
+        far = _hits(searcher, {"sort": [{"_geo_distance": {
+            "location": {"lat": 0.0, "lon": 0.0},
+            "order": "desc"}}], "size": 3}).collect()
+        assert far[0]["dist_km"] >= far[-1]["dist_km"]
+        assert far[0]["dist_km"] >= dists[-1]
+
+    def test_geo_sort_strict(self, searcher):
+        with pytest.raises(ValueError, match="location"):
+            _hits(searcher, {"sort": [{"_geo_distance": "asc"}]})
+        with pytest.raises(ValueError, match="unit"):
+            _hits(searcher, {"sort": [{"_geo_distance": {
+                "location": {"lat": 0, "lon": 0}, "unit": "mi"}}]})
+
     def test_min_score_filters_suffix(self, searcher):
         full = _hits(searcher, {"query": {"match": {"text": Q}},
                                 "size": 10}).collect()
