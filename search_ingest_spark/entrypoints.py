@@ -3810,6 +3810,46 @@ def _q_dsl_geo_box(spark: SparkSession, sf_dir: str) -> DataFrame:
     }}})
 
 
+# ES-8 HYBRID search (knn + query in one request): final score =
+# lexical BM25 (if in the lexical top window) + ES's cosine rescale
+# (1+cos)/2 (if in the kNN top-k), summed over the outer-joined
+# windows — both sides' windows are exact here (beam coverage pinned),
+# so the whole fusion is oracle-exact.
+@register(
+    "search_dsl_knn_hybrid",
+    f"""
+WITH lex AS (
+  SELECT doc_id, score FROM ({bm25.bm25_oracle_sql("spark query data", k=10)})
+),
+kn AS (
+  SELECT vec_id AS doc_id, (1.0 + cosine) / 2 AS knn_s
+  FROM ({similarity.brute_force_topk_sql(_QVEC, k=10)})
+),
+u AS (
+  SELECT coalesce(lex.doc_id, kn.doc_id) AS doc_id,
+         round(coalesce(lex.score, 0) + coalesce(kn.knn_s, 0), 4)::DOUBLE
+           AS score
+  FROM lex FULL OUTER JOIN kn ON lex.doc_id = kn.doc_id
+),
+topk AS (SELECT * FROM u ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM topk
+""".strip(),
+)
+def _q_dsl_knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_ingest_spark.query import dsl as _dsl
+
+    out = _dsl.search(
+        _searcher(spark, sf_dir),
+        {"query": {"match": {"text": "spark query data"}},
+         "knn": {"field": "embedding", "query_vector": _QVEC, "k": 10,
+                 "num_candidates": 128},
+         "size": 10},
+        emb=_emb(spark, sf_dir), knn_index=_hnsw_for(sf_dir))
+    return out["hits"]
+
+
 # ES-8 kNN clause: HNSW beam (num_candidates=128) + exact rerank —
 # same two-stage as ann_hnsw_topk, reached through the request dict;
 # beam coverage at the driver scales is pinned by tests/test_hnsw.py,

@@ -770,18 +770,49 @@ def search(searcher, request: dict, *, phrase_searcher=None,
 
     if "knn" in request:
         # ES 8 kNN: HNSW beam of num_candidates, exact rerank to k.
-        # Lexical/kNN score fusion is out of scope — knn must be the
-        # only hits-producing clause (strict, like every other gap).
-        clash = [key for key in ("query", "sort", "collapse", "rescore",
+        clash = [key for key in ("sort", "collapse", "rescore",
                                  "search_after", "aggs", "min_score",
                                  "_source", "highlight")
                  if key in request]
         if clash:
             raise ValueError(
-                f"knn cannot be combined with {clash} in this façade "
-                f"(score fusion not implemented)")
-        out["hits"] = _knn_hits(request["knn"], emb, knn_index,
-                                default_k=frm + size)
+                f"knn cannot be combined with {clash} in this façade")
+        kn = _knn_hits(request["knn"], emb, knn_index,
+                       default_k=frm + size)
+        if "query" in request:
+            # ES 8 HYBRID search: each side contributes its top window
+            # and a doc's final score is the SUM — lexical BM25 if the
+            # doc is in the lexical top-(from+size) else 0, plus the
+            # kNN similarity rescaled by ES's cosine formula
+            # (1+cos)/2 if it is in the kNN top-k else 0.  vec_id IS
+            # doc_id (document embeddings).  Plain match only, strict.
+            kinds = set(request["query"])
+            if kinds != {"match"}:
+                raise ValueError(
+                    f"knn+query fusion requires a plain match query "
+                    f"(got {sorted(kinds)})")
+            ftext, fmatch_all, fmsm = _match_params(
+                request["query"]["match"])
+            if fmatch_all or fmsm is not None:
+                raise ValueError(
+                    "knn+query fusion rides the plain OR hit set — "
+                    "drop the match options")
+            lex = searcher.topk(ftext, frm + size, round_to=round_to)
+            lx = lex.select("doc_id", F.col("score").alias("_lex"))
+            nn = kn.select(
+                F.col("vec_id").alias("doc_id"),
+                ((F.lit(1.0) + F.col("cosine")) / 2).alias("_knn"))
+            fused = (lx.join(nn, "doc_id", "outer")
+                     .fillna(0.0, ["_lex", "_knn"])
+                     .select("doc_id",
+                             F.round(F.col("_lex") + F.col("_knn"),
+                                     round_to).alias("score")))
+            top = fused.orderBy(F.desc("score"), F.asc("doc_id")) \
+                .limit(frm + size)
+            from search_ingest_spark.ranking import ranked_desc
+            out["hits"] = ranked_desc(top, "score", "doc_id")
+        else:
+            out["hits"] = kn
         if frm:
             out["hits"] = out["hits"].where(F.col("rank") > frm)
         return out

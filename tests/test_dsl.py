@@ -625,8 +625,42 @@ class TestKnn:
     def test_knn_rejects_combination(self, spark, searcher):
         with pytest.raises(ValueError, match="cannot be combined"):
             dsl.search(searcher, {
-                "query": {"match": {"text": Q}},
+                "aggs": {"x": {"stats": {"field": "n_chars"}}},
                 "knn": {"field": "embedding", "query_vector": [1.0]}},
+                emb=self._emb(spark))
+
+    def test_knn_hybrid_fusion(self, spark, searcher):
+        # ES 8 hybrid: score = lexical BM25 (if in lexical top window)
+        # + (1+cos)/2 (if in kNN top-k); recompute the fusion by hand
+        qv = [1.0] + [0.0] * 63
+        out = dsl.search(searcher, {
+            "query": {"match": {"text": Q}},
+            "knn": {"field": "embedding", "query_vector": qv,
+                    "k": 10, "num_candidates": 128}, "size": 10},
+            emb=self._emb(spark))["hits"].collect()
+        lex = {r["doc_id"]: r["score"] for r in
+               searcher.topk(Q, 10, round_to=4).collect()}
+        from search_ingest_spark.ops import similarity
+        kn = {r["vec_id"]: (1.0 + r["cosine"]) / 2 for r in
+              similarity.brute_force_topk(
+                  self._emb(spark), qv, 10).collect()}
+        want = sorted(
+            ((round(lex.get(d, 0.0) + kn.get(d, 0.0), 4), d)
+             for d in set(lex) | set(kn)),
+            key=lambda t: (-t[0], t[1]))[:10]
+        got = [(r["score"], r["doc_id"]) for r in out]
+        assert got == want and len(got) == 10
+        # fusion actually fuses: some doc carries BOTH contributions
+        # or the two sides disagree on membership
+        assert set(lex) != set(kn) or any(
+            d in lex and d in kn for _, d in want)
+
+    def test_knn_hybrid_requires_plain_match(self, spark, searcher):
+        with pytest.raises(ValueError, match="plain match"):
+            dsl.search(searcher, {
+                "query": {"prefix": {"text": "qu"}},
+                "knn": {"field": "embedding",
+                        "query_vector": [1.0] + [0.0] * 63}},
                 emb=self._emb(spark))
 
     def test_knn_min_score_rejected(self, spark, searcher):
