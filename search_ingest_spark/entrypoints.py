@@ -3740,6 +3740,37 @@ def _q_dsl_sort_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
     })
 
 
+# ES _rank_eval: relevance regression-testing over rated results —
+# the engine's ordinary top-k per request + the metric fold, per
+# request and mean, both replayed in SQL (ranking AND arithmetic
+# certified together).
+_RANK_EVAL_REQS = [
+    {"id": "q_multi", "query": "spark query data",
+     "ratings": {188: 3, 442: 2, 312: 1, 777: 2}},
+    {"id": "q_single", "query": "customer",
+     "ratings": {5: 1, 10: 2, 42: 1}},
+]
+
+from search_ingest_spark.query import rank_eval as _rank_eval  # noqa: E402
+
+
+@register("search_rank_eval_precision",
+          _rank_eval.rank_eval_oracle_sql(_RANK_EVAL_REQS,
+                                          metric="precision", k=10))
+def _q_rank_eval_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rank_eval.rank_eval(_searcher(spark, sf_dir),
+                                _RANK_EVAL_REQS, metric="precision",
+                                k=10)
+
+
+@register("search_rank_eval_dcg",
+          _rank_eval.rank_eval_oracle_sql(_RANK_EVAL_REQS,
+                                          metric="dcg", k=10))
+def _q_rank_eval_dcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rank_eval.rank_eval(_searcher(spark, sf_dir),
+                                _RANK_EVAL_REQS, metric="dcg", k=10)
+
+
 # ES ids query: constant-score hits for the EXISTING docs among the
 # values (missing ids silently absent — 999999 exercises the rule).
 @register(

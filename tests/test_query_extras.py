@@ -727,6 +727,66 @@ class TestBoosting:
                                                  negative_boost=1.5)
 
 
+class TestRankEval:
+    """_rank_eval: engine top-k + metric fold vs the full SQL replay,
+    all four metrics; judgments rate real and absent docs."""
+
+    REQS = [
+        {"id": "a", "query": "spark query data",
+         "ratings": {3: 2, 17: 1, 999999: 3}},
+        {"id": "b", "query": "customer", "ratings": {5: 1, 10: 2}},
+    ]
+
+    @pytest.mark.parametrize("metric", ["precision", "recall",
+                                        "mean_reciprocal_rank", "dcg"])
+    def test_matches_oracle(self, spark, built, metric):
+        from search_ingest_spark.query import rank_eval as re_mod
+
+        s = Searcher(spark, built)
+        got = [tuple(r) for r in re_mod.rank_eval(
+            s, self.REQS, metric=metric, k=10).collect()]
+        want = _oracle(re_mod.rank_eval_oracle_sql(
+            self.REQS, metric=metric, k=10))
+        assert got == want and len(got) == 3
+        assert got[-1][0] == "_mean"
+
+    def test_precision_hand_check(self, spark, built):
+        from search_ingest_spark.query import rank_eval as re_mod
+
+        s = Searcher(spark, built)
+        top = [r["doc_id"] for r in s.topk("customer", 10,
+                                           round_to=4).collect()]
+        # rate exactly the first two retrieved docs relevant
+        reqs = [{"id": "x", "query": "customer",
+                 "ratings": {top[0]: 1, top[1]: 2}}]
+        rows = re_mod.rank_eval(s, reqs, metric="precision",
+                                k=10).collect()
+        assert rows[0]["metric_score"] == round(2 / len(top), 6)
+
+    def test_mrr_threshold(self, spark, built):
+        from search_ingest_spark.query import rank_eval as re_mod
+
+        s = Searcher(spark, built)
+        top = [r["doc_id"] for r in s.topk("customer", 10,
+                                           round_to=4).collect()]
+        # only the 3rd hit clears threshold 2 → MRR = 1/3
+        reqs = [{"id": "x", "query": "customer",
+                 "ratings": {top[0]: 1, top[2]: 2}}]
+        rows = re_mod.rank_eval(
+            s, reqs, metric="mean_reciprocal_rank", k=10,
+            relevant_rating_threshold=2).collect()
+        assert rows[0]["metric_score"] == round(1 / 3, 6)
+
+    def test_strictness(self, spark, built):
+        from search_ingest_spark.query import rank_eval as re_mod
+
+        s = Searcher(spark, built)
+        with pytest.raises(ValueError, match="unsupported metric"):
+            re_mod.rank_eval(s, self.REQS, metric="ndcg")
+        with pytest.raises(ValueError, match="≥1 request"):
+            re_mod.rank_eval(s, [], metric="precision")
+
+
 class TestSignificantText:
     """significant_text: sampled re-analysis of stored text vs the
     brute-force DuckDB replay, with and without the exact-dup guard."""
