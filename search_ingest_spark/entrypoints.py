@@ -3771,6 +3771,21 @@ def _q_rank_eval_dcg(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 _RANK_EVAL_REQS, metric="dcg", k=10)
 
 
+# collapse + inner_hits: the top-k collapsed groups AND each group's
+# own top-3 hits from the SAME single group window (no second pass).
+@register(
+    "search_dsl_collapse_inner_hits",
+    _aggs.collapse_inner_hits_oracle_sql(_AGG_QUERY, "source", 5,
+                                         inner_size=3),
+)
+def _q_dsl_collapse_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsl_search(spark, sf_dir, {
+        "query": {"match": {"text": _AGG_QUERY}},
+        "collapse": {"field": "source", "inner_hits": {"size": 3}},
+        "size": 5,
+    })
+
+
 # ES ids query: constant-score hits for the EXISTING docs among the
 # values (missing ids silently absent — 999999 exercises the rule).
 @register(

@@ -819,6 +819,74 @@ def collapse_topk(searcher, query_text: str, field: str, k: int = 10, *,
         field, "doc_id", "score", "rank")
 
 
+def collapse_inner_hits(searcher, query_text: str, field: str,
+                        k: int = 10, *, inner_size: int = 3,
+                        round_to: int | None = 4) -> DataFrame:
+    """ES `collapse` with `inner_hits`: the top-k groups (ranked by
+    each group's best hit, exactly collapse_topk) and, for each, the
+    group's own top `inner_size` hits — the expansion ES returns under
+    hits.inner_hits.
+
+    Same plan as collapse_topk plus nothing: the ONE group window
+    already numbers every group's hits, so inner hits are the rn ≤
+    inner_size rows joined back to the top-k groups (a ≤k-row
+    broadcast join).  (field, group_rank, doc_id, score, inner_rank),
+    ordered group_rank then inner_rank."""
+    if int(inner_size) < 1:
+        raise ValueError(f"inner_size must be ≥ 1, got {inner_size}")
+    scored = searcher.all_matching_scores(query_text, round_to=round_to)
+    attrs = searcher.cat.read(ib.DOC_ATTRS_TABLE).select(
+        "doc_id", F.col(field).alias("_cf"))
+    w = Window.partitionBy("_cf").orderBy(F.desc("score"), F.asc("doc_id"))
+    numbered = (scored.join(attrs, "doc_id")
+                .withColumn("_rn", F.row_number().over(w)))
+    best = (numbered.where(F.col("_rn") == 1)
+            .select(F.col("_cf").alias(field), "doc_id", "score"))
+    topg = best.orderBy(F.desc("score"), F.asc("doc_id")).limit(int(k))
+    groups = ranked_desc(topg, "score", "doc_id",
+                         extra_cols=[field]).select(
+        field, F.col("rank").alias("group_rank"))
+    inner = (numbered.where(F.col("_rn") <= int(inner_size))
+             .select(F.col("_cf").alias(field), "doc_id", "score",
+                     F.col("_rn").alias("inner_rank")))
+    return (inner.join(F.broadcast(groups), field)
+            .select(field, "group_rank", "doc_id", "score",
+                    "inner_rank")
+            .orderBy("group_rank", "inner_rank"))
+
+
+def collapse_inner_hits_oracle_sql(query_text: str, field: str,
+                                   k: int = 10, *, inner_size: int = 3,
+                                   round_to: int = 4) -> str:
+    """DuckDB replay: same single window, same group top-k, same
+    rn ≤ inner_size expansion."""
+    from search_ingest_spark.query.bm25 import bm25_scores_cte
+
+    return f"""
+WITH {bm25_scores_cte(query_text, round_to=round_to)},
+numbered AS (
+  SELECT d.{field} AS {field}, s.doc_id, s.score,
+         row_number() OVER (PARTITION BY d.{field}
+                            ORDER BY s.score DESC, s.doc_id ASC) AS rn
+  FROM scores_r s JOIN documents d USING (doc_id)
+),
+best AS (SELECT * FROM numbered WHERE rn = 1),
+topg AS (
+  SELECT {field}, score, doc_id FROM best
+  ORDER BY score DESC, doc_id ASC LIMIT {int(k)}
+),
+groups AS (
+  SELECT {field},
+         row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT
+           AS group_rank
+  FROM topg
+)
+SELECT n.{field}, g.group_rank, n.doc_id, n.score, n.rn::INT AS inner_rank
+FROM numbered n JOIN groups g USING ({field})
+WHERE n.rn <= {int(inner_size)}
+""".strip()
+
+
 def collapse_oracle_sql(query_text: str, field: str, k: int = 10, *,
                         round_to: int = 4) -> str:
     """DuckDB replay of collapse_topk: brute-force rounded scores,

@@ -838,9 +838,25 @@ def search(searcher, request: dict, *, phrase_searcher=None,
 
     if "collapse" in request:
         from search_ingest_spark.query import aggs as _aggs
-        out["hits"] = _aggs.collapse_topk(
-            searcher, text, request["collapse"]["field"], frm + size,
-            round_to=round_to)
+        col = request["collapse"]
+        extra = set(col) - {"field", "inner_hits"}
+        if extra:
+            raise ValueError(
+                f"unsupported collapse options: {sorted(extra)}")
+        if "inner_hits" in col:
+            ih = col["inner_hits"]
+            ih_extra = set(ih) - {"size"}
+            if ih_extra:
+                raise ValueError(
+                    f"unsupported inner_hits options: "
+                    f"{sorted(ih_extra)}")
+            out["hits"] = _aggs.collapse_inner_hits(
+                searcher, text, col["field"], frm + size,
+                inner_size=int(ih.get("size", 3)), round_to=round_to)
+        else:
+            out["hits"] = _aggs.collapse_topk(
+                searcher, text, col["field"], frm + size,
+                round_to=round_to)
     elif "rescore" in request:
         from search_ingest_spark.query.rescore import rescore_topk
         r = request["rescore"]
@@ -926,7 +942,11 @@ def search(searcher, request: dict, *, phrase_searcher=None,
             search_after=request.get("search_after"))
 
     if frm and out["hits"] is not None:
-        out["hits"] = out["hits"].where(F.col("rank") > frm)
+        # inner_hits pages on GROUPS (group_rank); everything else on
+        # the flat rank
+        page_col = ("rank" if "rank" in out["hits"].columns
+                    else "group_rank")
+        out["hits"] = out["hits"].where(F.col(page_col) > frm)
 
     if "min_score" in request:
         # ES: drop hits scoring below the floor (scored queries only).

@@ -776,6 +776,42 @@ class TestStrictness:
                 "highlight": {"fields": {"lang": {}}}},
                 docs=documents_smoke)
 
+    def test_collapse_inner_hits(self, searcher):
+        out = _hits(searcher, {
+            "query": {"match": {"text": Q}},
+            "collapse": {"field": "source", "inner_hits": {"size": 2}},
+            "size": 4}).collect()
+        plain = _hits(searcher, {
+            "query": {"match": {"text": Q}},
+            "collapse": {"field": "source"}, "size": 4}).collect()
+        # group set and order match the plain collapse; each group's
+        # inner_rank-1 row IS the group's collapse representative
+        by_group: dict = {}
+        for r in out:
+            by_group.setdefault(r["group_rank"], []).append(r)
+        assert sorted(by_group) == [1, 2, 3, 4]
+        for p in plain:
+            g = by_group[p["rank"]]
+            assert g[0]["source"] == p["source"]
+            assert g[0]["doc_id"] == p["doc_id"]
+            assert g[0]["score"] == p["score"]
+            assert [r["inner_rank"] for r in g] == \
+                list(range(1, len(g) + 1))
+            assert len(g) <= 2
+            # inner hits rank by score within the group
+            scores = [r["score"] for r in g]
+            assert scores == sorted(scores, reverse=True)
+
+    def test_collapse_strict_options(self, searcher):
+        with pytest.raises(ValueError, match="collapse options"):
+            _hits(searcher, {"query": {"match": {"text": Q}},
+                             "collapse": {"field": "source",
+                                          "max_concurrent_group_searches": 4}})
+        with pytest.raises(ValueError, match="inner_hits options"):
+            _hits(searcher, {"query": {"match": {"text": Q}},
+                             "collapse": {"field": "source",
+                                          "inner_hits": {"name": "x"}}})
+
     def test_geo_sort_nearest_first(self, searcher):
         rows = _hits(searcher, {"sort": [{"_geo_distance": {
             "location": {"lat": 0.0, "lon": 0.0}, "order": "asc",
