@@ -3896,6 +3896,48 @@ def _q_dsl_knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["hits"]
 
 
+# ES 8.8 RRF (reciprocal rank fusion): score = 1/(60+rank_lex) +
+# 1/(60+rank_knn) over the two 20-deep ranked windows — rank-based, so
+# the sides' incomparable score scales never mix; num_candidates=500
+# makes the knn window structurally exact (ef = n, connectivity
+# pinned), so the whole fusion is oracle-exact.
+@register(
+    "search_dsl_knn_rrf",
+    f"""
+WITH lex AS (
+  SELECT doc_id, rank FROM ({bm25.bm25_oracle_sql("spark query data", k=20)})
+),
+kn AS (
+  SELECT vec_id AS doc_id, rank
+  FROM ({similarity.brute_force_topk_sql(_QVEC, k=20)})
+),
+u AS (
+  SELECT coalesce(lex.doc_id, kn.doc_id) AS doc_id,
+         round(coalesce(1.0 / (60.0 + lex.rank), 0)
+               + coalesce(1.0 / (60.0 + kn.rank), 0), 6)::DOUBLE AS score
+  FROM lex FULL OUTER JOIN kn ON lex.doc_id = kn.doc_id
+),
+topk AS (SELECT * FROM u ORDER BY score DESC, doc_id ASC LIMIT 10)
+SELECT doc_id, score,
+       row_number() OVER (ORDER BY score DESC, doc_id ASC)::INT AS rank
+FROM topk
+""".strip(),
+)
+def _q_dsl_knn_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_ingest_spark.query import dsl as _dsl
+
+    out = _dsl.search(
+        _searcher(spark, sf_dir),
+        {"query": {"match": {"text": "spark query data"}},
+         "knn": {"field": "embedding", "query_vector": _QVEC,
+                 "num_candidates": 500},
+         "rank": {"rrf": {"rank_constant": 60,
+                          "rank_window_size": 20}},
+         "size": 10},
+        emb=_emb(spark, sf_dir), knn_index=_hnsw_for(sf_dir))
+    return out["hits"]
+
+
 # ES-8 kNN clause: HNSW beam (num_candidates=128) + exact rerank —
 # same two-stage as ann_hnsw_topk, reached through the request dict;
 # beam coverage at the driver scales is pinned by tests/test_hnsw.py,

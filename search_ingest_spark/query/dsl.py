@@ -45,7 +45,7 @@ from search_ingest_spark.index import build as ib
 
 _TOP_KEYS = {"query", "aggs", "sort", "from", "size", "search_after",
              "collapse", "rescore", "suggest", "min_score", "knn",
-             "_source", "highlight"}
+             "_source", "highlight", "rank"}
 
 _FILTER_KINDS = {"term", "terms", "range", "exists", "nested",
                  "geo_bounding_box"}
@@ -777,8 +777,6 @@ def search(searcher, request: dict, *, phrase_searcher=None,
         if clash:
             raise ValueError(
                 f"knn cannot be combined with {clash} in this façade")
-        kn = _knn_hits(request["knn"], emb, knn_index,
-                       default_k=frm + size)
         if "query" in request:
             # ES 8 HYBRID search: each side contributes its top window
             # and a doc's final score is the SUM — lexical BM25 if the
@@ -797,25 +795,69 @@ def search(searcher, request: dict, *, phrase_searcher=None,
                 raise ValueError(
                     "knn+query fusion rides the plain OR hit set — "
                     "drop the match options")
-            lex = searcher.topk(ftext, frm + size, round_to=round_to)
-            lx = lex.select("doc_id", F.col("score").alias("_lex"))
-            nn = kn.select(
-                F.col("vec_id").alias("doc_id"),
-                ((F.lit(1.0) + F.col("cosine")) / 2).alias("_knn"))
+            if "rank" in request:
+                # ES 8.8 RRF: score = Σ 1/(rank_constant + rank_i)
+                # over the two ranked windows — rank-based, so the
+                # two sides' incomparable score scales never mix
+                # (the fusion ES recommends over raw score sum)
+                r = request["rank"]
+                if set(r) != {"rrf"}:
+                    raise ValueError(
+                        f"rank must be {{'rrf': {{...}}}}, got {r!r}")
+                rrf = r["rrf"]
+                bad = set(rrf) - {"rank_constant", "rank_window_size"}
+                if bad:
+                    raise ValueError(
+                        f"unsupported rrf options: {sorted(bad)}")
+                c = int(rrf.get("rank_constant", 60))
+                window = int(rrf.get("rank_window_size", frm + size))
+                if window < frm + size:
+                    raise ValueError(
+                        "rank_window_size must be ≥ from+size")
+                lex = searcher.topk(ftext, window, round_to=round_to)
+                kn_w = _knn_hits(request["knn"], emb, knn_index,
+                                 default_k=window)
+                lx = lex.select(
+                    "doc_id",
+                    (1.0 / (F.lit(float(c)) + F.col("rank")))
+                    .alias("_lex"))
+                nn = kn_w.select(
+                    F.col("vec_id").alias("doc_id"),
+                    (1.0 / (F.lit(float(c)) + F.col("rank")))
+                    .alias("_knn"))
+            else:
+                # default hybrid: raw score sum (lex BM25 + ES's
+                # (1+cos)/2 similarity rescale)
+                lex = searcher.topk(ftext, frm + size,
+                                    round_to=round_to)
+                lx = lex.select("doc_id", F.col("score").alias("_lex"))
+                kn = _knn_hits(request["knn"], emb, knn_index,
+                               default_k=frm + size)
+                nn = kn.select(
+                    F.col("vec_id").alias("doc_id"),
+                    ((F.lit(1.0) + F.col("cosine")) / 2).alias("_knn"))
             fused = (lx.join(nn, "doc_id", "outer")
                      .fillna(0.0, ["_lex", "_knn"])
                      .select("doc_id",
                              F.round(F.col("_lex") + F.col("_knn"),
-                                     round_to).alias("score")))
+                                     6 if "rank" in request
+                                     else round_to).alias("score")))
             top = fused.orderBy(F.desc("score"), F.asc("doc_id")) \
                 .limit(frm + size)
             from search_ingest_spark.ranking import ranked_desc
             out["hits"] = ranked_desc(top, "score", "doc_id")
         else:
-            out["hits"] = kn
+            if "rank" in request:
+                raise ValueError(
+                    "rank (rrf) fuses knn with a query — add one")
+            out["hits"] = _knn_hits(request["knn"], emb, knn_index,
+                                    default_k=frm + size)
         if frm:
             out["hits"] = out["hits"].where(F.col("rank") > frm)
         return out
+
+    if "rank" in request:
+        raise ValueError("rank (rrf) fuses knn with a query — add knn")
 
     needs_text = [key for key in ("aggs", "collapse", "rescore",
                                   "highlight") if key in request] + (

@@ -655,6 +655,51 @@ class TestKnn:
         assert set(lex) != set(kn) or any(
             d in lex and d in kn for _, d in want)
 
+    def test_knn_rrf_fusion(self, spark, searcher):
+        # RRF: score = 1/(c+rank_lex) + 1/(c+rank_knn) over the two
+        # windows — recompute by hand
+        qv = [1.0] + [0.0] * 63
+        c, window = 10, 15
+        out = dsl.search(searcher, {
+            "query": {"match": {"text": Q}},
+            "knn": {"field": "embedding", "query_vector": qv,
+                    "num_candidates": 500},
+            "rank": {"rrf": {"rank_constant": c,
+                             "rank_window_size": window}},
+            "size": 10}, emb=self._emb(spark))["hits"].collect()
+        lex = {r["doc_id"]: r["rank"] for r in
+               searcher.topk(Q, window, round_to=4).collect()}
+        from search_ingest_spark.ops import similarity
+        kn = {r["vec_id"]: r["rank"] for r in
+              similarity.brute_force_topk(
+                  self._emb(spark), qv, window).collect()}
+        want = sorted(
+            ((round((1.0 / (c + lex[d]) if d in lex else 0.0)
+                    + (1.0 / (c + kn[d]) if d in kn else 0.0), 6), d)
+             for d in set(lex) | set(kn)),
+            key=lambda t: (-t[0], t[1]))[:10]
+        assert [(r["score"], r["doc_id"]) for r in out] == want
+
+    def test_rrf_needs_knn_and_query(self, spark, searcher):
+        with pytest.raises(ValueError, match="rrf"):
+            dsl.search(searcher, {
+                "query": {"match": {"text": Q}},
+                "rank": {"rrf": {}}})
+        with pytest.raises(ValueError, match="rrf"):
+            dsl.search(searcher, {
+                "knn": {"field": "embedding",
+                        "query_vector": [1.0] + [0.0] * 63},
+                "rank": {"rrf": {}}}, emb=self._emb(spark))
+
+    def test_rrf_window_too_small(self, spark, searcher):
+        with pytest.raises(ValueError, match="rank_window_size"):
+            dsl.search(searcher, {
+                "query": {"match": {"text": Q}},
+                "knn": {"field": "embedding",
+                        "query_vector": [1.0] + [0.0] * 63},
+                "rank": {"rrf": {"rank_window_size": 3}},
+                "size": 10}, emb=self._emb(spark))
+
     def test_knn_hybrid_requires_plain_match(self, spark, searcher):
         with pytest.raises(ValueError, match="plain match"):
             dsl.search(searcher, {
