@@ -3896,6 +3896,28 @@ def _q_dsl_knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out["hits"]
 
 
+# ES-8 FILTERED kNN: the filter restricts candidates (top-k AMONG
+# label-3 vectors, not a post-filter of the global top-k);
+# num_candidates=500 (=n) makes it exactly the filtered brute force,
+# which is the oracle.
+@register(
+    "search_dsl_knn_filtered",
+    similarity.brute_force_topk_sql(
+        _QVEC, k=10,
+        table="(SELECT * FROM embeddings WHERE label = 3)"),
+)
+def _q_dsl_knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_ingest_spark.query import dsl as _dsl
+
+    out = _dsl.search(
+        _searcher(spark, sf_dir),
+        {"knn": {"field": "embedding", "query_vector": _QVEC, "k": 10,
+                 "num_candidates": 500,
+                 "filter": {"term": {"label": 3}}}},
+        emb=_emb(spark, sf_dir), knn_index=_hnsw_for(sf_dir))
+    return out["hits"]
+
+
 # ES 8.8 RRF (reciprocal rank fusion): score = 1/(60+rank_lex) +
 # 1/(60+rank_knn) over the two 20-deep ranked windows — rank-based, so
 # the sides' incomparable score scales never mix; num_candidates=500

@@ -711,7 +711,8 @@ def _knn_hits(knn: dict, emb, knn_index, *, default_k: int) -> DataFrame:
     from search_ingest_spark.ops import hnsw as _hnsw
     from search_ingest_spark.ops import similarity
 
-    extra = set(knn) - {"field", "query_vector", "k", "num_candidates"}
+    extra = set(knn) - {"field", "query_vector", "k", "num_candidates",
+                        "filter"}
     if extra:
         raise ValueError(f"unsupported knn options: {sorted(extra)}")
     if knn.get("field", "embedding") != "embedding":
@@ -738,6 +739,18 @@ def _knn_hits(knn: dict, emb, knn_index, *, default_k: int) -> DataFrame:
     beam = [i for i, _ in _hnsw.search(graph, Xn, q, num_candidates,
                                        ef=num_candidates)]
     cands = emb.where(F.col("vec_id").isin(beam))
+    if "filter" in knn:
+        # ES-8 filtered kNN: the filter restricts CANDIDATES (the
+        # result is the top-k among vectors passing it, not a
+        # post-filter of the unfiltered top-k).  Compiles through the
+        # shared filter spec onto the vector table's metadata columns.
+        # Approximation contract: the beam must hold ≥k filtered
+        # vectors — size num_candidates for the filter's selectivity
+        # (ES's own documented trade); num_candidates = n is exactly
+        # the filtered brute force.
+        from search_ingest_spark.query import filters as _filters
+        cands = cands.where(_filters.spark_cond(
+            filter_spec(knn["filter"])))
     return similarity.brute_force_topk(
         cands, [float(v) for v in knn["query_vector"]], k)
 

@@ -655,6 +655,25 @@ class TestKnn:
         assert set(lex) != set(kn) or any(
             d in lex and d in kn for _, d in want)
 
+    def test_knn_filtered(self, spark, searcher):
+        # filter restricts CANDIDATES: top-k among label-0 vectors,
+        # not a post-filter of the global top-k
+        from search_ingest_spark.ops import similarity
+        qv = [1.0] + [0.0] * 63
+        emb = self._emb(spark)
+        out = dsl.search(searcher, {
+            "knn": {"field": "embedding", "query_vector": qv, "k": 5,
+                    "num_candidates": 500,
+                    "filter": {"term": {"label": 0}}}},
+            emb=emb)["hits"]
+        want = similarity.brute_force_topk(
+            emb.where(F.col("label") == 0), qv, 5)
+        assert _same(out, want)
+        labels = {r["label"] for r in
+                  out.join(emb.select("vec_id", "label"), "vec_id")
+                  .collect()}
+        assert labels == {0}
+
     def test_knn_rrf_fusion(self, spark, searcher):
         # RRF: score = 1/(c+rank_lex) + 1/(c+rank_knn) over the two
         # windows — recompute by hand
