@@ -1691,6 +1691,32 @@ def _q_sort_field_local(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows, "doc_id long, n_chars long, rank int")
 
 
+# Stateless sorted cursor (ES search_after on a field sort): only
+# rows STRICTLY after (540, 173) in (n_chars desc, doc_id asc) order;
+# the stats prune BOTH ends — fragments wholly before the cursor skip
+# without a read, the kth-key bound cuts the tail — so a deep page is
+# O(k + skipped), not O(page·depth).
+@register(
+    "search_sort_by_field_after_cursor_local",
+    """
+WITH sel AS (
+  SELECT doc_id, n_chars FROM documents
+  WHERE n_chars < 540 OR (n_chars = 540 AND doc_id > 173)
+  ORDER BY n_chars DESC, doc_id ASC LIMIT 10
+)
+SELECT doc_id, n_chars,
+       row_number() OVER (ORDER BY n_chars DESC, doc_id ASC)::INT AS rank
+FROM sel
+""".strip(),
+)
+def _q_sort_after_cursor_local(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    rows = _local_searcher(spark, sf_dir).sorted_topk(
+        "n_chars", 10, search_after=(540, 173))
+    return spark.createDataFrame(
+        rows, "doc_id long, n_chars long, rank int")
+
+
 # ASCENDING sort served from the SAME desc-sorted layout: the scan
 # walks fragments by parquet MIN stat (file tail first) and stops when
 # the next fragment's min exceeds the kth key — the direction ES
@@ -3892,6 +3918,26 @@ def _q_dsl_knn_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
          "knn": {"field": "embedding", "query_vector": _QVEC, "k": 10,
                  "num_candidates": 128},
          "size": 10},
+        emb=_emb(spark, sf_dir), knn_index=_hnsw_for(sf_dir))
+    return out["hits"]
+
+
+# ES-8 kNN similarity floor: vectors less similar than the threshold
+# never return — a suffix cut of the descending cosines (splits this
+# query's top-10 mid-list), ranks stay contiguous.
+@register(
+    "search_dsl_knn_similarity",
+    "SELECT * FROM ("
+    + similarity.brute_force_topk_sql(_QVEC, k=10)
+    + ") WHERE cosine >= 0.31",
+)
+def _q_dsl_knn_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from search_ingest_spark.query import dsl as _dsl
+
+    out = _dsl.search(
+        _searcher(spark, sf_dir),
+        {"knn": {"field": "embedding", "query_vector": _QVEC, "k": 10,
+                 "num_candidates": 128, "similarity": 0.31}},
         emb=_emb(spark, sf_dir), knn_index=_hnsw_for(sf_dir))
     return out["hits"]
 

@@ -712,7 +712,7 @@ def _knn_hits(knn: dict, emb, knn_index, *, default_k: int) -> DataFrame:
     from search_ingest_spark.ops import similarity
 
     extra = set(knn) - {"field", "query_vector", "k", "num_candidates",
-                        "filter"}
+                        "filter", "similarity"}
     if extra:
         raise ValueError(f"unsupported knn options: {sorted(extra)}")
     if knn.get("field", "embedding") != "embedding":
@@ -751,8 +751,16 @@ def _knn_hits(knn: dict, emb, knn_index, *, default_k: int) -> DataFrame:
         from search_ingest_spark.query import filters as _filters
         cands = cands.where(_filters.spark_cond(
             filter_spec(knn["filter"])))
-    return similarity.brute_force_topk(
+    hits = similarity.brute_force_topk(
         cands, [float(v) for v in knn["query_vector"]], k)
+    if "similarity" in knn:
+        # ES-8 similarity floor: vectors less similar than the
+        # threshold never return (applied to the ROUNDED cosine the
+        # result carries; cosines are rank-descending so this is a
+        # suffix cut and ranks stay contiguous, the min_score shape)
+        hits = hits.where(
+            F.col("cosine") >= float(knn["similarity"]))
+    return hits
 
 
 # ---------------------------------------------------------------------------
@@ -935,8 +943,13 @@ def search(searcher, request: dict, *, phrase_searcher=None,
         if sort_field == "_score":
             out["hits"] = compile_hits(
                 searcher, query, k=frm + size, round_to=round_to,
-                phrase_searcher=phrase_searcher, docs=docs)
+                phrase_searcher=phrase_searcher, docs=docs,
+                search_after=request.get("search_after"))
         elif sort_field == "_geo_distance":
+            if "search_after" in request:
+                raise ValueError(
+                    "search_after is not supported with a "
+                    "_geo_distance sort")
             # ES geo sort: distance from an origin, nearest first by
             # default — one haversine projection over the doc-values
             # scan + TakeOrdered, the distance never leaves the JVM.
@@ -988,8 +1001,10 @@ def search(searcher, request: dict, *, phrase_searcher=None,
                 raise ValueError(
                     "sort + query is served scored (_score) or "
                     "unscored over match_all in this façade")
+            sa = request.get("search_after")
             out["hits"] = searcher.sorted_topk(
-                sort_field, frm + size, ascending=(order == "asc"))
+                sort_field, frm + size, ascending=(order == "asc"),
+                search_after=tuple(sa) if sa else None)
     elif "query" in request or not request.get("aggs"):
         out["hits"] = compile_hits(
             searcher, query, k=frm + size, round_to=round_to,

@@ -982,6 +982,7 @@ class LocalSearcher:
         self, sort_field: str, k: int = 10, *,
         attr_filter: dict | None = None, stats: dict | None = None,
         ascending: bool = False,
+        search_after: tuple | None = None,
     ) -> list[tuple[int, object, int]]:
         """Early-terminating field-sorted top-k over the index-sorted
         doc-values table (ES/Lucene index sorting: index.sort.field) —
@@ -1011,7 +1012,15 @@ class LocalSearcher:
         stops when the next fragment's MIN is strictly above the kth
         key.  ES itself cannot do this — an asc sort over a desc index
         sort falls back to a full scan there; the stats make the one
-        layout serve both directions here (pinned by test)."""
+        layout serve both directions here (pinned by test).
+
+        `search_after=(key, doc_id)` is ES's stateless sorted cursor:
+        only rows STRICTLY after the cursor in sort order qualify
+        (key past the cursor key, or equal key with a larger doc_id).
+        The stats prune BOTH ends then: fragments wholly before the
+        cursor (min > key desc / max < key asc) are skipped without a
+        read, and the kth-key stop bound cuts the tail as usual — a
+        deep-page read is O(k + skipped), not O(page·depth)."""
         try:
             meta_path = self.cat.data_path(ib.SORTED_ATTRS_META)
             data_path = self.cat.data_path(ib.SORTED_ATTRS_TABLE)
@@ -1052,9 +1061,22 @@ class LocalSearcher:
             for i in range(1, n_segs + 1)
         ]
         sort_rows = _sort_asc_id_asc if ascending else _sort_desc_id_asc
+        after = None
+        if search_after is not None:
+            after = (search_after[0], int(search_after[1]))
         for seq, path in seg_paths:
             for frag in sorted(ds.dataset(path).get_fragments(),
                                key=lambda f: f.path):
+                if after is not None:
+                    # skip fragments wholly BEFORE the cursor: every
+                    # key strictly better than the cursor key can
+                    # never qualify (equal keys can — keep those)
+                    lead = _fragment_stat(frag, sort_field,
+                                          want_max=ascending)
+                    if lead is not None and (
+                            lead < after[0] if ascending
+                            else lead > after[0]):
+                        continue
                 tagged.append((_fragment_stat(frag, sort_field,
                                               want_max=not ascending),
                                seq, frag))
@@ -1078,8 +1100,17 @@ class LocalSearcher:
             n_read += 1
             keys = tbl[sort_field].to_pylist()
             ids = tbl["doc_id"].to_pylist()
-            rows.extend((ky, d) for ky, d in zip(keys, ids)
-                        if ky is not None and owners.get(d, 0) == seq)
+            if after is None:
+                rows.extend((ky, d) for ky, d in zip(keys, ids)
+                            if ky is not None
+                            and owners.get(d, 0) == seq)
+            else:
+                av, aid = after
+                rows.extend(
+                    (ky, d) for ky, d in zip(keys, ids)
+                    if ky is not None and owners.get(d, 0) == seq
+                    and ((ky > av if ascending else ky < av)
+                         or (ky == av and d > aid)))
             if len(rows) >= k:
                 sort_rows(rows)
                 rows = rows[:k]

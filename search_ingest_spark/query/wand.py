@@ -553,6 +553,7 @@ class Searcher:
     def sorted_topk(
         self, sort_field: str, k: int = 10, *,
         attr_filter: dict | None = None, ascending: bool = False,
+        search_after: tuple | None = None,
     ) -> DataFrame:
         """Field-sorted top-k (ES `sort` by a doc-values field,
         doc_id tie-break) on the Spark path: a column-pruned doc_attrs
@@ -571,6 +572,15 @@ class Searcher:
         attrs = self.cat.read(ib.DOC_ATTRS_TABLE)
         if attr_filter:
             attrs = attrs.where(filters.spark_cond(attr_filter))
+        if search_after is not None:
+            # ES's stateless sorted cursor: strictly-after rows only;
+            # the predicate pushes into the parquet scan
+            av, aid = search_after[0], int(search_after[1])
+            past = (F.col(sort_field) > F.lit(av) if ascending
+                    else F.col(sort_field) < F.lit(av))
+            attrs = attrs.where(
+                past | ((F.col(sort_field) == F.lit(av))
+                        & (F.col("doc_id") > F.lit(aid))))
         key = (F.asc(sort_field) if ascending else F.desc(sort_field))
         top = (
             attrs.where(F.col(sort_field).isNotNull())

@@ -655,6 +655,21 @@ class TestKnn:
         assert set(lex) != set(kn) or any(
             d in lex and d in kn for _, d in want)
 
+    def test_knn_similarity_floor(self, spark, searcher):
+        qv = [1.0] + [0.0] * 63
+        full = dsl.search(searcher, {
+            "knn": {"field": "embedding", "query_vector": qv, "k": 10,
+                    "num_candidates": 128}},
+            emb=self._emb(spark))["hits"].collect()
+        floor = sorted(r["cosine"] for r in full)[len(full) // 2]
+        cut = dsl.search(searcher, {
+            "knn": {"field": "embedding", "query_vector": qv, "k": 10,
+                    "num_candidates": 128, "similarity": floor}},
+            emb=self._emb(spark))["hits"].collect()
+        assert 0 < len(cut) < len(full)
+        assert all(r["cosine"] >= floor for r in cut)
+        assert [r["rank"] for r in cut] == list(range(1, len(cut) + 1))
+
     def test_knn_filtered(self, spark, searcher):
         # filter restricts CANDIDATES: top-k among label-0 vectors,
         # not a post-filter of the global top-k
@@ -791,6 +806,22 @@ class TestStrictness:
                                "size": 5})
         want = searcher.sorted_topk("n_chars", 5, ascending=True)
         assert _same(got, want)
+
+    def test_sort_search_after_reachable(self, searcher):
+        full = _hits(searcher, {"sort": [{"n_chars": "desc"}],
+                                "size": 10}).collect()
+        cursor = [full[4]["n_chars"], full[4]["doc_id"]]
+        page2 = _hits(searcher, {"sort": [{"n_chars": "desc"}],
+                                 "size": 5,
+                                 "search_after": cursor}).collect()
+        assert [(r["doc_id"], r["n_chars"]) for r in page2] == \
+            [(r["doc_id"], r["n_chars"]) for r in full[5:]]
+
+    def test_geo_sort_search_after_rejected(self, searcher):
+        with pytest.raises(ValueError, match="search_after"):
+            _hits(searcher, {"sort": [{"_geo_distance": {
+                "location": {"lat": 0, "lon": 0}}}],
+                "search_after": [1.0, 3]})
 
     def test_source_fields_joined(self, searcher, documents_smoke):
         out = dsl.search(searcher, {

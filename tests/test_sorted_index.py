@@ -129,6 +129,40 @@ class TestSortedTopk:
         assert ls.sorted_topk("n_chars", 10, attr_filter=spec,
                               ascending=True) == spark_side
 
+    @pytest.mark.parametrize("ascending", [False, True])
+    def test_search_after_continuation(self, spark, built, ascending):
+        # page1 + cursor-page2 must exactly equal the one-shot top-10,
+        # Spark and local bitwise
+        s = Searcher(spark, built)
+        ls = LocalSearcher(built)
+        full = ls.sorted_topk("n_chars", 10, ascending=ascending)
+        page1 = full[:5]
+        cursor = (page1[-1][1], page1[-1][0])
+        page2_local = ls.sorted_topk("n_chars", 5, ascending=ascending,
+                                     search_after=cursor)
+        assert [(d, ky) for d, ky, _ in page2_local] == \
+            [(d, ky) for d, ky, _ in full[5:]]
+        page2_spark = [tuple(r) for r in s.sorted_topk(
+            "n_chars", 5, ascending=ascending,
+            search_after=cursor).collect()]
+        assert page2_spark == [tuple(r) for r in page2_local]
+
+    def test_search_after_skips_leading_fragments(self, built):
+        # a cursor deep in the table prunes the LEADING fragments too
+        # (min-stat skip) — the deep page reads fewer fragments than
+        # the table holds on either side
+        ls = LocalSearcher(built)
+        base: dict = {}
+        ls.sorted_topk("n_chars", 5, stats=base)
+        deep = ls.sorted_topk("n_chars", 10**6)
+        cursor_row = deep[len(deep) // 2]
+        st: dict = {}
+        got = ls.sorted_topk("n_chars", 5, stats=st,
+                             search_after=(cursor_row[1], cursor_row[0]))
+        assert len(got) == 5
+        assert st["fragments_total"] < base["fragments_total"]
+        assert st["fragments_read"] <= st["fragments_total"]
+
     def test_full_scan_when_k_exceeds_corpus(self, built):
         ls = LocalSearcher(built)
         stats: dict = {}
