@@ -3629,6 +3629,45 @@ def _q_dsl_terms_sub_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
         part="aggs", name="by_source")
 
 
+# terms INSIDE terms (bucket nesting depth 2): top-3 sources, and
+# within each its top-2 languages — one (source, lang) pair-count
+# groupBy + a per-outer window; the shuffle carries pair counts.
+@register(
+    "search_dsl_terms_nested",
+    f"""
+WITH {_aggs.hits_cte(_AGG_QUERY)},
+j AS (
+  SELECT d.source, d.lang FROM documents d JOIN hits USING (doc_id)
+),
+outer_b AS (
+  SELECT source, count(*) AS _n FROM j WHERE source IS NOT NULL
+  GROUP BY 1 ORDER BY _n DESC, source ASC LIMIT 3
+),
+pairs AS (
+  SELECT source, lang, count(*)::BIGINT AS n_docs FROM j
+  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2
+),
+ranked AS (
+  SELECT p.source, p.lang, p.n_docs,
+         row_number() OVER (PARTITION BY p.source
+                            ORDER BY p.n_docs DESC, p.lang ASC) AS rn
+  FROM pairs p JOIN outer_b USING (source)
+)
+SELECT source, lang, n_docs FROM ranked WHERE rn <= 2
+""".strip(),
+)
+def _q_dsl_terms_nested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _dsl_search(
+        spark, sf_dir,
+        {"query": {"match": {"text": _AGG_QUERY}},
+         "aggs": {"by_source": {
+             "terms": {"field": "source", "size": 3},
+             "aggs": {"by_lang": {"terms": {"field": "lang",
+                                            "size": 2}}},
+         }}},
+        part="aggs", name="by_source")
+
+
 # terms agg with ES's order option — _key asc picks a DIFFERENT bucket
 # set than the count-desc default (first 5 keys alphabetically), so
 # the oracle certifies the ordering contract, not just the counting.

@@ -481,7 +481,50 @@ def _sub_metric_exprs(subs: dict) -> list:
     return exprs
 
 
+def _agg_terms_nested(searcher, text, body, iname, ibody):
+    """terms INSIDE terms (bucket nesting depth 2): the top-N outer
+    buckets (count desc, key asc — the terms contract), and within
+    each, the top-M inner buckets of the second field.  ONE
+    (f1, f2) groupBy + a per-outer-bucket window over ≤N·|f2| rows —
+    the shuffle carries pair counts, never docs.
+    (outer_field, inner_field, n_docs)."""
+    f1, n = body["field"], int(body.get("size", 10))
+    f2, m = ibody["field"], int(ibody.get("size", 10))
+    if f1 == f2:
+        raise ValueError("nested terms needs two distinct fields")
+    from pyspark.sql.window import Window
+
+    df = _hit_attrs(searcher, text, [f1, f2])
+    outer = (df.where(F.col(f1).isNotNull())
+             .groupBy(f1).agg(F.count("*").alias("_n"))
+             .orderBy(F.desc("_n"), F.asc(f1)).limit(n)
+             .select(f1))
+    pairs = (df.where(F.col(f1).isNotNull() & F.col(f2).isNotNull())
+             .groupBy(f1, f2).agg(F.count("*").alias("n_docs")))
+    w = Window.partitionBy(f1).orderBy(F.desc("n_docs"), F.asc(f2))
+    return (pairs.join(F.broadcast(outer), f1)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= m)
+            .select(f1, f2, "n_docs"))
+
+
 def _agg_terms(searcher, text, body, subs=None):
+    if subs and any(isinstance(s, dict) and "terms" in s
+                    for s in subs.values()):
+        if len(subs) != 1:
+            raise ValueError(
+                "a terms sub-aggregation cannot mix with other subs")
+        (iname, ispec), = subs.items()
+        if set(ispec) != {"terms"}:
+            raise ValueError(
+                f"nested terms sub-agg must be exactly "
+                f"{{'terms': ...}}, got {sorted(ispec)}")
+        ibody = ispec["terms"]
+        if body.get("order") is not None:
+            raise ValueError(
+                "terms order options are unsupported with a nested "
+                "terms sub-aggregation")
+        return _agg_terms_nested(searcher, text, body, iname, ibody)
     field, size = body["field"], int(body.get("size", 10))
     order = body.get("order", {"_count": "desc"})
     if not (isinstance(order, dict) and len(order) == 1):

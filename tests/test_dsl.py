@@ -490,6 +490,44 @@ class TestAggs:
         assert rows[0]["max_len"] == want_max
         assert rows[0]["n_tags"] == want_cnt
 
+    def test_terms_nested_terms(self, searcher):
+        out = dsl.search(searcher, {
+            "query": {"match": {"text": Q}},
+            "aggs": {"x": {"terms": {"field": "source", "size": 3},
+                           "aggs": {"inner": {"terms": {
+                               "field": "lang", "size": 2}}}}},
+        })["aggs"]["x"].collect()
+        # outer buckets = the plain terms top-3; ≤2 inner rows each,
+        # count-desc within the bucket
+        plain = dsl.search(searcher, {
+            "query": {"match": {"text": Q}},
+            "aggs": {"t": {"terms": {"field": "source", "size": 3}}},
+        })["aggs"]["t"].collect()
+        outer_want = {r["source"] for r in plain}
+        by_outer: dict = {}
+        for r in out:
+            by_outer.setdefault(r["source"], []).append(r["n_docs"])
+        assert set(by_outer) == outer_want
+        for counts in by_outer.values():
+            assert 1 <= len(counts) <= 2
+            assert counts == sorted(counts, reverse=True)
+
+    def test_terms_nested_strict(self, searcher):
+        with pytest.raises(ValueError, match="cannot mix"):
+            dsl.search(searcher, {
+                "query": {"match": {"text": Q}},
+                "aggs": {"x": {"terms": {"field": "source"},
+                               "aggs": {
+                                   "a": {"terms": {"field": "lang"}},
+                                   "b": {"max": {"field": "n_chars"}},
+                               }}}})
+        with pytest.raises(ValueError, match="distinct"):
+            dsl.search(searcher, {
+                "query": {"match": {"text": Q}},
+                "aggs": {"x": {"terms": {"field": "source"},
+                               "aggs": {"a": {"terms": {
+                                   "field": "source"}}}}}})
+
     def test_sub_aggs_only_under_terms(self, searcher):
         with pytest.raises(ValueError, match="sub-aggregations"):
             dsl.search(searcher, {
