@@ -3836,6 +3836,20 @@ def _q_rank_eval_dcg(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 _RANK_EVAL_REQS, metric="dcg", k=10)
 
 
+# ERR (Chapelle et al., ES's expected_reciprocal_rank): the cascade
+# model — stop probability (2^r−1)/2^max at each rank, discounted by
+# the probability of having NOT stopped earlier (a running product
+# the oracle carries with DuckDB's product() window).
+@register("search_rank_eval_err",
+          _rank_eval.rank_eval_oracle_sql(
+              _RANK_EVAL_REQS, metric="expected_reciprocal_rank",
+              k=10, maximum_relevance=3))
+def _q_rank_eval_err(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _rank_eval.rank_eval(
+        _searcher(spark, sf_dir), _RANK_EVAL_REQS,
+        metric="expected_reciprocal_rank", k=10, maximum_relevance=3)
+
+
 # collapse + inner_hits: the top-k collapsed groups AND each group's
 # own top-3 hits from the SAME single group window (no second pass).
 @register(

@@ -35,14 +35,27 @@ from pyspark.sql import DataFrame
 
 from search_ingest_spark.query.bm25 import bm25_scores_cte
 
-_METRICS = {"precision", "recall", "mean_reciprocal_rank", "dcg"}
+_METRICS = {"precision", "recall", "mean_reciprocal_rank", "dcg",
+            "expected_reciprocal_rank"}
 
 
 def _metric_fold(pairs: list[tuple[int, int]], metric: str, *,
                  k: int, threshold: int,
-                 n_relevant_total: int) -> float:
+                 n_relevant_total: int,
+                 maximum_relevance: int = 3) -> float:
     """pairs = [(rank, rating)] for the top-k hits, rank ascending,
     unrated hits carry rating 0."""
+    if metric == "expected_reciprocal_rank":
+        # ES's ERR (Chapelle et al.): R_i = (2^rating − 1)/2^max_rel
+        # is the stop probability at rank i; ERR = Σ R_i/rank_i ·
+        # Π_{j<i}(1 − R_j)
+        p, err = 1.0, 0.0
+        denom = 2.0 ** int(maximum_relevance)
+        for rank, r in pairs:
+            stop = (2.0 ** r - 1.0) / denom
+            err += p * stop / rank
+            p *= (1.0 - stop)
+        return err
     if metric == "precision":
         if not pairs:
             return 0.0
@@ -65,6 +78,7 @@ def _metric_fold(pairs: list[tuple[int, int]], metric: str, *,
 def rank_eval(searcher, requests: list[dict], *,
               metric: str = "precision", k: int = 10,
               relevant_rating_threshold: int = 1,
+              maximum_relevance: int = 3,
               round_to: int = 6) -> DataFrame:
     """`requests`: [{"id": str, "query": <match text>, "ratings":
     {doc_id: rating}}] → (request_id, metric_score) per request in
@@ -92,9 +106,18 @@ def rank_eval(searcher, requests: list[dict], *,
                     if r >= int(relevant_rating_threshold))
         score = _metric_fold(pairs, metric, k=int(k),
                              threshold=int(relevant_rating_threshold),
-                             n_relevant_total=n_rel)
-        rows.append((str(req["id"]), round(score, round_to)))
-    mean = round(sum(s for _, s in rows) / len(rows), round_to)
+                             n_relevant_total=n_rel,
+                             maximum_relevance=int(maximum_relevance))
+        # _round_half_up, not builtin round: Python rounds half-even
+        # on the binary value while DuckDB rounds half away from zero
+        # — a mean landing on a .xxxxxx5 boundary splits the engines
+        # otherwise (bit us on the ERR _mean row)
+        from search_ingest_spark.query.wand import _round_half_up
+
+        rows.append((str(req["id"]), _round_half_up(score, round_to)))
+    from search_ingest_spark.query.wand import _round_half_up
+
+    mean = _round_half_up(sum(s for _, s in rows) / len(rows), round_to)
     rows.append(("_mean", mean))
     return searcher.spark.createDataFrame(
         rows, "request_id string, metric_score double")
@@ -103,6 +126,7 @@ def rank_eval(searcher, requests: list[dict], *,
 def rank_eval_oracle_sql(requests: list[dict], *,
                          metric: str = "precision", k: int = 10,
                          relevant_rating_threshold: int = 1,
+                         maximum_relevance: int = 3,
                          round_to: int = 6) -> str:
     """DuckDB replay: per request, the bm25 top-k from raw text, a
     ratings VALUES join (unrated → 0), the same metric fold in SQL;
@@ -124,13 +148,12 @@ def rank_eval_oracle_sql(requests: list[dict], *,
         elif metric == "mean_reciprocal_rank":
             fold = (f"coalesce(1.0 / min(CASE WHEN rating >= {th} "
                     f"THEN rank END), 0.0)")
-        else:  # dcg
+        elif metric == "dcg":
             fold = ("coalesce(sum((pow(2.0, rating) - 1.0) "
                     "/ log2(rank + 1.0)), 0.0)")
-        parts.append(f"""
-SELECT '{req["id"]}' AS request_id,
-       round(({fold}), {int(round_to)})::DOUBLE AS metric_score
-FROM (
+        else:
+            fold = None  # expected_reciprocal_rank: window form below
+        inner = f"""
   WITH {cte},
   topk AS (
     SELECT doc_id,
@@ -140,6 +163,33 @@ FROM (
   rat(doc_id, rating) AS (VALUES {vals})
   SELECT t.rank, coalesce(rat.rating, 0) AS rating
   FROM topk t LEFT JOIN rat USING (doc_id)
+""".strip()
+        if fold is not None:
+            parts.append(f"""
+SELECT '{req["id"]}' AS request_id,
+       round(({fold}), {int(round_to)})::DOUBLE AS metric_score
+FROM (
+  {inner}
+)""".strip())
+        else:
+            # ERR needs the running Π(1−R_j) per row FIRST (a window
+            # cannot live inside an aggregate), then the sum —
+            # DuckDB's product() window carries it, same operand
+            # order as the Python fold
+            denom = float(2 ** int(maximum_relevance))
+            stop = f"((pow(2.0, rating) - 1.0) / {denom!r})"
+            parts.append(f"""
+SELECT '{req["id"]}' AS request_id,
+       round(coalesce(sum(contrib), 0.0), {int(round_to)})::DOUBLE
+         AS metric_score
+FROM (
+  SELECT {stop} / rank * coalesce(
+           product(1.0 - {stop}) OVER (
+             ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING
+             AND 1 PRECEDING), 1.0) AS contrib
+  FROM (
+  {inner}
+  )
 )""".strip())
     per = "\nUNION ALL\n".join(parts)
     return f"""

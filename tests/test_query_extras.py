@@ -738,7 +738,8 @@ class TestRankEval:
     ]
 
     @pytest.mark.parametrize("metric", ["precision", "recall",
-                                        "mean_reciprocal_rank", "dcg"])
+                                        "mean_reciprocal_rank", "dcg",
+                                        "expected_reciprocal_rank"])
     def test_matches_oracle(self, spark, built, metric):
         from search_ingest_spark.query import rank_eval as re_mod
 
@@ -776,6 +777,24 @@ class TestRankEval:
             s, reqs, metric="mean_reciprocal_rank", k=10,
             relevant_rating_threshold=2).collect()
         assert rows[0]["metric_score"] == round(1 / 3, 6)
+
+    def test_err_cascade_hand_check(self, spark, built):
+        # rate only the 1st and 3rd retrieved docs: ERR must discount
+        # rank 3 by (1 - R_1)
+        from search_ingest_spark.query import rank_eval as re_mod
+
+        s = Searcher(spark, built)
+        top = [r["doc_id"] for r in s.topk("customer", 10,
+                                           round_to=4).collect()]
+        reqs = [{"id": "x", "query": "customer",
+                 "ratings": {top[0]: 2, top[2]: 3}}]
+        rows = re_mod.rank_eval(
+            s, reqs, metric="expected_reciprocal_rank", k=10,
+            maximum_relevance=3).collect()
+        r1, r3 = (2 ** 2 - 1) / 8, (2 ** 3 - 1) / 8
+        want = r1 / 1 + (1 - r1) * r3 / 3
+        from search_ingest_spark.query.wand import _round_half_up
+        assert rows[0]["metric_score"] == _round_half_up(want, 6)
 
     def test_strictness(self, spark, built):
         from search_ingest_spark.query import rank_eval as re_mod
