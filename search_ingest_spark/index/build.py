@@ -5,44 +5,58 @@ ES, which builds the actual index internally
 (`/root/reference/src/search-ingest/table.cr:80-127`).  Here the build
 is a native Spark pipeline (north rule):
 
-  docs ──mapInPandas──► (doc_id, term, tf, dl, shard)
+  docs ──mapInArrow──► PACKED rows (doc_id, dl, terms[], tfs[][, poss])
         (doc-local tf/dl: the tokenize kernel needs NO shuffle)
-       ──repartition(shard).sortWithin(shard,term,doc)──persist (CACHE,
-        never a committed table — see below)
-  sorted tokens ──two-stage salted agg──► term_dict              [stage term_dict]
-  sorted tokens ──agg──► doc_lens, stats(N, Σdl, avgdl)          [stage doc_lens]
-        (the two aggs run CONCURRENTLY over the cached sort)
-  sorted tokens ──mapInPandas block encoder (term-keyed)──►
-        blocks ⋈ term_dict(term→id) ──► postings                 [stage postings]
+       ──repartition(shard)──persist (CACHE, never a committed table)
+  packed rows ──projection──► doc_lens, stats(N, Σdl, avgdl)     [stage doc_lens]
+  packed rows ──mapInArrow encoder (flatten+sort per shard)──►
+        blocks                                                   [stage blocks]
+  blocks ──agg(Σn_docs, Σsum_tf per term)──► term_dict           [stage term_dict]
+  blocks ⋈ term_dict(term→id) ──► postings                       [stage postings]
   postings ──per-shard agg──► build_manifest (lineage + metrics) [stage manifest]
 
 Scale design notes
-- **ONE shuffle of the raw token stream, ZERO persistence of it.**  The
-  repartition+sort by (shard, term, doc_id) is the build's only
-  full-volume exchange; both stats aggregations and the block encoder
-  consume it from the executor cache (memory-and-disk, ephemeral like
-  shuffle files).  Committing the raw token stream as a table would
-  double every build's write volume at corpus scale — Lucene persists
+- **ONE shuffle, of PACKED rows.**  The exchange moves one row per doc
+  (term/tf arrays inside), not one row per posting: N docs instead of
+  ~35N (doc, term) rows cross the wire, and — the bigger win measured
+  on this box — ~35x fewer rows cross the JVM↔Python Arrow boundary on
+  BOTH sides of the exchange (guide §2.3/§8: shuffle packed payloads,
+  explode next to the consumer).  The per-(shard, term, doc) sort that
+  the block encoder needs moved INTO the encoder kernel: a NumPy
+  lexsort over dictionary-encoded term codes, one shard at a time —
+  r07 A/B: packed fill+encode 10-12 s vs 29-31 s exploded at 1.2M docs
+  on local[32], block output bit-identical.
+- The cache is ephemeral executor storage (memory-and-disk, like
+  shuffle files); committing the token stream as a table would double
+  every build's write volume at corpus scale — Lucene persists
   postings, not token streams.  Everything a later incremental splice
   needs is recoverable from COLUMNS of the postings table: per-block
   (n_docs, sum_tf) aggregates give each dirty shard's exact per-term
-  (df, cf) without decoding a single block.  The encoder
-  emits blocks keyed by term STRING, and the dense term ids are joined
-  onto the blocks output — which is 10-100x smaller than raw postings —
-  instead of re-shuffling the token stream through a term_id join.
+  (df, cf) without decoding a single block.  The encoder emits blocks
+  keyed by term STRING, and the dense term ids are joined onto the
+  blocks output — which is 10-100x smaller than raw postings — instead
+  of re-shuffling the token stream through a term_id join.
+- **term_dict is an aggregate of the blocks output** (per term:
+  df = Σ n_docs, cf = Σ sum_tf — exact by construction, the same
+  columnar identity the incremental splice uses), so the Zipf-skewed
+  39M-row (term, salt) aggregation the exploded pipeline needed is now
+  a sub-second scan of ~1M block rows.  Skew defense is structural:
+  doc-range sharding splits every hot term's postings across shards
+  (the doc range IS the salt), and the blocks agg key space is
+  (term) over block rows already bounded per (shard, term).
 - **Sharding = doc-id ranges** (`shard = doc_id // docs_per_shard`), the
   Spark analog of ES's routing shards (`elastic.cr:396-405`): every
   term's posting run within a shard is bounded by the shard's doc
   count, so the hot-term (stopword) skew that would straggle a naive
-  `groupBy(term)` is structurally split across all shards — the doc
-  range IS the salt, and per-salt runs concatenate in doc_id order by
-  construction (SURVEY §4.1).
-- The term-df aggregation (Zipf-skewed key) is two-stage: partial
-  counts per (term, salt) then re-agg per term — map-side combine plus
-  an explicit salt so no single reducer sees a stopword's full df.
-- Partitioned writes always repartition by the partition column first:
-  without it every task opens a writer per partition dir (tasks x
-  shards tiny files — measured 8x slower at 32 cores).
+  `groupBy(term)` is structurally split across all shards (SURVEY
+  §4.1).  The encoder holds ONE SHARD's flattened postings in memory
+  at a time (not the whole task partition) — size docs_per_shard so a
+  shard's postings fit executor memory, the same contract the shard
+  design always had.
+- Partitioned writes always repartition by the partition column first
+  (or consume an already-shard-partitioned frame): without it every
+  task opens a writer per partition dir (tasks x shards tiny files —
+  measured 8x slower at 32 cores).
 - **Resumable**: each stage records an input fingerprint in
   build_state.json (catalog-atomic); a restarted build skips completed
   stages, and the postings stage additionally checkpoints per shard
@@ -89,6 +103,12 @@ BIGRAM_TABLE = "bigram_stats"
 MANIFEST_TABLE = "build_manifest"
 
 _STATE_FILE = "build_state.json"
+
+# floor for the docs_per_shard DEFAULT: shards carry per-shard fixed
+# cost through every stage (files, tasks, writer dirs, kernel calls),
+# so tiny corpora must not be sliced into core-count many shards.  An
+# explicit docs_per_shard always wins; this only shapes the default.
+_MIN_DOCS_PER_SHARD = 4096
 
 
 @dataclass
@@ -443,6 +463,300 @@ def _make_impact_encoder(avgdl: float):
 
 
 # ---------------------------------------------------------------------------
+# packed-row kernels (mapInArrow): ONE row per doc crosses the exchange
+# and the Python boundary; the per-(shard, term, doc) sort the block
+# encoder needs runs in NumPy inside the kernel, one shard at a time.
+# Measured r07 (1.2M docs, local[32], interleaved A/B): fill+encode
+# 10-12 s packed vs 29-31 s exploded — the exploded pipeline's cost was
+# ~80% Arrow-boundary serialization of 39.7M (doc, term) rows, which
+# no kernel-side change could touch (guide §4.1: you control how many
+# columns/rows cross, not the per-row cost).  Block output is
+# bit-identical (same segmentation, same bytes).
+# ---------------------------------------------------------------------------
+
+PACKED_SCHEMA = "doc_id long, dl int, terms array<string>, tfs array<int>"
+PACKED_POS_SCHEMA = PACKED_SCHEMA + ", poss array<array<int>>"
+
+
+def make_packed_tokenizer(id_col: str, text_col: str, mode: str,
+                          with_positions: bool):
+    """mapInArrow kernel: rows(id, text) → ONE packed row per doc
+    (doc_id, dl, terms[], tfs[][, poss[][]]).  Token-less docs emit no
+    row (identical to the exploded kernel, which emitted no (doc, term)
+    rows for them — doc_lens/stats count docs with ≥1 term only)."""
+    import re
+
+    simple_re = re.compile(r"[a-z0-9]+")
+
+    def kernel(it):
+        import pyarrow as pa
+
+        from search_ingest_spark.analysis import analyze, analyze_pos
+
+        for batch in it:
+            ids = batch.column(batch.schema.get_field_index(id_col))
+            texts = batch.column(
+                batch.schema.get_field_index(text_col)).to_pylist()
+            ids_np = ids.to_numpy(zero_copy_only=False)
+            out_ids: list[int] = []
+            out_dls: list[int] = []
+            all_terms: list[str] = []
+            all_tfs: list[int] = []
+            offsets = [0]
+            all_pos: list[int] = []
+            pos_offsets = [0]
+            for i, text in enumerate(texts):
+                if text is None:
+                    continue
+                if with_positions:
+                    if mode == "simple":
+                        pairs = [(t, p) for p, t in
+                                 enumerate(simple_re.findall(text.lower()))]
+                        dl = len(pairs)
+                    else:
+                        pairs = analyze_pos(text)
+                        dl = 1 + pairs[-1][1] if pairs else 0
+                    if not pairs:
+                        continue
+                    agg: dict[str, list[int]] = {}
+                    for t, p in pairs:
+                        agg.setdefault(t, []).append(p)
+                    all_terms.extend(agg.keys())
+                    for v in agg.values():
+                        all_tfs.append(len(v))
+                        all_pos.extend(v)
+                        pos_offsets.append(len(all_pos))
+                    offsets.append(len(all_terms))
+                else:
+                    if mode == "simple":
+                        toks = simple_re.findall(text.lower())
+                        dl = len(toks)
+                    else:
+                        toks, dl = analyze(text)
+                    if not toks:
+                        continue
+                    counts: dict[str, int] = {}
+                    for t in toks:
+                        counts[t] = counts.get(t, 0) + 1
+                    all_terms.extend(counts.keys())
+                    all_tfs.extend(counts.values())
+                    offsets.append(len(all_terms))
+                out_ids.append(int(ids_np[i]))
+                out_dls.append(dl)
+            if not out_ids:
+                continue
+            arrays = [
+                pa.array(out_ids, type=pa.int64()),
+                pa.array(out_dls, type=pa.int32()),
+                pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()),
+                    pa.array(all_terms, type=pa.string())),
+                pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()),
+                    pa.array(all_tfs, type=pa.int32())),
+            ]
+            names = ["doc_id", "dl", "terms", "tfs"]
+            if with_positions:
+                inner = pa.ListArray.from_arrays(
+                    pa.array(pos_offsets, type=pa.int32()),
+                    pa.array(all_pos, type=pa.int32()))
+                arrays.append(pa.ListArray.from_arrays(
+                    pa.array(offsets, type=pa.int32()), inner))
+                names.append("poss")
+            yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return kernel
+
+
+def _iter_shard_groups(it, dps: int, columns: list[str]):
+    """Gather a task's packed rows, then yield per-SHARD flattened
+    numpy/arrow views (doc ids repeated per term, dictionary-encoded
+    term codes, …) — one shard in memory at a time, so peak memory is a
+    shard's postings, not the task partition's (the docs_per_shard
+    sizing contract).  Yields (shard, doc_rep, dl_rep, codes, dict_arr,
+    tf_flat, extra_flat) with rows in ARRIVAL order (caller sorts)."""
+    import pyarrow as pa
+
+    batches = list(it)
+    if not batches:
+        return
+    tbl = pa.Table.from_batches(batches)
+    if len(tbl) == 0:
+        return
+    doc = tbl["doc_id"].to_numpy()
+    shard_doc = (doc // dps).astype(np.int32)
+    order_docs = np.argsort(shard_doc, kind="stable")
+    shard_sorted = shard_doc[order_docs]
+    bounds = np.flatnonzero(np.diff(shard_sorted)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(shard_sorted)]))
+    dl = tbl["dl"].to_numpy()
+    terms_col = tbl["terms"].combine_chunks()
+    tfs_col = tbl["tfs"].combine_chunks()
+    extra_col = None
+    if "poss" in columns:
+        extra_col = tbl["poss"].combine_chunks()
+    import pyarrow.compute as pc
+
+    for s, e in zip(starts, ends):
+        idx = pa.array(order_docs[s:e])
+        sub_terms = terms_col.take(idx)
+        if isinstance(sub_terms, pa.ChunkedArray):
+            sub_terms = sub_terms.combine_chunks()
+        counts = sub_terms.value_lengths().to_numpy().astype(np.int64)
+        flat_terms = sub_terms.flatten()
+        denc = pc.dictionary_encode(flat_terms)
+        if isinstance(denc, pa.ChunkedArray):
+            denc = denc.combine_chunks()
+        codes = denc.indices.to_numpy()
+        dict_arr = denc.dictionary
+        doc_sub = doc[order_docs[s:e]]
+        dl_sub = dl[order_docs[s:e]]
+        doc_rep = np.repeat(doc_sub, counts)
+        dl_rep = np.repeat(dl_sub, counts).astype(np.int64)
+        sub_tfs = tfs_col.take(idx)
+        if isinstance(sub_tfs, pa.ChunkedArray):
+            sub_tfs = sub_tfs.combine_chunks()
+        tf_flat = sub_tfs.flatten().to_numpy().astype(np.int64)
+        extra_flat = None
+        if extra_col is not None:
+            sub_extra = extra_col.take(idx)
+            if isinstance(sub_extra, pa.ChunkedArray):
+                sub_extra = sub_extra.combine_chunks()
+            extra_flat = sub_extra.flatten()
+        yield (int(shard_sorted[s]), doc_rep, dl_rep, codes, dict_arr,
+               tf_flat, extra_flat)
+
+
+def _segment_runs(shard_rows: int, codes_s: np.ndarray):
+    """Run/block segmentation over a SORTED (codes, doc) shard slice —
+    identical boundaries to the streaming encoder's (runs = code
+    changes, blocks = 128-posting chunks from each run start)."""
+    n = shard_rows
+    run_start_mask = np.empty(n, dtype=bool)
+    run_start_mask[0] = True
+    run_start_mask[1:] = codes_s[1:] != codes_s[:-1]
+    run_idx = np.cumsum(run_start_mask) - 1
+    run_starts = np.flatnonzero(run_start_mask)
+    offset_in_run = np.arange(n) - run_starts[run_idx]
+    block_start_mask = run_start_mask | (offset_in_run % BLOCK_SIZE == 0)
+    block_starts = np.flatnonzero(block_start_mask)
+    block_ends = np.append(block_starts[1:], n)
+    return offset_in_run, block_starts, block_ends
+
+
+def make_arrow_encoder(dps: int):
+    """mapInArrow kernel over packed rows → postings blocks (exact
+    path).  Bit-identical output to the streaming pandas encoder: same
+    run grouping, same block boundaries, same varint bytes — proven by
+    the r07 block-set A/B; only the emission ORDER within a shard
+    differs (first-appearance term order instead of lexicographic),
+    which the postings write's (shard, term_id, block_id) sort erases."""
+
+    def encode(it):
+        import pyarrow as pa
+
+        for (shard, doc_rep, dl_rep, codes, dict_arr, tf_flat,
+             _extra) in _iter_shard_groups(it, dps, ["terms", "tfs"]):
+            order = np.lexsort((doc_rep, codes))
+            codes_s = codes[order]
+            doc_s = doc_rep[order]
+            tf_s = tf_flat[order]
+            dl_s = dl_rep[order]
+            offset_in_run, block_starts, block_ends = _segment_runs(
+                len(doc_s), codes_s)
+            blobs = encode_blocks_bulk(doc_s, tf_s, dl_s,
+                                       block_starts, block_ends)
+            yield pa.RecordBatch.from_arrays([
+                dict_arr.take(pa.array(codes_s[block_starts])),
+                pa.array(np.full(len(block_starts), shard, dtype=np.int32)),
+                pa.array((offset_in_run[block_starts] // BLOCK_SIZE)
+                         .astype(np.int32)),
+                pa.array(doc_s[block_starts], type=pa.int64()),
+                pa.array(doc_s[block_ends - 1], type=pa.int64()),
+                pa.array((block_ends - block_starts).astype(np.int32)),
+                pa.array(np.maximum.reduceat(tf_s, block_starts)
+                         .astype(np.int32)),
+                pa.array(np.add.reduceat(tf_s, block_starts)
+                         .astype(np.int64)),
+                pa.array(np.minimum.reduceat(dl_s, block_starts)
+                         .astype(np.int32)),
+                pa.array(blobs, type=pa.binary()),
+            ], names=["term", "shard", "block_id", "first_doc_id",
+                      "last_doc_id", "n_docs", "max_tf", "sum_tf",
+                      "min_dl", "data"])
+
+    return encode
+
+
+def make_arrow_impact_encoder(dps: int, avgdl: float):
+    """Quantized-postings variant of make_arrow_encoder (same
+    segmentation; blob = varint deltas + one impact byte per posting,
+    exact per-block max_impact — codec module doc)."""
+
+    def encode(it):
+        import pyarrow as pa
+
+        from search_ingest_spark.index.codec import encode_impact_blocks_bulk
+
+        for (shard, doc_rep, dl_rep, codes, dict_arr, tf_flat,
+             _extra) in _iter_shard_groups(it, dps, ["terms", "tfs"]):
+            order = np.lexsort((doc_rep, codes))
+            codes_s = codes[order]
+            doc_s = doc_rep[order]
+            q = quantize_impacts(tf_flat[order], dl_rep[order], avgdl)
+            offset_in_run, block_starts, block_ends = _segment_runs(
+                len(doc_s), codes_s)
+            blobs = encode_impact_blocks_bulk(doc_s, q, block_starts,
+                                              block_ends)
+            yield pa.RecordBatch.from_arrays([
+                dict_arr.take(pa.array(codes_s[block_starts])),
+                pa.array(np.full(len(block_starts), shard, dtype=np.int32)),
+                pa.array((offset_in_run[block_starts] // BLOCK_SIZE)
+                         .astype(np.int32)),
+                pa.array(doc_s[block_starts], type=pa.int64()),
+                pa.array(doc_s[block_ends - 1], type=pa.int64()),
+                pa.array((block_ends - block_starts).astype(np.int32)),
+                pa.array(np.maximum.reduceat(q, block_starts)
+                         .astype(np.int32)),
+                pa.array(blobs, type=pa.binary()),
+            ], names=["term", "shard", "block_id", "first_doc_id",
+                      "last_doc_id", "n_docs", "max_impact", "data"])
+
+    return encode
+
+
+def make_arrow_positions_writer(dps: int):
+    """mapInArrow kernel over packed rows (incl. poss) → positions rows
+    (doc_id, term, positions, shard), emitted per shard in (term asc,
+    doc_id asc) order — the same term-sorted file layout the exploded
+    pipeline's shard sort produced, so the phrase scan's parquet
+    row-group pruning on term min/max keeps working."""
+
+    def kernel(it):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for (shard, doc_rep, _dl_rep, codes, dict_arr, _tf_flat,
+             pos_flat) in _iter_shard_groups(it, dps,
+                                             ["terms", "tfs", "poss"]):
+            # true lexicographic term order (codes are first-appearance)
+            sort_idx = pc.sort_indices(dict_arr).to_numpy()
+            rank = np.empty(len(sort_idx), dtype=np.int64)
+            rank[sort_idx] = np.arange(len(sort_idx))
+            order = np.lexsort((doc_rep, rank[codes]))
+            codes_s = codes[order]
+            yield pa.RecordBatch.from_arrays([
+                pa.array(doc_rep[order], type=pa.int64()),
+                dict_arr.take(pa.array(codes_s)),
+                pos_flat.take(pa.array(order)),
+                pa.array(np.full(len(order), shard, dtype=np.int32)),
+            ], names=["doc_id", "term", "positions", "shard"])
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
 # build orchestration (stage-checkpointed, resumable)
 # ---------------------------------------------------------------------------
 
@@ -540,81 +854,71 @@ def build_index(
     if prior_dps:
         docs_per_shard = int(prior_dps)
     elif docs_per_shard is None:
-        # target ~8 shards per core locally; on a cluster pick ~1-4M
-        # docs/shard so shard-local structures stay in executor memory
+        # scale-adaptive: ~2 shards per core of parallelism, but never
+        # shards smaller than _MIN_DOCS_PER_SHARD — a shard carries
+        # per-shard fixed cost through every stage (files, tasks,
+        # writer dirs, kernel invocations), so tiny corpora under a
+        # core-count-derived default drown in it (r07 A/B at 5k docs:
+        # 64 shards → 10.7 s build / 0.70 s query; right-sized → 3.0 s
+        # / 0.39 s).  On a cluster pick ~0.5-4M docs/shard explicitly
+        # so a shard's flattened postings stay in executor memory.
         par = spark.sparkContext.defaultParallelism
-        docs_per_shard = max(1, math.ceil(n_total / max(par * 2, 1)))
+        docs_per_shard = max(_MIN_DOCS_PER_SHARD,
+                             math.ceil(n_total / max(par * 2, 1)))
     if not prior_dps:
         state.data["docs_per_shard"] = docs_per_shard
         state.mark("_layout")
     n_shards = max(1, math.ceil(n_total / docs_per_shard))
 
-    # -- the shard-sorted token exchange (ONE shuffle, NEVER persisted as
-    # a table) ---------------------------------------------------------------
-    # The raw token stream is corpus-sized; committing it to storage
-    # would double every build's write volume (Lucene persists postings,
-    # not token streams).  Instead the exchange lives as a cached
-    # DataFrame: computed lazily the first time any stage needs it
-    # (a fully-resumed build never tokenizes at all), shared by ALL
-    # consumers — doc_lens, term_dict, and the block encoder.  Per-term
-    # (df, cf) recovery for incremental splices comes from the postings'
-    # columnar (n_docs, sum_tf) block aggregates instead of a tokens
-    # table.  Spark's block manager serializes per-partition cache
-    # fills, so the concurrent stage threads never duplicate the
-    # tokenize work.
+    # -- the packed token exchange (ONE shuffle, NEVER persisted as a
+    # table) ------------------------------------------------------------------
+    # ONE ROW PER DOC (terms/tfs arrays packed inside) crosses the
+    # exchange and the Python boundary — see the module doc for the
+    # measured rationale.  Committing the stream to storage would
+    # double every build's write volume (Lucene persists postings, not
+    # token streams); instead the exchange lives as a cached DataFrame:
+    # computed lazily the first time any stage needs it (a fully-
+    # resumed build never tokenizes at all), shared by ALL consumers —
+    # doc_lens, the block encoders, and the positions writer.  Per-term
+    # (df, cf) comes from the blocks output's columnar (n_docs, sum_tf)
+    # aggregates — the same identity the incremental splice uses.
+    # Spark's block manager serializes per-partition cache fills, so
+    # concurrent stage threads never duplicate the tokenize work.
     n_part = max(1, min(n_shards, spark.sparkContext.defaultParallelism * 2))
     _srt_lock = threading.Lock()
     _srt: dict[str, DataFrame] = {}
 
-    def sorted_tokens() -> DataFrame:
+    def packed_tokens() -> DataFrame:
         with _srt_lock:
             got = _srt.get("df")
             if got is None:
-                # with_positions: the SAME kernel emits each (doc, term)'s
-                # position list, so positions ride this one exchange — a
-                # positions-enabled build tokenizes and shuffles ONCE
-                schema = "doc_id long, term string, tf int, dl int"
-                if with_positions:
-                    schema += ", positions array<int>"
-                toks = docs.select(id_col, text_col).mapInPandas(
-                    lambda it: doc_terms_pandas(
-                        it, id_col=id_col, text_col=text_col, mode=mode,
-                        with_positions=with_positions,
-                    ),
+                schema = PACKED_POS_SCHEMA if with_positions else PACKED_SCHEMA
+                toks = docs.select(id_col, text_col).mapInArrow(
+                    make_packed_tokenizer(id_col, text_col, mode,
+                                          with_positions),
                     schema=schema,
                 ).withColumn(
                     "shard", (F.col("doc_id") / F.lit(docs_per_shard)).cast("int")
                 )
-                # THE build shuffle: repartition+sortWithinPartitions by
-                # (shard, term, doc_id).  Everything downstream consumes
-                # this one exchange; the encoder needs no second shuffle
-                # because term ids are joined onto the (far smaller)
-                # encoded-blocks output instead of the raw postings.
-                got = _srt["df"] = (
-                    toks.repartition(n_part, "shard")
-                    .sortWithinPartitions("shard", "term", "doc_id")
-                    .persist()
-                )
+                # THE build shuffle: repartition by shard only — the
+                # (term, doc) sort happens in NumPy inside the encoder
+                # kernels, per shard, on dictionary-encoded int codes
+                got = _srt["df"] = toks.repartition(n_part, "shard").persist()
             return got
 
-    # doc_lens+stats, term_dict, and the block ENCODE are all independent
-    # consumers of the one shard-sorted exchange — run them concurrently
-    # (the reference's per-table Promise.map fan-out, table_manager.cr:75-93).
-    # The encoder is term-STRING-keyed, so only the tiny blocks→term_id
-    # join afterwards needs term_dict; the expensive encode never waits.
+    # doc_lens+stats, the block ENCODE, and the optional positions/attr
+    # writers are all independent consumers of the one packed exchange —
+    # run them concurrently (the reference's per-table Promise.map
+    # fan-out, table_manager.cr:75-93).  The encoder is term-STRING-
+    # keyed, so only the tiny blocks→term_id join afterwards needs
+    # term_dict — which is itself derived from the blocks output.
 
     def _doc_lens_fn():
-        dl = sorted_tokens().groupBy("doc_id").agg(
-            F.first("dl").alias("dl"), F.first("shard").alias("shard")
-        )
-        # partitioned by shard so the incremental splice can replace only
-        # dirty shards' doc lengths (repartition first — partitionBy
-        # without it opens a writer per task×shard)
-        cat.write(
-            DOC_LENS_TABLE,
-            dl.select("doc_id", "dl", "shard").repartition(n_part, "shard"),
-            partition_by=["shard"],
-        )
+        # packed rows ARE one row per doc: a pure projection, no agg.
+        # The frame is already hash(shard)-partitioned into n_part, so
+        # the partitioned write opens one dir per shard per task.
+        dl = packed_tokens().select("doc_id", "dl", "shard")
+        cat.write(DOC_LENS_TABLE, dl, partition_by=["shard"])
         # stats carries sum_dl as an exact LONG so incremental batches can
         # delta-maintain it; avgdl = cast(sum)/cast(count) is bitwise what
         # F.avg computes (doubles are exact for integer sums < 2^53)
@@ -630,35 +934,46 @@ def build_index(
         )
         cat.write(STATS_TABLE, st)
 
-    def _term_dict_fn():
-        # skew-proof two-stage agg: partial (term, salt) counts — no
-        # reducer sees a full stopword; then a tiny re-agg per term
-        partial = (
-            sorted_tokens()
-            .groupBy("term", F.pmod(F.xxhash64("doc_id"), F.lit(64)).alias("_salt"))
-            .agg(F.count("*").alias("pdf"), F.sum("tf").alias("pcf"))
-        )
-        td = partial.groupBy("term").agg(
-            F.sum("pdf").alias("df"), F.sum("pcf").alias("cf")
-        )
-        td = dense_ids(td, "term", "term_id", n_buckets=64)
-        # sorted by term within files → parquet min/max stats prune the
-        # per-query dictionary lookups (Searcher.plan / LocalSearcher)
-        cat.write(TERM_DICT_TABLE, td.select("term", "term_id", "df", "cf"),
-                  sort_within_partitions=["term"])
-
     n_batches = max(1, min(shard_batches, n_shards))
     bounds = [
         (i, i * n_shards // n_batches, (i + 1) * n_shards // n_batches)
         for i in range(n_batches)
     ]
 
+    def _term_dict_fn():
+        # per-term (df, cf) from the blocks output's columnar per-block
+        # aggregates: df = Σ n_docs, cf = Σ sum_tf — exact by
+        # construction (every posting lands in exactly one block), and
+        # a ~40x smaller scan than re-aggregating the token stream.
+        # Runs AFTER the blocks stages (the one new dependency edge).
+        parts = [cat.read(_blocks_table(b)) for b, _, _ in bounds
+                 if cat.exists(_blocks_table(b))]
+        if not parts:
+            raise RuntimeError(
+                "term_dict stage needs the blocks tables; resume state "
+                "is inconsistent (blocks dropped before term_dict ran)")
+        src = parts[0]
+        for p in parts[1:]:
+            src = src.unionByName(p)
+        td_agg = src.groupBy("term").agg(
+            F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf")
+        ).persist()  # dense_ids runs count/sample/write actions over it
+        try:
+            td = dense_ids(td_agg, "term", "term_id", n_buckets=64)
+            # sorted by term within files → parquet min/max stats prune
+            # per-query dictionary lookups (Searcher.plan / LocalSearcher)
+            cat.write(TERM_DICT_TABLE,
+                      td.select("term", "term_id", "df", "cf"),
+                      sort_within_partitions=["term"])
+        finally:
+            td_agg.unpersist()
+
     def _encode_batch(batch_id: int, shard_lo: int, shard_hi: int) -> None:
-        src_runs = sorted_tokens().where(
+        src = packed_tokens().where(
             (F.col("shard") >= shard_lo) & (F.col("shard") < shard_hi)
         )
-        blocks = src_runs.select("shard", "term", "doc_id", "tf", "dl").mapInPandas(
-            _encode_partition, schema=POSTINGS_ENC_SCHEMA,
+        blocks = src.select("doc_id", "dl", "terms", "tfs").mapInArrow(
+            make_arrow_encoder(docs_per_shard), schema=POSTINGS_ENC_SCHEMA,
         )
         # input is shard-grouped, so each task writes few partition dirs
         cat.write(_blocks_table(batch_id), blocks, partition_by=["shard"])
@@ -677,10 +992,14 @@ def build_index(
         # schemas.cr:62-77): per-(term, doc) position lists, shard-
         # partitioned and term-sorted within files so a phrase query's
         # scan prunes to its terms' row groups — the same layout
-        # contract as the postings table.  A pure PROJECTION of the one
-        # shard-sorted exchange: no extra tokenize pass, no extra
-        # shuffle, already sorted.
-        pos = sorted_tokens().select("doc_id", "term", "positions", "shard")
+        # contract as the postings table.  Flattened from the one
+        # packed exchange: no extra tokenize pass, no extra shuffle;
+        # the kernel emits each shard in (term asc, doc asc) order.
+        pos = packed_tokens().select("doc_id", "dl", "terms", "tfs", "poss") \
+            .mapInArrow(
+                make_arrow_positions_writer(docs_per_shard),
+                schema="doc_id long, term string, positions array<int>,"
+                       " shard int")
         cat.write(POSITIONS_TABLE, pos, partition_by=["shard"])
 
     def _doc_attrs_fn():
@@ -760,7 +1079,6 @@ def build_index(
 
     jobs = [
         _stage_job("doc_lens", [DOC_LENS_TABLE, STATS_TABLE], None, _doc_lens_fn),
-        _stage_job("term_dict", [TERM_DICT_TABLE], None, _term_dict_fn),
     ]
     if with_positions:
         jobs.append(_stage_job("positions", [POSITIONS_TABLE], None, _positions_fn))
@@ -785,8 +1103,15 @@ def build_index(
         for f in futures:
             f.result()
 
+    # term_dict aggregates the blocks output, so it runs after the
+    # encode fan-out (sub-second; overlapping it buys nothing)
+    stage("term_dict", tables=[TERM_DICT_TABLE],
+          alt_tables=None)(_term_dict_fn)
+
     # ---- join dense ids onto the (small) blocks output --------------------
-    stats_row = cat.read(STATS_TABLE).first()
+    # stats/term-count are driver-side pyarrow reads: a Spark action on a
+    # one-row table costs ~0.3 s of pure scheduling in local mode
+    stats_row = cat.read_small(STATS_TABLE)[0]
     term_dict = cat.read(TERM_DICT_TABLE)
 
     for bid, lo, hi in bounds:
@@ -829,9 +1154,10 @@ def build_index(
             # map pass (no extra shuffle) — avgdl baked in at build time
             # (codec module doc; Lucene-norms trade, opt-in mode)
             avgdl_q = float(stats_row["avgdl"])
-            src = sorted_tokens().select("shard", "term", "doc_id", "tf", "dl")
-            qb = src.mapInPandas(
-                _make_impact_encoder(avgdl_q), schema=POSTINGS_Q_ENC_SCHEMA
+            src = packed_tokens().select("doc_id", "dl", "terms", "tfs")
+            qb = src.mapInArrow(
+                make_arrow_impact_encoder(docs_per_shard, avgdl_q),
+                schema=POSTINGS_Q_ENC_SCHEMA,
             )
             enc = qb.join(term_dict.select("term", "term_id"), "term").select(
                 *POSTINGS_Q_COLS
@@ -866,7 +1192,7 @@ def build_index(
         )
         cat.write(MANIFEST_TABLE, m)
 
-    n_terms = cat.read(TERM_DICT_TABLE).count()
+    n_terms = cat.arrow_dataset(TERM_DICT_TABLE).count_rows()
     return BuildInfo(
         n_docs=int(stats_row["n_docs"]),
         avgdl=float(stats_row["avgdl"]),
