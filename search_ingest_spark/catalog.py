@@ -500,27 +500,36 @@ class Catalog:
                 partitioning=pads.partitioning(part_schema, flavor="hive"))
         return pads.dataset(root, schema=full)
 
-    def write_small_arrow(self, name: str, tbl) -> None:
-        """Driver-side snapshot write of a pyarrow Table into an
-        EXISTING table, keeping its published Spark schema (so read()
-        round-trips exactly).  Same snapshot/meta/txn semantics as
-        write(); no Spark job.  Used by the incremental micro-batch
-        path for dictionary-class tables."""
+    def write_small_arrow(self, name: str, tbl, ddl: str | None = None) -> None:
+        """Driver-side snapshot write of a pyarrow Table, keeping the
+        table's published Spark schema (so read() round-trips exactly).
+        Same snapshot/meta/txn semantics as write(); no Spark job.  Used
+        by the incremental micro-batch path and the build's driver-side
+        term_dict stage for dictionary-class tables.
+
+        The table must exist unless `ddl` (a Spark DDL schema string)
+        is given, which CREATEs it with that published schema."""
         import pyarrow.parquet as pq
 
         meta = self._load_meta(name)
         if meta is None:
-            raise FileNotFoundError(
-                f"write_small_arrow requires an existing table: {name}")
-        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+            if ddl is None:
+                raise FileNotFoundError(
+                    f"write_small_arrow requires an existing table: {name}")
+            schema = T._parse_datatype_string(ddl)
+            schema_json = json.dumps(schema.jsonValue())
+        else:
+            schema = T.StructType.fromJson(json.loads(meta["schema"]))
+            schema_json = meta["schema"]
         tbl = tbl.select([f.name for f in schema.fields])
         tdir = self._dir(name)
+        os.makedirs(tdir, exist_ok=True)
         gen = f"snap-{uuid.uuid4().hex[:12]}"
         target = os.path.join(tdir, gen)
         os.makedirs(target)
         pq.write_table(tbl, os.path.join(target, "part-00000.parquet"))
-        self._publish(name, {"current": gen, "schema": meta["schema"]},
-                      [meta["current"]])
+        self._publish(name, {"current": gen, "schema": schema_json},
+                      [meta["current"]] if meta else [])
 
     def replace_partitions(
         self,

@@ -110,6 +110,18 @@ _STATE_FILE = "build_state.json"
 # explicit docs_per_shard always wins; this only shapes the default.
 _MIN_DOCS_PER_SHARD = 4096
 
+# term_dict driver-side fast path cap: blocks-output row count (an
+# upper bound on the vocabulary, known from parquet footers alone)
+# at or under this takes a pyarrow group_by on the driver instead of
+# ~3 Spark jobs; mirrors incremental.DRIVER_DICT_MAX_ROWS
+_TERM_DICT_DRIVER_MAX_BLOCK_ROWS = 5_000_000
+
+# dense_ids driver fast path cap: key spaces at or under this are
+# collected (keys only), ranked in Python and broadcast back — one job
+# instead of the sample + rank-window + offset-join chain.  Sized so
+# the collect stays a few MB of driver traffic.
+_DENSE_IDS_DRIVER_MAX = 65_536
+
 
 @dataclass
 class BuildInfo:
@@ -149,6 +161,26 @@ def dense_ids(df: DataFrame, key_col: str, out_col: str, n_buckets: int = 256) -
     n = df.count()
     if n == 0:
         return df.withColumn(out_col, F.lit(0).cast("long"))
+    if n <= _DENSE_IDS_DRIVER_MAX:
+        # driver fast path: one narrow collect of the KEYS (never the
+        # payload columns), rank them in Python (same code-point order
+        # as Spark's string sort), broadcast the (key, id) map back —
+        # replaces the sample job + the bucketed rank window/offset
+        # join with one broadcast hash join (guide §5: per-job fixed
+        # cost dominates small key spaces).  Only taken when keys are
+        # unique and non-null — with duplicates the window path's
+        # row_number over equal keys is the documented (and
+        # nondeterministically ordered) semantics, so it is kept.
+        keys = [r[0] for r in df.select(key_col).collect()]
+        if None not in keys and len(set(keys)) == n:
+            key_type = df.select(key_col).schema[0].dataType.simpleString()
+            id_map = df.sparkSession.createDataFrame(
+                [(k, i) for i, k in enumerate(sorted(keys))],
+                f"`{key_col}` {key_type}, __did long",
+            )
+            return df.join(F.broadcast(id_map), key_col).select(
+                *[F.col(c) for c in df.columns],
+                F.col("__did").cast("long").alias(out_col))
     bounds: list = []
     if n_buckets > 1 and n > 1:
         frac = min(1.0, (n_buckets * 32.0) / n)
@@ -917,22 +949,29 @@ def build_index(
         # packed rows ARE one row per doc: a pure projection, no agg.
         # The frame is already hash(shard)-partitioned into n_part, so
         # the partitioned write opens one dir per shard per task.
-        dl = packed_tokens().select("doc_id", "dl", "shard")
+        # stats (n_docs, Σdl) piggyback on the WRITE job as Observation
+        # metrics — the old read-back aggregate + 1-row Spark write were
+        # two whole jobs of pure scheduling per build (guide §5: the
+        # driver/job fixed cost dominates dictionary-class actions).
+        # avgdl = float(long)/float(long) is the identical IEEE double
+        # division the old cast(sum)/cast(count) column computed
+        # (integer sums < 2^53 convert exactly) — and the same
+        # arithmetic the incremental splice's delta maintenance uses.
+        from pyspark.sql import Observation
+
+        dl_obs = Observation()
+        dl = packed_tokens().select("doc_id", "dl", "shard").observe(
+            dl_obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s"))
         cat.write(DOC_LENS_TABLE, dl, partition_by=["shard"])
-        # stats carries sum_dl as an exact LONG so incremental batches can
-        # delta-maintain it; avgdl = cast(sum)/cast(count) is bitwise what
-        # F.avg computes (doubles are exact for integer sums < 2^53)
-        st = (
-            cat.read(DOC_LENS_TABLE)
-            .agg(F.count("*").alias("n_docs"), F.sum("dl").alias("sum_dl"))
-            .withColumn(
-                "avgdl",
-                F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"),
-            )
-            .withColumn("n_shards", F.lit(n_shards))
-            .withColumn("analyzer", F.lit(mode))
+        n_docs = int(dl_obs.get["n"] or 0)
+        sum_dl = dl_obs.get["s"]
+        sum_dl = int(sum_dl) if sum_dl is not None else None
+        avgdl = (float(sum_dl) / float(n_docs)) if n_docs else None
+        cat.write_small(
+            STATS_TABLE, [(n_docs, sum_dl, avgdl, n_shards, mode)],
+            "n_docs long, sum_dl long, avgdl double, n_shards int,"
+            " analyzer string",
         )
-        cat.write(STATS_TABLE, st)
 
     n_batches = max(1, min(shard_batches, n_shards))
     bounds = [
@@ -946,15 +985,54 @@ def build_index(
         # construction (every posting lands in exactly one block), and
         # a ~40x smaller scan than re-aggregating the token stream.
         # Runs AFTER the blocks stages (the one new dependency edge).
-        parts = [cat.read(_blocks_table(b)) for b, _, _ in bounds
+        names = [_blocks_table(b) for b, _, _ in bounds
                  if cat.exists(_blocks_table(b))]
-        if not parts:
+        if not names:
             raise RuntimeError(
                 "term_dict stage needs the blocks tables; resume state "
                 "is inconsistent (blocks dropped before term_dict ran)")
-        src = parts[0]
-        for p in parts[1:]:
-            src = src.unionByName(p)
+        # Driver-side fast path (guide §5: dictionary-class work should
+        # not pay per-job scheduling): when the blocks output is
+        # driver-sized — row count from parquet FOOTERS only, an upper
+        # bound on the vocabulary — the aggregate + dense-id assignment
+        # run as one pyarrow group_by/sort on the driver and the
+        # dictionary is written without any Spark job.  Replaces ~3
+        # jobs (agg-fill + dense_ids count/sample + rank-join write).
+        # Identity: arrow sorts strings by UTF-8 bytes == code points ==
+        # Spark's string order, so term_id assignment, df and cf are
+        # exactly dense_ids' output; only file layout differs (one
+        # term-sorted file, which the pruned dictionary probes prefer).
+        # The cap mirrors incremental.DRIVER_DICT_MAX_ROWS; above it
+        # (vocabularies a driver shouldn't hold) the distributed
+        # aggregate below is unchanged.
+        n_block_rows = sum(
+            cat.arrow_dataset(t).count_rows() for t in names)
+        if n_block_rows <= _TERM_DICT_DRIVER_MAX_BLOCK_ROWS:
+            import pyarrow as pa
+
+            tbls = [
+                cat.arrow_dataset(t).to_table(
+                    columns=["term", "n_docs", "sum_tf"])
+                for t in names
+            ]
+            agg = (pa.concat_tables(tbls)
+                   .group_by("term")
+                   .aggregate([("n_docs", "sum"), ("sum_tf", "sum")])
+                   .sort_by([("term", "ascending")]))
+            out = pa.table({
+                "term": agg["term"],
+                "term_id": pa.array(
+                    np.arange(agg.num_rows, dtype=np.int64)),
+                "df": agg["n_docs_sum"].cast(pa.int64()),
+                "cf": agg["sum_tf_sum"].cast(pa.int64()),
+            })
+            cat.write_small_arrow(
+                TERM_DICT_TABLE, out,
+                ddl="term string, term_id long, df long, cf long")
+            return
+        src = cat.read(names[0])
+        for t in names[1:]:
+            src = src.unionByName(cat.read(t))
         td_agg = src.groupBy("term").agg(
             F.sum("n_docs").alias("df"), F.sum("sum_tf").alias("cf")
         ).persist()  # dense_ids runs count/sample/write actions over it

@@ -130,7 +130,11 @@ def ngram_jaccard_pairs(
     by a constant (Lucene's maxDocFreq idea).  N comes from a lazy 1-row
     aggregate (no eager driver-side count job)."""
     n_docs_1row = df.agg(F.count("*").alias("_n"))
-    sh = _doc_shingles(df, id_col, text_col, n)
+    # one materialized tokenize+shingle pass: the frame feeds the df-cap
+    # aggregate AND the filtered stream below (r07 plan audit: every
+    # consumer re-ran the whole explode pipeline); the filtered stream is
+    # itself consumed three times (sizes + both arms of the inter join)
+    sh = _doc_shingles(df, id_col, text_col, n).persist()
     live = (
         sh.groupBy("sh").agg(F.count("*").alias("sdf"))
         .crossJoin(F.broadcast(n_docs_1row))
@@ -139,7 +143,7 @@ def ngram_jaccard_pairs(
             F.lit(max_shingle_df),
         ))
     )
-    sh = sh.join(live.select("sh"), "sh")
+    sh = sh.join(live.select("sh"), "sh").persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("x").join(sh.alias("y"), "sh")
@@ -351,8 +355,18 @@ def minhash_lsh_pairs(
     operator is oracle-checkable; at scale the shuffle key is 4 longs
     instead of 1, a negligible width difference."""
     rows_per_band = num_perm // bands
+    # MATERIALIZE the signature frame (guide §5 "persist when reused"):
+    # the banded self-join below consumes it on BOTH sides, the r07 plan
+    # audit showed Catalyst re-running the whole tokenize→shingle→md5→
+    # kernel pipeline once per consumer (12 MapInPandas nodes / 16 scans
+    # of the corpus in one query — no ReusedExchange fires because the
+    # join side is a BroadcastExchange, not an identical shuffle).  One
+    # cached pass is O(N·num_perm) longs (512 B/doc at num_perm=64),
+    # MEMORY_AND_DISK so executors spill rather than OOM at corpus
+    # scale; the block manager frees it when the query's RDD is GC'd.
+    # Measured sf0.1: minhash_lsh_pairs 4.33 s → see OPTIMIZATION_r07.
     sig = minhash_signatures(df, n=n, num_perm=num_perm, seed=seed,
-                             id_col=id_col, text_col=text_col)
+                             id_col=id_col, text_col=text_col).persist()
     banded = sig.select(
         "doc_id",
         F.posexplode(
@@ -365,23 +379,31 @@ def minhash_lsh_pairs(
             ])
         ).alias("band", "key"),
     )
+    # the candidate pair set is consumed three times (both arms of the
+    # cand_docs union + the left_semi on inter) — materialize it too;
+    # it is tiny by LSH design (that is the operator's whole premise)
     cand = (
         banded.alias("x").join(banded.alias("y"), ["band", "key"])
         .where(F.col("x.doc_id") < F.col("y.doc_id"))
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
         .distinct()
+        .persist()
     )
     # exact-Jaccard verification restricted to CANDIDATE docs only — the
-    # whole point of LSH is that this set is tiny relative to the corpus
+    # whole point of LSH is that this set is tiny relative to the corpus.
+    # No distinct: the frame feeds a left_semi probe, where duplicates
+    # (a doc appearing as both a and b of distinct pairs) change nothing
+    # — the dedup agg was one more exchange of pure scheduling.
     cand_docs = (
         cand.select(F.col("a").alias("doc_id"))
         .union(cand.select(F.col("b").alias("doc_id")))
-        .distinct()
     )
+    # candidate docs' shingles feed sizes + both arms of the inter
+    # self-join: one cached tokenize pass instead of three
     sh = _doc_shingles(
         df.join(cand_docs, df[id_col] == cand_docs.doc_id, "left_semi"),
         id_col, text_col, n,
-    )
+    ).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         sh.alias("x").join(sh.alias("y"), "sh")
@@ -544,7 +566,9 @@ def simhash_pairs(
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming, found via
     4×15-bit band bucketing (pigeonhole: ≤3 differing bits → at least
     one of 4 bands identical) then exact popcount verification."""
-    sig = simhash_signatures(df, id_col=id_col, text_col=text_col)
+    # materialized once: the band self-join consumes the signature
+    # pipeline on both sides (same rationale as minhash_lsh_pairs)
+    sig = simhash_signatures(df, id_col=id_col, text_col=text_col).persist()
     bands = sig.select(
         "doc_id", "simhash",
         F.posexplode(F.array(*[
@@ -802,6 +826,8 @@ def duplicate_span_stats(
         .select("doc_id", hash_shingle_col(F.col("_g")).alias("h"))
         .groupBy("doc_id", "h")
         .agg(F.count("*").alias("m"))
+        .persist()  # consumed by gram_df AND the final join: one
+        # tokenize+hash+agg pass instead of two (longs only, no text)
     )
     gram_df = dg.groupBy("h").agg(F.count("*").alias("df"))
     return (

@@ -186,7 +186,10 @@ def bucketed_near_dups(
 
     if centroids is None:
         centroids = train_centroids(emb, nlist=nlist, vec_col=vec_col)
-    b = assign_buckets(emb, centroids, vec_col=vec_col)
+    # materialized once: the bucket self-join consumes the assignment
+    # pandas_udf on both sides (x and y below) — without the cache the
+    # nearest-centroid kernel runs twice over the corpus
+    b = assign_buckets(emb, centroids, vec_col=vec_col).persist()
     x = b.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"),
                  F.col("ivf_bucket").alias("bk"))
     y = b.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"),

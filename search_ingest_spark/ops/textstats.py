@@ -264,7 +264,11 @@ def bigram_logprob(
             " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
         )).alias("pos", "bg"),
     ).select("doc_id", "pos", F.col("bg.w1").alias("w1"),
-             F.col("bg.w2").alias("w2"))
+             F.col("bg.w2").alias("w2")).persist()
+    # ^ materialized once: the exploded bigram stream feeds BOTH count
+    # aggregates and the scoring join — unpersisted, Catalyst re-ran
+    # the tokenize+explode pipeline three times (r07 plan audit; same
+    # multi-consumer fix as ops/dedup.py).  MEMORY_AND_DISK, freed on GC.
     c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
     c1 = bi.groupBy("w1").agg(F.count("*").alias("c1"))
     lp = (

@@ -99,7 +99,15 @@ def bm25_brute_force(
     query's `filter` clause masks candidates but never changes the
     corpus statistics the match clause scores with.
     """
-    toks = tokens if tokens is not None else doc_terms(docs, id_col=id_col, text_col=text_col, mode=mode)
+    # One materialized tokenize pass (guide §5): the stream feeds the
+    # dl/stats aggregate, the query-term filter, the df aggregate and
+    # (optionally) the must_not ban filter — the r07 plan audit showed
+    # SIX MapInPandas tokenize nodes in one query because each consumer
+    # re-derived the unpersisted stream.  MEMORY_AND_DISK, freed when
+    # the query's RDD is GC'd.  A caller-supplied `tokens` frame is the
+    # caller's to manage (it may already be cached or shared).
+    toks = tokens if tokens is not None else doc_terms(
+        docs, id_col=id_col, text_col=text_col, mode=mode).persist()
     terms = analyze_query(query_text, mode=mode)
     if not terms:
         raise ValueError("empty query after analysis")
@@ -201,7 +209,11 @@ def bm25_all_scores(
     relation queries (has_child/has_parent aggregate ALL matching
     children before ranking parents, so a k-limit here would be
     wrong).  Same stats/df/score expressions as bm25_brute_force."""
-    toks = doc_terms(docs, id_col=id_col, text_col=text_col, mode=mode)
+    # one materialized tokenize pass shared by the stats aggregate and
+    # the query-term filter (same multi-consumer shape and fix as
+    # bm25_brute_force above)
+    toks = doc_terms(docs, id_col=id_col, text_col=text_col,
+                     mode=mode).persist()
     uniq_terms = sorted(set(analyze_query(query_text, mode=mode)))
     if not uniq_terms:
         raise ValueError("empty query after analysis")

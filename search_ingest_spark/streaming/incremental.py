@@ -349,14 +349,15 @@ class PageIndexer:
             sort_field=self.sort_field,
         )
         # dense-append high-water marks (doc ids cover ALL docs, even
-        # token-less ones, so count the mapping — not stats.n_docs)
-        n_ids = self.cat.read(DOC_IDS_TABLE).count()
-        self.cat.write(
+        # token-less ones, so count the mapping — not stats.n_docs).
+        # parquet-footer row count + driver-side 1-row write: the old
+        # Spark count + createDataFrame write were two whole jobs of
+        # scheduling for dictionary-class work (guide §5)
+        n_ids = self.cat.arrow_dataset(DOC_IDS_TABLE).count_rows()
+        self.cat.write_small(
             COUNTERS_TABLE,
-            self.spark.createDataFrame(
-                [(n_ids - 1, info.n_terms - 1)],
-                "max_doc_id long, max_term_id long",
-            ),
+            [(n_ids - 1, info.n_terms - 1)],
+            "max_doc_id long, max_term_id long",
         )
         return info
 
@@ -642,18 +643,6 @@ class PageIndexer:
             self.compact_sorted()
         return ChangeStats(n_up, n_del, n_new, dirty)
 
-    @staticmethod
-    def _term_agg(tokens: DataFrame, df_name: str, cf_name: str) -> DataFrame:
-        """Skew-proof two-stage per-term (df, cf) aggregation."""
-        return (
-            tokens.groupBy(
-                "term", F.pmod(F.xxhash64("doc_id"), F.lit(64)).alias("_salt")
-            )
-            .agg(F.count("*").alias("pdf"), F.sum("tf").alias("pcf"))
-            .groupBy("term")
-            .agg(F.sum("pdf").alias(df_name), F.sum("pcf").alias(cf_name))
-        )
-
     def _splice_index(
         self, dirty_shards: list[int], merged_docs: DataFrame | None = None,
         extra_writes: list = (),
@@ -679,8 +668,6 @@ class PageIndexer:
         import time as _time
         _t = _time.perf_counter()
         spark, cat = self.spark, self.cat
-        from search_ingest_spark.analysis import doc_terms_pandas
-
         dirty = [int(s) for s in dirty_shards]
         n_part = max(1, min(len(dirty),
                             spark.sparkContext.defaultParallelism))
@@ -708,34 +695,52 @@ class PageIndexer:
         old_st = cat.read_small(ib.STATS_TABLE)[0]
         _t = _prof("splice:old-reads", _t)
 
-        # tokenize ONLY the dirty shards' docs (docs is shard-partitioned);
-        # the dirty token stream is cached, not persisted (same contract
-        # as the batch build: postings are the only committed token
-        # data).  When the index carries positions, the SAME pass emits
-        # them (no second tokenize).
+        # tokenize ONLY the dirty shards' docs (docs is shard-partitioned)
+        # — PACKED rows, the same kernel the batch build uses (one row
+        # per doc, terms/tfs[/poss] arrays inside): ~35x fewer rows
+        # cross the JVM↔Python boundary than the old exploded
+        # (doc, term) stream, doc_lens becomes a pure projection (no
+        # groupBy shuffle), and the per-(shard, term, doc) sort the
+        # block encoder needs runs in NumPy inside the encoder kernel.
+        # The cached stream is ephemeral (same contract as the build:
+        # postings are the only committed token data); positions ride
+        # the SAME pass.
         mode = self.mode
         has_pos = cat.exists(ib.POSITIONS_TABLE)
-        tok_schema = "doc_id long, term string, tf int, dl int"
-        if has_pos:
-            tok_schema += ", positions array<int>"
+        pk_schema = ib.PACKED_POS_SCHEMA if has_pos else ib.PACKED_SCHEMA
         dirty_docs = (
             merged_docs if merged_docs is not None
             else cat.read(DOCS_TABLE).where(F.col("shard").isin(dirty))
         )
-        tokens_new = dirty_docs.select("doc_id", "text").mapInPandas(
-            lambda it: doc_terms_pandas(it, id_col="doc_id", text_col="text",
-                                        mode=mode, with_positions=has_pos),
-            schema=tok_schema,
-        ).withColumn("shard", self._shard_col()).persist()
+        packed = (
+            dirty_docs.select("doc_id", "text")
+            .mapInArrow(
+                ib.make_packed_tokenizer("doc_id", "text", mode, has_pos),
+                schema=pk_schema)
+            .withColumn("shard", self._shard_col())
+            .repartition(n_part, "shard")
+            .persist()
+        )
+        # the encoded blocks are ALSO shared: the per-term (df, cf)
+        # aggregate below reads them (df = Σ n_docs, cf = Σ sum_tf —
+        # the exact columnar identity the build's term_dict stage uses),
+        # and the postings write joins term ids onto the same cached
+        # frame — the old separate salted token-stream aggregation
+        # (~2 shuffle stages per batch of pure scheduling) is gone.
+        blocks_enc = (
+            packed.select("doc_id", "dl", "terms", "tfs")
+            .mapInArrow(ib.make_arrow_encoder(self.docs_per_shard),
+                        schema=ib.POSTINGS_ENC_SCHEMA)
+            .persist()
+        )
 
-        # doc_lens: splice dirty shards; the new (n_docs, Σdl) piggyback
+        # doc_lens: splice dirty shards; packed rows ARE one row per
+        # doc, so this is a projection; the new (n_docs, Σdl) piggyback
         # on the WRITE job as Observation metrics — no read-back action
         from pyspark.sql import Observation
 
         dl_obs = Observation()
-        dl_new = tokens_new.groupBy("doc_id").agg(
-            F.first("dl").alias("dl"), F.first("shard").alias("shard")
-        ).select("doc_id", "dl", "shard").observe(
+        dl_new = packed.select("doc_id", "dl", "shard").observe(
             dl_obs, F.count(F.lit(1)).alias("n"), F.sum("dl").alias("s")
         )
         # term_dict: delta-maintain df/cf — subtract the dirty shards' old
@@ -771,17 +776,9 @@ class PageIndexer:
 
         def _enc_frame(dict_join):
             # postings: rebuild ONLY dirty shards, splice partition dirs
-            # (same flow as the build: encode runs keyed by term string,
-            # then join the ids onto the much smaller blocks output)
-            blocks = (
-                tokens_new
-                .select("shard", "term", "doc_id", "tf", "dl")
-                .repartition(n_part, "shard")
-                .sortWithinPartitions("shard", "term", "doc_id")
-                .mapInPandas(ib._encode_partition,
-                             schema=ib.POSTINGS_ENC_SCHEMA)
-            )
-            return blocks.join(dict_join, "term").select(
+            # — the ids join onto the CACHED blocks output (encoded
+            # once, shared with the term aggregate)
+            return blocks_enc.join(dict_join, "term").select(
                 *ib.POSTINGS_COLS
             ).repartition(n_part, "shard")
 
@@ -798,13 +795,17 @@ class PageIndexer:
             "shard", dirty_values=dirty,
         )))
         if has_pos:
-            # positional component: a projection of the already-
-            # tokenized dirty stream, spliced per shard
-            pos_new = tokens_new.select("doc_id", "term", "positions", "shard")
+            # positional component: flattened from the same cached
+            # packed stream (build's kernel — emits each shard in
+            # (term asc, doc asc) order, the positions layout contract)
+            pos_new = packed.select(
+                "doc_id", "dl", "terms", "tfs", "poss"
+            ).mapInArrow(
+                ib.make_arrow_positions_writer(self.docs_per_shard),
+                schema="doc_id long, term string, positions array<int>,"
+                       " shard int")
             base_writes.append(("positions", lambda: cat.replace_partitions(
-                ib.POSITIONS_TABLE,
-                pos_new.repartition(n_part, "shard")
-                .sortWithinPartitions("shard", "term", "doc_id"),
+                ib.POSITIONS_TABLE, pos_new,
                 "shard", dirty_values=dirty,
             )))
 
@@ -820,7 +821,14 @@ class PageIndexer:
                 # materializes the shared merged→tokens caches)
                 futures = [pool.submit(_timed, tag, w)
                            for tag, w in base_writes]
-                nt_pdf = self._term_agg(tokens_new, "ndf", "ncf").toPandas()
+                # per-term (df, cf) of the dirty stream from the cached
+                # blocks output — exact by construction (every posting
+                # lands in exactly one block); this action also fills
+                # the packed+blocks caches every other job shares
+                nt_pdf = blocks_enc.groupBy("term").agg(
+                    F.sum("n_docs").alias("ndf"),
+                    F.sum("sum_tf").alias("ncf"),
+                ).toPandas()
                 _t = _prof("splice:term-agg", _t)
                 # old per-term aggregates + dictionary: columnar driver
                 # reads; the delta is the same integer arithmetic as the
@@ -877,7 +885,10 @@ class PageIndexer:
                 for f in futures:
                     f.result()
         else:
-            new_term = self._term_agg(tokens_new, "ndf", "ncf")
+            # distributed branch (backlog replays / huge dictionaries):
+            # same blocks-derived (df, cf) identity, kept as a frame
+            new_term = blocks_enc.groupBy("term").agg(
+                F.sum("n_docs").alias("ndf"), F.sum("sum_tf").alias("ncf"))
             old_dict = cat.read(ib.TERM_DICT_TABLE)
             # subtract the dirty shards' old counts (term_id-keyed, from
             # the postings columns) ...
@@ -984,7 +995,8 @@ class PageIndexer:
             for t in list(cat.list_tables()):
                 if t.startswith(ib.SORTED_ATTRS_SEG_PREFIX):
                     cat.drop(t)
-        tokens_new.unpersist()
+        packed.unpersist()
+        blocks_enc.unpersist()
         return n_new_terms
 
     # -- streaming (A2): foreachBatch wrapper --------------------------------
