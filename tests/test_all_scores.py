@@ -94,8 +94,13 @@ class TestAllScoresPlan:
         df = Searcher(spark, built).all_matching_scores("spark query data")
         plan = self._plan(df)
         assert "PushedFilters: [In(term_id" in plan, plan
-        assert "FlatMapGroupsInPandas" in plan  # per-shard decode kernel
-        assert "MapInPandas" not in plan       # no corpus tokenize
+        # shard-partitioned decode kernel (r07: one MapInPandas per task
+        # over hash(shard)-complete partitions, not per-group)
+        assert "hashpartitioning(shard" in plan, plan
+        assert "MapInPandas" in plan, plan
+        # …and NO corpus tokenize: the scan reads postings columns only,
+        # never the documents table's text
+        assert "text" not in plan, plan
 
     def test_brute_oracle_still_tokenizes(self, documents_smoke):
         # sanity for the assertion above: the brute path DOES carry the

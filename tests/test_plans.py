@@ -67,10 +67,17 @@ class TestQueryPlans:
         plan = plan_of(s.topk("data", 10))
         assert "TakeOrderedAndProject" in plan
 
-    def test_wand_groups_by_shard(self, spark, doc_index):
+    def test_wand_scores_shard_partitioned(self, spark, doc_index):
+        # the scorer kernel runs once per task over hash(shard)-complete
+        # partitions (wand._scored_partitions): the plan must carry a
+        # shard repartition feeding a MapInPandas — NOT a per-group
+        # FlatMapGroupsInPandas (whose per-group sort + Arrow roundtrip
+        # cost ~8 ms x n_shards per query, r07 §9c)
         s = Searcher(spark, doc_index)
         plan = plan_of(s.topk("data table", 10))
-        assert "FlatMapGroupsInPandas" in plan  # per-shard scorer kernel
+        assert "MapInPandas" in plan
+        assert "hashpartitioning(shard" in plan
+        assert "FlatMapGroupsInPandas" not in plan
 
     def test_positions_scan_pushes_term_filter(self, spark, doc_index):
         # a phrase query must read only its terms' row groups
